@@ -1,0 +1,341 @@
+"""GPT-2 style decoder-only transformer, TPU-first (Flax/linen).
+
+Feature-parity target: the reference's nanoGPT module (ref:
+nanoGPT/model.py:18-330) — learned token+position embeddings, pre-LN blocks,
+causal self-attention, 4x GELU MLP, weight-tied LM head, residual-projection
+init std ``0.02/sqrt(2*n_layer)``, cross-entropy with ignore_index=-1, an
+inference fast path that computes logits only for the final position, model
+surgery via ``crop_block_size``, and PaLM-style MFU accounting.
+
+Design differences (deliberate, TPU-native):
+- bf16 activations / fp32 params (replaces torch AMP autocast + GradScaler,
+  ref: nanoGPT/train.py:115-116,211 — no loss scaling needed in bf16).
+- The autoregressive path uses an explicit functional KV cache
+  (:class:`KVCache`) threaded through ``__call__`` so the whole decode loop
+  can live inside one ``jax.lax`` loop under jit — the reference re-runs the
+  full forward per generated token with no KV cache (ref: nanoGPT/model.py:305-330).
+- Attention is expressed as batched einsums over a static causal mask so XLA
+  tiles it onto the MXU; a Pallas flash-attention kernel in
+  ``ai_music_generation_tpu.ops`` can be swapped in via ``attn_impl``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class GPTConfig:
+    """Architecture hyperparameters (defaults match ref nanoGPT/model.py:108-116)."""
+
+    block_size: int = 1024
+    vocab_size: int = 50304  # padded to a multiple of 64 (lane-friendly on TPU too)
+    n_layer: int = 12
+    n_head: int = 12
+    n_embd: int = 768
+    dropout: float = 0.0
+    bias: bool = True
+    # TPU-specific knobs (no reference equivalent):
+    dtype: Any = jnp.bfloat16  # activation/compute dtype
+    param_dtype: Any = jnp.float32
+    attn_impl: str = "xla"  # "xla" | "pallas"
+
+    @property
+    def head_dim(self) -> int:
+        return self.n_embd // self.n_head
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class KVCache:
+    """Per-layer key/value cache for autoregressive decode.
+
+    Shapes: k, v are [n_layer, batch, block_size, n_head, head_dim].
+    ``length`` is the number of valid positions already written (per batch
+    shared scalar — decode is lockstep across the batch).
+    """
+
+    k: Array
+    v: Array
+    length: Array  # scalar int32
+
+    @classmethod
+    def create(cls, config: GPTConfig, batch: int, max_len: Optional[int] = None,
+               dtype: Any = None) -> "KVCache":
+        max_len = max_len or config.block_size
+        dtype = dtype or config.dtype
+        shape = (config.n_layer, batch, max_len, config.n_head, config.head_dim)
+        return cls(
+            k=jnp.zeros(shape, dtype),
+            v=jnp.zeros(shape, dtype),
+            length=jnp.zeros((), jnp.int32),
+        )
+
+    def tree_flatten(self):
+        return (self.k, self.v, self.length), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+def _init_normal(std: float):
+    return nn.initializers.normal(stddev=std)
+
+
+class CausalSelfAttention(nn.Module):
+    """Multi-head causal attention (ref behavior: nanoGPT/model.py:29-76).
+
+    Fused QKV projection; supports full-sequence (training) and incremental
+    (KV-cache) modes. The incremental mode writes new keys/values at
+    ``cache_len`` via a dynamic-update and masks attention to positions
+    ``< cache_len + T``.
+    """
+
+    config: GPTConfig
+    layer_idx: int = 0
+
+    @nn.compact
+    def __call__(
+        self,
+        x: Array,
+        deterministic: bool = True,
+        layer_cache: Optional[tuple[Array, Array]] = None,
+        cache_len: Optional[Array] = None,
+    ):
+        cfg = self.config
+        B, T, C = x.shape
+        H, D = cfg.n_head, cfg.head_dim
+
+        qkv = nn.Dense(
+            3 * C,
+            use_bias=cfg.bias,
+            dtype=cfg.dtype,
+            param_dtype=cfg.param_dtype,
+            kernel_init=_init_normal(0.02),
+            name="c_attn",
+        )(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(B, T, H, D)
+        k = k.reshape(B, T, H, D)
+        v = v.reshape(B, T, H, D)
+
+        new_cache = None
+        if layer_cache is not None:
+            ck, cv = layer_cache  # [B, S, H, D]
+            S = ck.shape[1]
+            ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, cache_len, 0, 0))
+            cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, cache_len, 0, 0))
+            new_cache = (ck, cv)
+            k, v = ck, cv
+            # positions of the T query tokens are cache_len .. cache_len+T-1
+            q_pos = cache_len + jnp.arange(T)[:, None]  # [T, 1]
+            k_pos = jnp.arange(S)[None, :]  # [1, S]
+            mask = k_pos <= q_pos  # [T, S]
+        else:
+            mask = jnp.tril(jnp.ones((T, T), dtype=bool))
+
+        scale = jnp.asarray(1.0 / jnp.sqrt(D), cfg.dtype)
+        att = jnp.einsum("bthd,bshd->bhts", q, k) * scale
+        att = jnp.where(mask[None, None, :, :], att, jnp.asarray(-jnp.inf, att.dtype))
+        att = jax.nn.softmax(att.astype(jnp.float32), axis=-1).astype(cfg.dtype)
+        att = nn.Dropout(cfg.dropout)(att, deterministic=deterministic)
+        y = jnp.einsum("bhts,bshd->bthd", att, v).reshape(B, T, C)
+
+        y = nn.Dense(
+            C,
+            use_bias=cfg.bias,
+            dtype=cfg.dtype,
+            param_dtype=cfg.param_dtype,
+            # residual projections get the scaled init (ref: nanoGPT/model.py:140-144)
+            kernel_init=_init_normal(0.02 / math.sqrt(2 * cfg.n_layer)),
+            name="c_proj",
+        )(y)
+        y = nn.Dropout(cfg.dropout)(y, deterministic=deterministic)
+        return y, new_cache
+
+
+class MLP(nn.Module):
+    """4x GELU MLP (ref behavior: nanoGPT/model.py:78-92)."""
+
+    config: GPTConfig
+
+    @nn.compact
+    def __call__(self, x: Array, deterministic: bool = True) -> Array:
+        cfg = self.config
+        x = nn.Dense(
+            4 * cfg.n_embd,
+            use_bias=cfg.bias,
+            dtype=cfg.dtype,
+            param_dtype=cfg.param_dtype,
+            kernel_init=_init_normal(0.02),
+            name="c_fc",
+        )(x)
+        x = nn.gelu(x)
+        x = nn.Dense(
+            cfg.n_embd,
+            use_bias=cfg.bias,
+            dtype=cfg.dtype,
+            param_dtype=cfg.param_dtype,
+            kernel_init=_init_normal(0.02 / math.sqrt(2 * cfg.n_layer)),
+            name="c_proj",
+        )(x)
+        return nn.Dropout(cfg.dropout)(x, deterministic=deterministic)
+
+
+class Block(nn.Module):
+    """Pre-LN transformer block (ref behavior: nanoGPT/model.py:94-106)."""
+
+    config: GPTConfig
+    layer_idx: int = 0
+
+    @nn.compact
+    def __call__(self, x, deterministic=True, layer_cache=None, cache_len=None):
+        cfg = self.config
+        ln = lambda name: nn.LayerNorm(
+            use_bias=cfg.bias, dtype=cfg.dtype, param_dtype=cfg.param_dtype,
+            epsilon=1e-5, name=name,
+        )
+        attn_out, new_cache = CausalSelfAttention(cfg, self.layer_idx, name="attn")(
+            ln("ln_1")(x), deterministic, layer_cache, cache_len
+        )
+        x = x + attn_out
+        x = x + MLP(cfg, name="mlp")(ln("ln_2")(x), deterministic)
+        return x, new_cache
+
+
+class GPT(nn.Module):
+    """Decoder-only LM with weight-tied head (ref behavior: nanoGPT/model.py:118-193).
+
+    ``__call__`` returns ``(logits, loss, new_cache)``:
+
+    - training (``targets`` given): logits over all positions, scalar mean
+      cross-entropy loss ignoring ``targets == -1`` (ref: model.py:188-189).
+    - inference (``targets=None``, no cache): logits for the LAST position
+      only (ref fast path: model.py:191-193).
+    - incremental decode (``cache`` given): logits for the last position and
+      the updated :class:`KVCache`.
+    """
+
+    config: GPTConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        idx: Array,  # [B, T] int32
+        targets: Optional[Array] = None,
+        deterministic: bool = True,
+        cache: Optional[KVCache] = None,
+    ):
+        cfg = self.config
+        B, T = idx.shape
+
+        wte = nn.Embed(
+            cfg.vocab_size, cfg.n_embd,
+            dtype=cfg.dtype, param_dtype=cfg.param_dtype,
+            embedding_init=_init_normal(0.02), name="wte",
+        )
+        wpe = nn.Embed(
+            cfg.block_size, cfg.n_embd,
+            dtype=cfg.dtype, param_dtype=cfg.param_dtype,
+            embedding_init=_init_normal(0.02), name="wpe",
+        )
+
+        if cache is not None:
+            pos = cache.length + jnp.arange(T)
+        else:
+            pos = jnp.arange(T)
+        x = wte(idx) + wpe(pos)[None, :, :]
+        x = nn.Dropout(cfg.dropout)(x, deterministic=deterministic)
+
+        new_k, new_v = [], []
+        for i in range(cfg.n_layer):
+            layer_cache = None if cache is None else (cache.k[i], cache.v[i])
+            cache_len = None if cache is None else cache.length
+            x, lc = Block(cfg, i, name=f"h_{i}")(x, deterministic, layer_cache, cache_len)
+            if lc is not None:
+                new_k.append(lc[0])
+                new_v.append(lc[1])
+
+        x = nn.LayerNorm(
+            use_bias=cfg.bias, dtype=cfg.dtype, param_dtype=cfg.param_dtype,
+            epsilon=1e-5, name="ln_f",
+        )(x)
+
+        new_cache = None
+        if cache is not None:
+            new_cache = KVCache(jnp.stack(new_k), jnp.stack(new_v), cache.length + T)
+
+        if targets is not None:
+            logits = wte.attend(x)  # weight tying (ref: model.py:138)
+            loss = cross_entropy_ignore_index(logits, targets)
+            return logits, loss, new_cache
+
+        # inference fast path: last position only
+        logits = wte.attend(x[:, -1:, :])
+        return logits, None, new_cache
+
+
+def cross_entropy_ignore_index(logits: Array, targets: Array, ignore_index: int = -1) -> Array:
+    """Mean token cross-entropy skipping ``ignore_index`` targets (fp32 accumulation)."""
+    logits = logits.astype(jnp.float32)
+    mask = targets != ignore_index
+    safe_targets = jnp.where(mask, targets, 0)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, safe_targets[..., None], axis=-1)[..., 0]
+    total = jnp.sum(nll * mask)
+    count = jnp.maximum(jnp.sum(mask), 1)
+    return total / count
+
+
+def num_params(params, non_embedding: bool = True) -> int:
+    """Parameter count; optionally exclude position embeddings (ref: model.py:150-160)."""
+    total = sum(x.size for x in jax.tree_util.tree_leaves(params))
+    if non_embedding:
+        total -= params["params"]["wpe"]["embedding"].size
+    return total
+
+
+def crop_block_size(params, config: GPTConfig, block_size: int) -> tuple[Any, GPTConfig]:
+    """Model surgery: shrink the position table (ref: nanoGPT/model.py:195-204)."""
+    assert block_size <= config.block_size
+    params = jax.tree_util.tree_map(lambda x: x, params)  # shallow copy
+    wpe = params["params"]["wpe"]["embedding"]
+    params["params"]["wpe"]["embedding"] = wpe[:block_size]
+    return params, dataclasses.replace(config, block_size=block_size)
+
+
+# Peak bf16 TFLOP/s per chip for MFU accounting (replaces the reference's
+# hard-coded 312 TFLOPS A100 constant, ref: nanoGPT/model.py:289-303).
+TPU_PEAK_FLOPS = {
+    "tpu v4": 275e12,
+    "tpu v5 lite": 197e12,  # v5e
+    "tpu v5": 459e12,       # v5p
+    "tpu v6 lite": 918e12,  # v6e (trillium)
+    "cpu": 1e12,
+}
+
+
+def peak_flops_for(device=None) -> float:
+    kind = (device or jax.devices()[0]).device_kind.lower()
+    for key, val in TPU_PEAK_FLOPS.items():
+        if key in kind:
+            return val
+    return 197e12
+
+
+def estimate_mfu(config: GPTConfig, n_params: int, fwdbwd_per_iter: float,
+                 dt: float, peak_flops: Optional[float] = None) -> float:
+    """PaLM-appendix-B MFU estimate (ref formula: nanoGPT/model.py:289-303)."""
+    L, H, Q, T = config.n_layer, config.n_head, config.head_dim, config.block_size
+    flops_per_token = 6 * n_params + 12 * L * H * Q * T
+    flops_per_iter = flops_per_token * T * fwdbwd_per_iter
+    return (flops_per_iter / dt) / (peak_flops or peak_flops_for())

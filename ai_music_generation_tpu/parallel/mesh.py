@@ -1,0 +1,100 @@
+"""Device-mesh construction and sharding rules.
+
+Replaces the reference's process-group plumbing (torch.distributed /
+torchrun rendezvous / NCCL all-reduce, ref: nanoGPT/train.py:72,86-99,378-379)
+with the JAX SPMD model: build a ``jax.sharding.Mesh`` once, annotate
+parameter/batch shardings, and let XLA emit collectives over ICI/DCN.
+
+Axes:
+- ``data``  — batch (data parallel; the reference's only strategy).
+- ``model`` — tensor parallel over attention heads / MLP hidden dim
+  (no reference equivalent; optional extra headroom for larger models).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(
+    n_data: Optional[int] = None,
+    n_model: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Build a 2-D (data, model) mesh over the available devices.
+
+    With the defaults, all devices go to the data axis — matching the
+    reference's pure-DP DDP layout (ref: nanoGPT/train.py:226-227).
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    if n_data is None:
+        n_data = len(devices) // n_model
+    assert n_data * n_model == len(devices), (
+        f"mesh {n_data}x{n_model} != {len(devices)} devices"
+    )
+    arr = np.asarray(devices).reshape(n_data, n_model)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+# Sharding rules for GPT parameters, matched against the flax param path.
+# Tensor-parallel layout follows the Megatron pattern: QKV/MLP-in column
+# parallel, attn-out/MLP-out row parallel, embeddings sharded on vocab/embd.
+_GPT_PARAM_RULES: list[tuple[str, P]] = [
+    (r".*attn/c_attn/kernel", P(None, MODEL_AXIS)),
+    (r".*attn/c_attn/bias", P(MODEL_AXIS)),
+    (r".*attn/c_proj/kernel", P(MODEL_AXIS, None)),
+    (r".*mlp/c_fc/kernel", P(None, MODEL_AXIS)),
+    (r".*mlp/c_fc/bias", P(MODEL_AXIS)),
+    (r".*mlp/c_proj/kernel", P(MODEL_AXIS, None)),
+    (r".*wte/embedding", P(MODEL_AXIS, None)),
+    (r".*wpe/embedding", P(None, None)),
+    (r".*", P()),  # layernorms, remaining biases: replicated
+]
+
+
+def spec_for_param(path: str) -> P:
+    for pattern, spec in _GPT_PARAM_RULES:
+        if re.fullmatch(pattern, path):
+            return spec
+    return P()
+
+
+def _path_str(path) -> str:
+    return "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in path)
+
+
+def param_specs(params) -> "jax.tree_util.PyTreeDef":
+    """PartitionSpec pytree for a GPT param pytree (rank-checked)."""
+
+    def spec(path, leaf):
+        s = spec_for_param(_path_str(path))
+        # drop axes the leaf doesn't have (e.g. scalar or cropped params)
+        if len(s) > leaf.ndim:
+            s = P(*s[: leaf.ndim])
+        return s
+
+    return jax.tree_util.tree_map_with_path(spec, params)
+
+
+def param_shardings(mesh: Mesh, params):
+    return jax.tree_util.tree_map(
+        lambda s: NamedSharding(mesh, s), param_specs(params),
+        is_leaf=lambda x: isinstance(x, P),
+    )
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading batch dim over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())

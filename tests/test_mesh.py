@@ -1,0 +1,46 @@
+"""Mesh + sharding-rule tests on the 8-device virtual CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from ai_music_generation_tpu.models.gpt import GPT, GPTConfig
+from ai_music_generation_tpu.parallel import mesh as pmesh
+
+
+def test_make_mesh_shapes():
+    m = pmesh.make_mesh(n_data=4, n_model=2)
+    assert m.shape == {"data": 4, "model": 2}
+    m1 = pmesh.make_mesh()
+    assert m1.shape["data"] == jax.device_count()
+
+
+def test_param_rules():
+    assert pmesh.spec_for_param("params/h_0/attn/c_attn/kernel") == P(None, "model")
+    assert pmesh.spec_for_param("params/h_3/mlp/c_proj/kernel") == P("model", None)
+    assert pmesh.spec_for_param("params/ln_f/scale") == P()
+    assert pmesh.spec_for_param("params/wte/embedding") == P("model", None)
+
+
+def test_sharded_forward_matches_replicated(mesh8):
+    cfg = GPTConfig(block_size=16, vocab_size=64, n_layer=2, n_head=2,
+                    n_embd=32, dtype=jnp.float32)
+    model = GPT(cfg)
+    idx = jnp.tile(jnp.arange(8, dtype=jnp.int32)[None, :], (8, 1))
+    targets = jnp.roll(idx, -1, axis=1)
+    params = model.init(jax.random.PRNGKey(0), idx)
+
+    _, loss_ref, _ = model.apply(params, idx, targets)
+
+    shardings = pmesh.param_shardings(mesh8, params)
+    params_sh = jax.device_put(params, shardings)
+    idx_sh = jax.device_put(idx, pmesh.batch_sharding(mesh8))
+    t_sh = jax.device_put(targets, pmesh.batch_sharding(mesh8))
+
+    @jax.jit
+    def fwd(p, x, t):
+        return model.apply(p, x, t)[1]
+
+    loss_sh = fwd(params_sh, idx_sh, t_sh)
+    np.testing.assert_allclose(float(loss_ref), float(loss_sh), rtol=1e-5)
