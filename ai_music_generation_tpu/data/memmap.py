@@ -1,0 +1,70 @@
+"""Memmap token datasets + batch sampling.
+
+Replaces the reference's "poor man's data loader" (ref: nanoGPT/train.py:122-144):
+uint16 (or uint32 for large-vocab whitespace datasets, ref :126-134) token
+bins sampled at random offsets. Differences:
+
+- The token dtype is recorded in ``meta.pkl`` (key ``bin_dtype``) instead of
+  being keyed off the out_dir name (ref hack at train.py:126).
+- Batches are drawn for a whole optimizer iteration at once
+  ([grad_accum, micro_batch, T]) so the jitted train step can scan over
+  micro-batches on device with zero host round-trips in between.
+- Sampling is a deterministic function of (seed, iter) — resume-stable,
+  unlike the reference's global-RNG draws.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Optional
+
+import numpy as np
+
+
+class BinDataset:
+    """Random-offset sampler over a flat token bin file."""
+
+    def __init__(self, path: str, dtype: Optional[np.dtype] = None):
+        if dtype is None:
+            meta = load_meta(os.path.join(os.path.dirname(path), "meta.pkl"))
+            dtype = np.dtype(meta["bin_dtype"]) if meta and "bin_dtype" in meta else np.uint16
+        self.path = path
+        self.dtype = np.dtype(dtype)
+        # re-open the memmap per batch to avoid paging the whole file into
+        # resident memory over a long run (same rationale as the reference's
+        # np.memmap-per-call, ref: nanoGPT/train.py:122-125)
+        self._len = os.path.getsize(path) // self.dtype.itemsize
+
+    def __len__(self) -> int:
+        return self._len
+
+    def sample(self, seed: int, it: int, batch_shape: tuple[int, ...], block_size: int):
+        """Sample (x, y) int32 arrays of shape [*batch_shape, block_size]."""
+        data = np.memmap(self.path, dtype=self.dtype, mode="r")
+        rng = np.random.default_rng(np.random.SeedSequence([seed, it]))
+        n = int(np.prod(batch_shape))
+        ix = rng.integers(0, self._len - block_size - 1, size=n)
+        x = np.stack([data[i : i + block_size] for i in ix]).astype(np.int32)
+        y = np.stack([data[i + 1 : i + 1 + block_size] for i in ix]).astype(np.int32)
+        return (
+            x.reshape(*batch_shape, block_size),
+            y.reshape(*batch_shape, block_size),
+        )
+
+
+def load_meta(meta_path: str) -> Optional[dict]:
+    """Load the dataset meta.pkl (vocab, stoi/itos, tokens_format, bin_dtype)."""
+    if not os.path.exists(meta_path):
+        return None
+    with open(meta_path, "rb") as f:
+        return pickle.load(f)
+
+
+def write_bin(tokens: np.ndarray, path: str, dtype=np.uint16) -> None:
+    np.asarray(tokens, dtype=dtype).tofile(path)
+
+
+def write_meta(meta: dict, path: str) -> None:
+    with open(path, "wb") as f:
+        pickle.dump(meta, f)

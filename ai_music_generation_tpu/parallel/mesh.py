@@ -71,24 +71,27 @@ def _path_str(path) -> str:
     return "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in path)
 
 
-def param_specs(params) -> "jax.tree_util.PyTreeDef":
-    """PartitionSpec pytree for a GPT param pytree (rank-checked)."""
+def shardings_for_tree(mesh: Mesh, tree):
+    """NamedSharding pytree for params OR optimizer state.
 
-    def spec(path, leaf):
+    Rules match on the leaf's tree path, so optax moment buffers (whose paths
+    end with the parameter path, e.g. ``1/mu/h_0/attn/c_attn/kernel``) inherit
+    their parameter's layout automatically; scalars/counters replicate.
+    """
+
+    def shard(path, leaf):
         s = spec_for_param(_path_str(path))
-        # drop axes the leaf doesn't have (e.g. scalar or cropped params)
-        if len(s) > leaf.ndim:
-            s = P(*s[: leaf.ndim])
-        return s
+        ndim = getattr(leaf, "ndim", 0)
+        if len(s) > ndim:  # scalar or lower-rank leaf: trim trailing axes
+            s = P(*s[:ndim])
+        return NamedSharding(mesh, s)
 
-    return jax.tree_util.tree_map_with_path(spec, params)
+    return jax.tree_util.tree_map_with_path(shard, tree)
 
 
+# back-compat alias
 def param_shardings(mesh: Mesh, params):
-    return jax.tree_util.tree_map(
-        lambda s: NamedSharding(mesh, s), param_specs(params),
-        is_leaf=lambda x: isinstance(x, P),
-    )
+    return shardings_for_tree(mesh, params)
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
