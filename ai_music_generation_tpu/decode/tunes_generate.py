@@ -1,0 +1,210 @@
+"""TunesFormer two-level generation, batched and jit-compiled.
+
+The reference generates one tune at a time, one char at a time, with a
+GPU->CPU numpy round trip per character and a full re-encode of the patch
+sequence per bar (ref: tunesformer/utils.py:221-255, generate.py:134-153).
+Here:
+
+- bars for ALL tunes in the batch are generated lockstep: one jitted call
+  per bar encodes the (padded) patch sequences and scans the char decoder
+  over the 31 in-bar positions with on-device sampling;
+- the host only handles per-bar string bookkeeping (patch re-encoding,
+  control-code filtering, stop conditions) — 1-2 device calls per BAR
+  instead of per char;
+- sampling = nucleus (top-p) filter, then top-k filter, then
+  temperature-reshape, matching the reference chain
+  top_p_sampling -> top_k_sampling -> temperature_sampling
+  (ref: utils.py:246-248, `samplings` package). RNG is JAX counter-based;
+  the reference's `random.randint` reseed chain is torch/numpy-specific and
+  not reproducible bit-for-bit — this framework's seed contract is its own
+  (SURVEY.md §7 "hard parts").
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ai_music_generation_tpu.models.tunesformer import TunesFormer
+from ai_music_generation_tpu.tokenizers.patchilizer import Patchilizer
+
+Array = jax.Array
+
+
+def sample_top_p_top_k_temperature(
+    probs: Array,  # [B, V] probabilities
+    rng: Array,
+    top_p: float = 1.0,
+    top_k: int = 0,
+    temperature: float = 1.0,
+) -> Array:
+    """Chained nucleus -> top-k -> temperature sampling (ref: utils.py:246-248)."""
+    V = probs.shape[-1]
+    sorted_probs, sorted_idx = jax.lax.top_k(probs, V)  # descending
+    cum = jnp.cumsum(sorted_probs, axis=-1)
+    # nucleus: keep tokens whose preceding cumulative mass is < top_p
+    keep = (cum - sorted_probs) < top_p
+    keep = keep.at[..., 0].set(True)
+    if top_k and top_k > 0:
+        rank = jnp.arange(V)[None, :]
+        keep = keep & (rank < top_k)
+    filtered = jnp.where(keep, sorted_probs, 0.0)
+    if temperature != 1.0:
+        # temperature re-shape: p^(1/T) renormalized (samplings semantics)
+        filtered = jnp.where(filtered > 0, filtered ** (1.0 / temperature), 0.0)
+    logp = jnp.log(jnp.maximum(filtered, 1e-30))
+    logp = jnp.where(filtered > 0, logp, -jnp.inf)
+    choice = jax.random.categorical(rng, logp, axis=-1)  # index into sorted order
+    return jnp.take_along_axis(sorted_idx, choice[..., None], axis=-1)[..., 0]
+
+
+class TunesGenerator:
+    """Compiled batched bar-by-bar generator."""
+
+    def __init__(self, model: TunesFormer, top_p=0.8, top_k=8, temperature=1.2):
+        self.model = model
+        self.cfg = model.config
+        self.top_p = top_p
+        self.top_k = top_k
+        self.temperature = temperature
+        self.patchilizer = Patchilizer()
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def _bar_step(self, params, patches, n_patches, init_tokens, init_lens, rng):
+        """Generate one bar for each tune in the batch.
+
+        patches:      [B, L, S] int32 (zero-padded patch sequences)
+        n_patches:    [B] valid patch counts (>=1)
+        init_tokens:  [B, S] int32 (bos + any carried partial-bar chars)
+        init_lens:    [B] number of valid init tokens (>=1)
+        returns tokens [B, S] including init prefix and sampled chars.
+        """
+        model, S = self.model, self.cfg.patch_size
+        B = patches.shape[0]
+
+        encoded = model.apply(
+            params, patches, method=model.encode_patches
+        )  # [B, L, C]
+        last = jnp.take_along_axis(
+            encoded, (n_patches - 1)[:, None, None], axis=1
+        )[:, 0, :]  # [B, C]
+
+        def step(carry, j):
+            tokens, lens, finished = carry
+            logits = model.apply(
+                params, last, tokens, method=model.char_logits
+            )  # [B, S, 128]
+            pos = lens  # next position to fill, per tune
+            prev = jnp.clip(pos - 1, 0, S - 1)
+            step_logits = jnp.take_along_axis(
+                logits, prev[:, None, None], axis=1
+            )[:, 0, :]
+            probs = jax.nn.softmax(step_logits.astype(jnp.float32), axis=-1)
+            tok = sample_top_p_top_k_temperature(
+                probs, jax.random.fold_in(rng, j),
+                self.top_p, self.top_k, self.temperature,
+            ).astype(jnp.int32)
+            can_write = (~finished) & (pos < S)
+            write_pos = jnp.clip(pos, 0, S - 1)
+            cur = jnp.take_along_axis(tokens, write_pos[:, None], axis=1)[:, 0]
+            new_val = jnp.where(can_write, tok, cur)
+            tokens = tokens.at[jnp.arange(B), write_pos].set(new_val)
+            lens = jnp.where(can_write, lens + 1, lens)
+            finished = finished | (tok == Patchilizer.eos_token_id) | (lens >= S)
+            return (tokens, lens, finished), None
+
+        finished0 = jnp.zeros((B,), bool)
+        (tokens, lens, _), _ = jax.lax.scan(
+            step, (init_tokens, init_lens, finished0), jnp.arange(S)
+        )
+        return tokens, lens
+
+    def generate_tunes(
+        self,
+        params,
+        prompt: str,
+        num_tunes: int = 1,
+        max_patch: int = 128,
+        seed: Optional[int] = None,
+        show_control_code: bool = True,
+    ) -> list[str]:
+        """Generate ``num_tunes`` continuations of ``prompt`` in one batch.
+
+        Mirrors the reference bar loop (ref: generate.py:114-153): the prompt
+        is patch-encoded (special patches, eos dropped); leftover chars past
+        the last patch boundary seed the first bar; generation stops per tune
+        at an eos patch, an empty bar, or ``max_patch`` patches. S:/B:/E:
+        control-code bars are hidden from output unless ``show_control_code``
+        (they still condition the model).
+        """
+        p = self.patchilizer
+        S = self.cfg.patch_size
+        L = self.cfg.patch_length
+        B = num_tunes
+        base_rng = jax.random.PRNGKey(0 if seed is None else seed)
+
+        prompt_patches = p.encode(prompt, L, S, add_special_patches=True)[:-1]
+        prefix = p.decode(prompt_patches)
+        remaining = prompt[len(prefix):]
+
+        patches = np.zeros((B, L, S), np.int32)
+        patches[:, : len(prompt_patches)] = np.asarray(prompt_patches, np.int32)
+        n_patches = np.full((B,), len(prompt_patches), np.int32)
+
+        # visible text per tune (control codes filtered like ref :114-126)
+        def filter_cc(text: str) -> str:
+            if show_control_code:
+                return text
+            return "".join(
+                line for line in text.splitlines(keepends=True)
+                if line[:2] not in ("S:", "B:", "E:")
+            )
+
+        tunes = [filter_cc(prompt) for _ in range(B)]
+        done = np.zeros((B,), bool)
+        carried = [remaining for _ in range(B)]
+
+        for bar_idx in range(max_patch):
+            if done.all() or (n_patches >= max_patch).all():
+                break
+            init_tokens = np.zeros((B, S), np.int32)
+            init_lens = np.ones((B,), np.int32)
+            init_tokens[:, 0] = Patchilizer.bos_token_id
+            for b in range(B):
+                chars = [ord(c) for c in carried[b]][: S - 1]
+                init_tokens[b, 1 : 1 + len(chars)] = chars
+                init_lens[b] = 1 + len(chars)
+
+            rng = jax.random.fold_in(base_rng, bar_idx)
+            tokens, lens = self._bar_step(
+                params, jnp.asarray(patches), jnp.asarray(n_patches),
+                jnp.asarray(init_tokens), jnp.asarray(init_lens), rng,
+            )
+            tokens = np.asarray(jax.device_get(tokens))
+            lens = np.asarray(jax.device_get(lens))
+
+            for b in range(B):
+                if done[b] or n_patches[b] >= max_patch:
+                    done[b] = True
+                    continue
+                new_tokens = tokens[b, init_lens[b] : lens[b]]
+                if len(new_tokens) and new_tokens[0] == Patchilizer.eos_token_id:
+                    done[b] = True
+                    continue
+                bar = p.patch2bar(new_tokens)
+                if bar == "":
+                    done[b] = True
+                    continue
+                visible = bar if show_control_code or bar[:2] not in ("S:", "B:", "E:") else ""
+                tunes[b] += visible
+                full_bar = carried[b] + bar
+                carried[b] = ""
+                patch = p.bar2patch(full_bar, S)
+                patches[b, n_patches[b]] = patch
+                n_patches[b] += 1
+
+        return tunes

@@ -1,0 +1,204 @@
+"""TunesFormer: hierarchical dual decoder over bar patches (TPU-native Flax).
+
+Feature parity with ref: tunesformer/utils.py:84-255 —
+
+- **PatchLevelDecoder** (ref :84-106): GPT-2 stack (9 layers, 768d) over
+  patch embeddings. The reference one-hots each 32-char patch to
+  [32*128] and applies a Linear; here the algebraically-identical
+  embedding-gather-sum is used (one-hot @ W == sum of W rows at indices
+  ``char + 128*position``) — no 4096-wide one-hot matmul on the hot path.
+- **CharLevelDecoder** (ref :108-178): GPT-2 LM head (3 layers, vocab 128)
+  over chars within a bar; input embedding 0 is REPLACED by the encoded
+  patch vector; loss ignores pad positions (ref maps pad->-100).
+  The reference additionally passes an attention_mask over pad keys; pads
+  are strictly a suffix under causal masking, so masked keys are only ever
+  attended from ignored positions — the mask is a loss no-op and is omitted.
+- **TunesFormer** (ref :180-219): char decoder trains on
+  ``encoded_patches[:-1]`` conditioning vs ``patches[1:]`` targets;
+  optional weight sharing raises both stacks to max(layers)/max(context)
+  and shares the transformer core.
+
+TPU-native differences: everything is batched ([B, P, S] patch tensors with
+a valid-length mask — the reference processes one tune per forward via
+DataParallel scatter, ref train.py:35-36); generation runs as a jitted
+per-bar step + 31-step char scan with on-device top-p/top-k/temperature
+sampling (see decode/tunes_generate.py) instead of per-char GPU->CPU numpy
+round trips (ref utils.py:245-248).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ai_music_generation_tpu.models.gpt import (
+    Block,
+    GPTConfig,
+    KVCache,
+    cross_entropy_ignore_index,
+)
+
+Array = jax.Array
+
+CHAR_VOCAB = 128  # ASCII (ref: tunesformer/generate.py:52 vocab_size=128)
+
+
+@dataclasses.dataclass(frozen=True)
+class TunesFormerConfig:
+    """Defaults = ref tunesformer/config.py:1-5 + HF GPT2Config defaults."""
+
+    patch_length: int = 128
+    patch_size: int = 32
+    patch_layers: int = 9
+    char_layers: int = 3
+    n_embd: int = 768
+    n_head: int = 12
+    dropout: float = 0.1  # HF GPT2 default resid/embd/attn pdrop
+    share_weights: bool = False
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    def patch_core_config(self) -> GPTConfig:
+        layers = max(self.patch_layers, self.char_layers) if self.share_weights else self.patch_layers
+        block = max(self.patch_length, self.patch_size) if self.share_weights else self.patch_length
+        return GPTConfig(
+            block_size=block, vocab_size=1, n_layer=layers, n_head=self.n_head,
+            n_embd=self.n_embd, dropout=self.dropout, bias=True,
+            dtype=self.dtype, param_dtype=self.param_dtype,
+        )
+
+    def char_core_config(self) -> GPTConfig:
+        layers = max(self.patch_layers, self.char_layers) if self.share_weights else self.char_layers
+        block = max(self.patch_length, self.patch_size) if self.share_weights else self.patch_size
+        return GPTConfig(
+            block_size=block, vocab_size=CHAR_VOCAB, n_layer=layers,
+            n_head=self.n_head, n_embd=self.n_embd, dropout=self.dropout,
+            bias=True, dtype=self.dtype, param_dtype=self.param_dtype,
+        )
+
+
+class TransformerCore(nn.Module):
+    """GPT-2 stack over pre-computed input embeddings (wpe + blocks + ln_f)."""
+
+    config: GPTConfig
+
+    @nn.compact
+    def __call__(self, embeds: Array, deterministic: bool = True,
+                 cache: Optional[KVCache] = None):
+        cfg = self.config
+        B, T, C = embeds.shape
+        pos = (cache.length + jnp.arange(T)) if cache is not None else jnp.arange(T)
+        wpe = nn.Embed(
+            cfg.block_size, cfg.n_embd, dtype=cfg.dtype,
+            param_dtype=cfg.param_dtype,
+            embedding_init=nn.initializers.normal(0.02), name="wpe",
+        )
+        x = embeds.astype(cfg.dtype) + wpe(pos)[None, :, :]
+        x = nn.Dropout(cfg.dropout)(x, deterministic=deterministic)
+        new_k, new_v = [], []
+        for i in range(cfg.n_layer):
+            layer_cache = None if cache is None else (cache.k[i], cache.v[i])
+            cache_len = None if cache is None else cache.length
+            x, lc = Block(cfg, i, name=f"h_{i}")(x, deterministic, layer_cache, cache_len)
+            if lc is not None:
+                new_k.append(lc[0])
+                new_v.append(lc[1])
+        x = nn.LayerNorm(
+            use_bias=cfg.bias, dtype=cfg.dtype, param_dtype=cfg.param_dtype,
+            epsilon=1e-5, name="ln_f",
+        )(x)
+        new_cache = None
+        if cache is not None:
+            new_cache = KVCache(tuple(new_k), tuple(new_v), cache.length + T)
+        return x, new_cache
+
+
+class PatchEmbedding(nn.Module):
+    """one-hot(128) -> flatten -> Linear, as an embedding gather-sum
+    (ref: tunesformer/utils.py:96-101)."""
+
+    config: TunesFormerConfig
+
+    @nn.compact
+    def __call__(self, patches: Array) -> Array:  # [B, P, S] int32
+        cfg = self.config
+        table = self.param(
+            "kernel", nn.initializers.normal(0.02),
+            (cfg.patch_size * CHAR_VOCAB, cfg.n_embd), cfg.param_dtype,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (cfg.n_embd,), cfg.param_dtype)
+        flat_idx = patches + jnp.arange(cfg.patch_size)[None, None, :] * CHAR_VOCAB
+        emb = jnp.take(table.astype(cfg.dtype), flat_idx, axis=0).sum(axis=2)
+        return emb + bias.astype(cfg.dtype)
+
+
+class TunesFormer(nn.Module):
+    """Dual decoder; ``__call__`` computes the training loss over a batch."""
+
+    config: TunesFormerConfig
+
+    def setup(self):
+        cfg = self.config
+        self.patch_embedding = PatchEmbedding(cfg, name="patch_embedding")
+        self.char_wte = nn.Embed(
+            CHAR_VOCAB, cfg.n_embd, dtype=cfg.dtype, param_dtype=cfg.param_dtype,
+            embedding_init=nn.initializers.normal(0.02), name="char_wte",
+        )
+        if cfg.share_weights:
+            core = TransformerCore(cfg.patch_core_config(), name="core")
+            self.patch_core = core
+            self.char_core = core
+        else:
+            self.patch_core = TransformerCore(cfg.patch_core_config(), name="patch_core")
+            self.char_core = TransformerCore(cfg.char_core_config(), name="char_core")
+
+    def encode_patches(self, patches: Array, deterministic: bool = True) -> Array:
+        """[B, P, S] int32 -> [B, P, n_embd] encoded patch states."""
+        emb = self.patch_embedding(patches)
+        hidden, _ = self.patch_core(emb, deterministic)
+        return hidden
+
+    def char_logits(
+        self, encoded_patch: Array, tokens: Array, deterministic: bool = True
+    ) -> Array:
+        """Char-decoder logits.
+
+        encoded_patch: [N, n_embd]; tokens: [N, S] int32.
+        Position 0's embedding is the encoded patch (ref: utils.py:146-149).
+        Returns [N, S, 128] logits (weight-tied head, like GPT2LMHeadModel).
+        """
+        tok_emb = self.char_wte(tokens)
+        embeds = jnp.concatenate(
+            [encoded_patch[:, None, :].astype(tok_emb.dtype), tok_emb[:, 1:, :]], axis=1
+        )
+        hidden, _ = self.char_core(embeds, deterministic)
+        return self.char_wte.attend(hidden)
+
+    def __call__(
+        self,
+        patches: Array,  # [B, P, S] int32, zero-padded rows beyond n_patches
+        deterministic: bool = True,
+    ) -> Array:
+        """Mean char cross-entropy (ref composition: utils.py:209-219).
+
+        Conditioning: encoded patch p predicts the chars of patch p+1.
+        Fully-padded rows contribute nothing (pad labels are ignored).
+        """
+        cfg = self.config
+        B, P, S = patches.shape
+        encoded = self.encode_patches(patches, deterministic)  # [B, P, C]
+        cond = encoded[:, :-1, :].reshape(B * (P - 1), cfg.n_embd)
+        target = patches[:, 1:, :].reshape(B * (P - 1), S)
+        logits = self.char_logits(cond, target, deterministic)  # [N, S, 128]
+        labels = jnp.where(target == 0, -1, target)
+        # HF-style shift: logits[:, :-1] predict labels[:, 1:]
+        return cross_entropy_ignore_index(logits[:, :-1, :], labels[:, 1:])
+
+
+def num_params(params) -> int:
+    return sum(x.size for x in jax.tree_util.tree_leaves(params))

@@ -1,0 +1,166 @@
+"""TunesFormer stack tests: Patchilizer semantics, model loss, batched generation."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ai_music_generation_tpu.decode.tunes_generate import (
+    TunesGenerator,
+    sample_top_p_top_k_temperature,
+)
+from ai_music_generation_tpu.models.tunesformer import TunesFormer, TunesFormerConfig
+from ai_music_generation_tpu.tokenizers.patchilizer import PATCH_SIZE, Patchilizer
+
+TINY_CFG = TunesFormerConfig(
+    patch_length=16, patch_size=16, patch_layers=2, char_layers=2,
+    n_embd=32, n_head=2, dropout=0.0, dtype=jnp.float32,
+)
+
+ABC = "S:1\nB:2\nL:1/8\nM:4/4\nK:C\nCDEF GABc|cBAG FEDC|"
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    model = TunesFormer(TINY_CFG)
+    dummy = jnp.zeros((1, 16, 16), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), dummy)
+    return model, params
+
+
+# ---- Patchilizer semantics (ref: tunesformer/utils.py:9-82) -----------------
+
+def test_split_bars_keeps_delimiters():
+    p = Patchilizer()
+    assert p.split_bars("abc|def||gh:|") == ["abc|", "def||", "gh:|"]
+    # leading delimiter merges into the following bar
+    assert p.split_bars("|:abc|def|") == ["|:abc|", "def|"]
+    # trailing un-delimited fragment is dropped (faithful to reference)
+    assert p.split_bars("abc|tail") == ["abc|"]
+
+
+def test_bar2patch_roundtrip():
+    p = Patchilizer()
+    patch = p.bar2patch("CDEF|")
+    assert patch[0] == 1 and patch[6] == 2  # bos ... eos
+    assert len(patch) == PATCH_SIZE
+    assert patch[7:] == [0] * (PATCH_SIZE - 7)
+    assert p.patch2bar(patch) == "CDEF|"
+    # truncation at patch_size
+    long_bar = "x" * 100
+    patch = p.bar2patch(long_bar)
+    assert len(patch) == PATCH_SIZE
+    assert p.patch2bar(patch) == "x" * (PATCH_SIZE - 1)  # bos + 31 chars
+
+
+def test_encode_headers_and_body():
+    p = Patchilizer()
+    patches = p.encode(ABC)
+    texts = [p.patch2bar(x) for x in patches]
+    # headers are standalone patches with newline
+    assert texts[0] == "S:1\n"
+    assert texts[4] == "K:C\n"
+    assert texts[5] == "CDEF GABc|"
+    assert texts[6] == "cBAG FEDC|"
+    # decode round-trips the patch view
+    assert p.decode(patches) == "S:1\nB:2\nL:1/8\nM:4/4\nK:C\nCDEF GABc|cBAG FEDC|"
+
+
+def test_encode_special_patches_and_truncation():
+    p = Patchilizer()
+    patches = p.encode(ABC, add_special_patches=True)
+    assert patches[0] == [1] * (PATCH_SIZE - 1) + [2]
+    assert patches[-1] == [1] + [2] * (PATCH_SIZE - 1)
+    assert len(p.encode(ABC, patch_length=3)) == 3
+
+
+def test_encode_array_shape():
+    p = Patchilizer()
+    arr, n = p.encode_array(ABC, patch_length=32)
+    assert arr.shape == (32, PATCH_SIZE)
+    assert n == 7
+    assert (arr[n:] == 0).all()
+
+
+# ---- sampling chain ---------------------------------------------------------
+
+def test_sampling_chain_filters():
+    probs = jnp.array([[0.5, 0.3, 0.15, 0.05]])
+    # top_p=0.5 keeps only token 0
+    for s in range(10):
+        tok = sample_top_p_top_k_temperature(
+            probs, jax.random.PRNGKey(s), top_p=0.5, top_k=0, temperature=1.0)
+        assert int(tok[0]) == 0
+    # top_k=2 restricts to {0,1}
+    seen = {
+        int(sample_top_p_top_k_temperature(
+            probs, jax.random.PRNGKey(s), top_p=1.0, top_k=2, temperature=1.0)[0])
+        for s in range(30)
+    }
+    assert seen <= {0, 1}
+
+
+# ---- model ------------------------------------------------------------------
+
+def test_tunesformer_loss_finite(tiny_model):
+    model, params = tiny_model
+    p = Patchilizer()
+    arr, n = p.encode_array("K:C\nCDE|FGA|", patch_length=16, patch_size=16,
+                            add_special_patches=True)
+    batch = jnp.asarray(arr[None], jnp.int32)
+    loss = model.apply(params, batch)
+    assert jnp.isfinite(loss)
+    assert float(loss) > 0
+
+
+def test_padding_patches_do_not_change_loss(tiny_model):
+    """Extra all-zero patch rows beyond the valid region must not alter loss."""
+    model, params = tiny_model
+    p = Patchilizer()
+    arr, n = p.encode_array("K:C\nCDE|FGA|", patch_length=16, patch_size=16,
+                            add_special_patches=True)
+    l1 = model.apply(params, jnp.asarray(arr[None], jnp.int32))
+    # same content, same (static) padded shape: zero rows are ignored by loss
+    arr2 = np.array(arr)
+    l2 = model.apply(params, jnp.asarray(arr2[None], jnp.int32))
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+
+
+def test_share_weights_param_count():
+    cfg = TunesFormerConfig(
+        patch_length=16, patch_size=16, patch_layers=3, char_layers=2,
+        n_embd=32, n_head=2, dropout=0.0, dtype=jnp.float32, share_weights=True,
+    )
+    model = TunesFormer(cfg)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16), jnp.int32))
+    names = set(params["params"].keys())
+    assert "core" in names
+    assert "patch_core" not in names and "char_core" not in names
+
+
+# ---- generation -------------------------------------------------------------
+
+def test_generate_tunes_batched(tiny_model):
+    model, params = tiny_model
+    gen = TunesGenerator(model, top_p=0.9, top_k=8, temperature=1.0)
+    prompt = "S:1\nL:1/8\nK:C\n CD"
+    tunes = gen.generate_tunes(params, prompt, num_tunes=2, max_patch=8, seed=42)
+    assert len(tunes) == 2
+    for t in tunes:
+        assert t.startswith("S:1\nL:1/8\nK:C\n CD")
+    # determinism: same seed -> same tunes
+    tunes2 = gen.generate_tunes(params, prompt, num_tunes=2, max_patch=8, seed=42)
+    assert tunes == tunes2
+
+
+def test_generate_hides_control_codes(tiny_model):
+    model, params = tiny_model
+    gen = TunesGenerator(model, top_p=0.9, top_k=8, temperature=1.0)
+    prompt = "S:1\nB:2\nE:4\nK:C\n CD"
+    tunes = gen.generate_tunes(params, prompt, num_tunes=1, max_patch=6, seed=1,
+                               show_control_code=False)
+    assert "S:" not in tunes[0] and "B:" not in tunes[0] and "E:" not in tunes[0]
+    assert "K:C" in tunes[0]

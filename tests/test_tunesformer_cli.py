@@ -1,0 +1,56 @@
+"""TunesFormer CLI end-to-end: train on a tiny data.json, then generate."""
+
+import argparse
+import json
+import os
+
+import pytest
+
+from ai_music_generation_tpu.cli.tunesformer_train import main as train_main
+
+
+@pytest.fixture(scope="module")
+def tiny_data(tmp_path_factory):
+    root = tmp_path_factory.mktemp("tf")
+    items = []
+    for i in range(24):
+        items.append({
+            "control code": "S:1\nB:2\nE:8\n",
+            "abc notation": f"X:{i}\nL:1/8\nM:4/4\nK:C\nCDEF GABc|cBAG FEDC|",
+        })
+    path = str(root / "data.json")
+    with open(path, "w") as f:
+        json.dump(items, f)
+    return str(root), path
+
+
+def test_train_and_generate(tiny_data, tmp_path):
+    root, data_path = tiny_data
+    out = str(tmp_path / "tf_out")
+    loss = train_main([
+        f"--data_path={data_path}", f"--out_dir={out}",
+        "--num_epochs=2", "--batch_size=4", "--patch_length=16",
+        "--patch_size=16", "--patch_layers=2", "--char_layers=2",
+        "--n_embd=32", "--n_head=2", "--dtype=float32",
+    ])
+    assert loss < 100
+    assert os.path.exists(os.path.join(out, "weights", "meta.json"))
+    assert os.path.exists(os.path.join(out, "logs.txt"))
+    logs = open(os.path.join(out, "logs.txt")).read()
+    assert "Epoch 1" in logs and "eval_loss" in logs
+
+    # generate with the trained weights
+    from ai_music_generation_tpu.cli.tunesformer_generate import generate_abc
+
+    prompt_path = str(tmp_path / "prompt.txt")
+    with open(prompt_path, "w") as f:
+        f.write("S:1\nL:1/8\nM:4/4\nK:C\n CD")
+    args = argparse.Namespace(
+        num_tunes=2, max_patch=8, top_p=0.9, top_k=8, temperature=1.0,
+        seed=3, show_control_code=True, weights=out, prompt=prompt_path,
+        output_dir=str(tmp_path / "output_tunes"),
+    )
+    out_path = generate_abc(args)
+    text = open(out_path).read()
+    assert "X:1\n" in text and "X:2\n" in text
+    assert "K:C" in text
