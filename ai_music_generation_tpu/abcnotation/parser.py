@@ -1,0 +1,491 @@
+"""ABC notation parser and note-event compiler.
+
+Replaces the external ``abc2midi`` C binary the reference shells out to
+(ref: scripts/common/abc_to_midi_wav_and_aesthetics.py:118,
+scripts/irishman_sripts/irishman_dataset_to_midi.py:55) with an in-repo
+compiler targeting the ABC subset exercised by the IrishMAN corpus and the
+random-note baseline generators (scripts/random_notes/*):
+
+headers (X T M L K Q R etc.), notes with accidentals/octave marks/duration
+fractions, rests (z Z x), bars and repeats (|: :| :: |] [1 [2), ties, chords
+``[CEG]``, tuplets ``(3`` / ``(p:q:r``, broken rhythm ``> <``, inline fields
+``[M:6/8]``, multi-voice ``V:``, key modes (maj/min/mix/dor/phr/lyd/loc) with
+per-measure accidental propagation, default-note-length-from-meter rule.
+
+Deliberately skipped (no melodic effect; noted for parity review): chord
+symbols ``"G"`` (abc2midi's gchord accompaniment), grace notes ``{...}``,
+decorations, slurs, lyrics.
+
+Output: per-voice note events in quarter-length ``Fraction`` time, plus
+tempo/meter/key metadata — directly convertible to MIDI (``to_midi``) or to
+the synth event tensors.
+
+A C++ implementation of the same grammar lives in ``native/abc_compiler.cpp``
+(differentially tested against this module); this Python version is the
+semantic reference and fallback.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import re
+from fractions import Fraction
+from typing import Optional
+
+QL = Fraction
+
+# circle of fifths: number of sharps for major keys
+_MAJOR_SHARPS = {
+    "C": 0, "G": 1, "D": 2, "A": 3, "E": 4, "B": 5, "F#": 6, "C#": 7,
+    "F": -1, "Bb": -2, "Eb": -3, "Ab": -4, "Db": -5, "Gb": -6, "Cb": -7,
+}
+# mode offsets in fifths relative to major (ionian)
+_MODE_OFFSET = {
+    "": 0, "maj": 0, "major": 0, "ion": 0, "ionian": 0,
+    "min": -3, "minor": -3, "m": -3, "aeo": -3, "aeolian": -3,
+    "mix": -1, "mixolydian": -1,
+    "dor": -2, "dorian": -2,
+    "phr": -4, "phrygian": -4,
+    "lyd": 1, "lydian": 1,
+    "loc": -5, "locrian": -5,
+}
+_SHARP_ORDER = ["F", "C", "G", "D", "A", "E", "B"]
+_LETTER_SEMITONE = {"C": 0, "D": 2, "E": 4, "F": 5, "G": 7, "A": 9, "B": 11}
+
+
+def key_signature_sharps(key: str) -> int:
+    """Sharps count for an ABC K: field value (tonic + optional mode)."""
+    key = key.strip()
+    if not key or key.lower() == "none":
+        return 0
+    m = re.match(r"^([A-Ga-g])([#b]?)\s*([A-Za-z]*)", key)
+    if not m:
+        return 0
+    tonic = m.group(1).upper() + m.group(2)
+    mode_raw = m.group(3).lower()
+    mode = ""
+    for known in sorted((k for k in _MODE_OFFSET if k), key=len, reverse=True):
+        if mode_raw.startswith(known):
+            mode = known
+            break
+    base = _MAJOR_SHARPS.get(tonic)
+    if base is None:
+        return 0
+    return base + _MODE_OFFSET[mode] if mode else base
+
+
+def sharps_to_accidentals(sharps: int) -> dict[str, int]:
+    """{'F': +1, ...} letter -> semitone alteration for a key signature."""
+    acc: dict[str, int] = {}
+    if sharps > 0:
+        for letter in _SHARP_ORDER[:sharps]:
+            acc[letter] = 1
+    elif sharps < 0:
+        for letter in reversed(_SHARP_ORDER[len(_SHARP_ORDER) + sharps:]):
+            acc[letter] = -1
+    return acc
+
+
+@dataclasses.dataclass
+class AbcNote:
+    pitch: int  # MIDI number; -1 for rest
+    start: QL  # quarter lengths from tune start
+    duration: QL
+    voice: int = 0
+
+    @property
+    def is_rest(self) -> bool:
+        return self.pitch < 0
+
+
+@dataclasses.dataclass
+class AbcTune:
+    reference: str = ""  # X: field
+    title: str = ""
+    meter: tuple[int, int] = (4, 4)
+    unit_length: QL = Fraction(1, 8)  # L: as fraction of whole note
+    tempo_bpm: float = 120.0  # quarter-note bpm
+    key: str = "C"
+    sharps: int = 0
+    notes: list[AbcNote] = dataclasses.field(default_factory=list)
+    n_voices: int = 1
+
+    def duration(self) -> QL:
+        if not self.notes:
+            return Fraction(0)
+        return max(n.start + n.duration for n in self.notes)
+
+
+_NOTE_RE = re.compile(
+    r"(?P<acc>\^{1,2}|_{1,2}|=)?"
+    r"(?P<letter>[A-Ga-g])"
+    r"(?P<oct>[,']*)"
+    r"(?P<len>\d+/\d+|/\d+|\d+|/+)?"
+)
+_REST_RE = re.compile(r"(?P<kind>[zZxX])(?P<len>\d+/\d+|/\d+|\d+|/+)?")
+_TUPLET_RE = re.compile(r"\((?P<p>[2-9])(?::(?P<q>\d*))?(?::(?P<r>\d*))?")
+_INLINE_FIELD_RE = re.compile(r"\[(?P<tag>[A-Za-z]):(?P<val>[^\]]*)\]")
+_VOLTA_RE = re.compile(r"\[(?P<num>[0-9])")
+
+
+def _parse_len(token: Optional[str]) -> Fraction:
+    if not token:
+        return Fraction(1)
+    if set(token) == {"/"}:
+        return Fraction(1, 2 ** len(token))
+    if token.startswith("/"):
+        return Fraction(1, int(token[1:]))
+    if "/" in token:
+        num, den = token.split("/")
+        return Fraction(int(num), int(den))
+    return Fraction(int(token))
+
+
+def _parse_meter(value: str) -> tuple[int, int]:
+    value = value.strip()
+    if value == "C":
+        return (4, 4)
+    if value == "C|":
+        return (2, 2)
+    m = re.match(r"(\d+)(?:\+\d+)*/(\d+)", value)
+    if m:
+        nums = re.match(r"([\d+]+)/", value).group(1)
+        total = sum(int(x) for x in nums.split("+"))
+        return (total, int(m.group(2)))
+    return (4, 4)
+
+
+def _parse_tempo(value: str) -> Optional[float]:
+    value = value.strip()
+    m = re.match(r"(\d+)/(\d+)\s*=\s*(\d+)", value)
+    if m:
+        beat = Fraction(int(m.group(1)), int(m.group(2)))  # fraction of whole
+        bpm = int(m.group(3))
+        return bpm * float(beat * 4)  # convert to quarter bpm
+    m = re.match(r"^(\d+)$", value)
+    if m:
+        return float(m.group(1))
+    return None
+
+
+class _VoiceState:
+    def __init__(self) -> None:
+        self.time = Fraction(0)
+        self.measure_accidentals: dict[tuple[str, int], int] = {}
+        self.pending_broken: Optional[str] = None  # '>' or '<' chains
+        self.broken_count = 0
+        self.tuplet_remaining = 0
+        self.tuplet_factor = Fraction(1)
+        self.tie_pending: Optional[AbcNote] = None
+        # repeat handling
+        self.repeat_start_time: Fraction = Fraction(0)
+        self.repeat_start_idx: int = 0
+        self.in_second_ending = False
+        self.first_ending_start: Optional[int] = None
+        self.first_ending_time: Optional[Fraction] = None
+
+
+class AbcParser:
+    """Parse one ABC tune into an :class:`AbcTune` with expanded repeats."""
+
+    def parse(self, abc_text: str) -> AbcTune:
+        tune = AbcTune()
+        lines = abc_text.split("\n")
+        body_lines: list[str] = []
+        in_body = False
+        explicit_L = False
+        for raw in lines:
+            line = raw.split("%")[0].rstrip() if not raw.startswith("%%") else ""
+            if not line:
+                continue
+            header = re.match(r"^([A-Za-z]):(.*)$", line)
+            if not in_body and header and header.group(1) in "ABCDEFGHIJKLMNOPQRSTUVWXYZ":
+                tag, val = header.group(1), header.group(2).strip()
+                if tag == "X":
+                    tune.reference = val
+                elif tag == "T" and not tune.title:
+                    tune.title = val
+                elif tag == "M":
+                    tune.meter = _parse_meter(val)
+                elif tag == "L":
+                    try:
+                        num, den = val.split("/")
+                        tune.unit_length = Fraction(int(num), int(den))
+                        explicit_L = True
+                    except ValueError:
+                        pass
+                elif tag == "Q":
+                    bpm = _parse_tempo(val)
+                    if bpm:
+                        tune.tempo_bpm = bpm
+                elif tag == "K":
+                    tune.key = val
+                    tune.sharps = key_signature_sharps(val)
+                    in_body = True  # K: ends the header
+                continue
+            if in_body:
+                if header and header.group(1) in "wW":
+                    continue  # lyrics
+                body_lines.append(line)
+            elif header is None:
+                # body before K:? treat as body with default key
+                in_body = True
+                body_lines.append(line)
+
+        if not explicit_L:
+            # default L from meter: < 0.75 -> 1/16, else 1/8 (ABC standard)
+            num, den = tune.meter
+            if Fraction(num, den) < Fraction(3, 4):
+                tune.unit_length = Fraction(1, 16)
+
+        self._parse_body(tune, "\n".join(body_lines))
+        return tune
+
+    # ------------------------------------------------------------------
+
+    def _parse_body(self, tune: AbcTune, body: str) -> None:
+        unit_ql = tune.unit_length * 4  # quarters per unit note
+        key_acc = sharps_to_accidentals(tune.sharps)
+        voices: dict[str, _VoiceState] = {}
+        voice_ids: list[str] = []
+        cur_voice_id = "1"
+
+        def voice(vid: str) -> _VoiceState:
+            if vid not in voices:
+                voices[vid] = _VoiceState()
+                voice_ids.append(vid)
+            return voices[vid]
+
+        st = voice(cur_voice_id)
+        i = 0
+        text = body
+        n = len(text)
+
+        def emit(pitch: int, dur: QL, st: _VoiceState, vidx: int) -> None:
+            dur = dur
+            if st.tuplet_remaining > 0:
+                dur = dur * st.tuplet_factor
+                st.tuplet_remaining -= 1
+            # broken rhythm
+            if st.pending_broken:
+                k = st.broken_count
+                factor_long = Fraction(2 ** (k + 1) - 1, 2 ** k)
+                factor_short = Fraction(1, 2 ** k)
+                if st.pending_broken == ">":
+                    # previous long, this short
+                    prev = tune.notes[-1] if tune.notes else None
+                    if prev is not None:
+                        delta = prev.duration * (factor_long - 1)
+                        prev.duration = prev.duration * factor_long
+                        st.time += delta
+                    dur = dur * factor_short
+                else:  # '<'
+                    prev = tune.notes[-1] if tune.notes else None
+                    if prev is not None:
+                        delta = prev.duration * (factor_short - 1)
+                        prev.duration = prev.duration * factor_short
+                        st.time += delta
+                    dur = dur * factor_long
+                st.pending_broken = None
+                st.broken_count = 0
+            note = AbcNote(pitch, st.time, dur, vidx)
+            if pitch >= 0 and st.tie_pending is not None and st.tie_pending.pitch == pitch:
+                st.tie_pending.duration += dur
+                st.tie_pending = None
+            else:
+                tune.notes.append(note)
+            st.time += dur
+
+        while i < n:
+            ch = text[i]
+            vidx = voice_ids.index(cur_voice_id)
+
+            if ch in " \t\n\\":
+                i += 1
+                continue
+            if ch == '"':  # chord symbol: skip to closing quote
+                j = text.find('"', i + 1)
+                i = (j + 1) if j != -1 else n
+                continue
+            if ch == "{":  # grace notes: skip
+                j = text.find("}", i + 1)
+                i = (j + 1) if j != -1 else n
+                continue
+            if ch == "!":  # decoration
+                j = text.find("!", i + 1)
+                i = (j + 1) if j != -1 else i + 1
+                continue
+            if ch in "~.HLMNOPRSTuv":  # single-char decorations
+                i += 1
+                continue
+            if ch == "V" and i + 1 < n and text[i + 1] == ":":
+                m = re.match(r"V:\s*(\S+)", text[i:])
+                cur_voice_id = m.group(1)
+                st = voice(cur_voice_id)
+                i += m.end()
+                continue
+            # inline fields [M:...] [K:...] [L:...]
+            m = _INLINE_FIELD_RE.match(text, i)
+            if m and m.group("tag") in "MLKQV" and len(m.group("tag")) == 1:
+                tag, val = m.group("tag"), m.group("val")
+                if tag == "V":
+                    cur_voice_id = val.strip()
+                    st = voice(cur_voice_id)
+                    i = m.end()
+                    continue
+                if tag == "M":
+                    tune.meter = _parse_meter(val)
+                elif tag == "L":
+                    try:
+                        a, b = val.split("/")
+                        tune.unit_length = Fraction(int(a), int(b))
+                        unit_ql = tune.unit_length * 4
+                    except ValueError:
+                        pass
+                elif tag == "K":
+                    tune.key = val.strip()
+                    tune.sharps = key_signature_sharps(val)
+                    key_acc = sharps_to_accidentals(tune.sharps)
+                elif tag == "Q":
+                    bpm = _parse_tempo(val)
+                    if bpm:
+                        tune.tempo_bpm = bpm
+                i = m.end()
+                continue
+            # volta [1 / [2
+            m = _VOLTA_RE.match(text, i)
+            if m:
+                num = int(m.group("num"))
+                if num == 1:
+                    st.first_ending_start = len(tune.notes)
+                    st.first_ending_time = st.time
+                i = m.end()
+                continue
+            # bars and repeats
+            if ch == "|" or ch == ":" or ch == "[":
+                m = re.match(r"(\|\]|\|\||::|\|:|:\|\]?|\[\||\|)", text[i:])
+                if m:
+                    bar = m.group(1)
+                    st.measure_accidentals.clear()
+                    if bar in ("|:", "[|:"):
+                        st.repeat_start_idx = len(tune.notes)
+                        st.repeat_start_time = st.time
+                    elif bar.startswith(":|") or bar == "::":
+                        self._expand_repeat(tune, st, vidx)
+                        if bar == "::":
+                            st.repeat_start_idx = len(tune.notes)
+                            st.repeat_start_time = st.time
+                    i += m.end()
+                    continue
+            # tuplet
+            m = _TUPLET_RE.match(text, i)
+            if m:
+                p = int(m.group("p"))
+                q = m.group("q")
+                r = m.group("r")
+                default_q = {2: 3, 3: 2, 4: 3, 6: 2, 8: 3}.get(p, 2)
+                qv = int(q) if q else default_q
+                rv = int(r) if r else p
+                st.tuplet_remaining = rv
+                st.tuplet_factor = Fraction(qv, p)
+                i = m.end()
+                continue
+            if ch == "(" or ch == ")":
+                i += 1  # slur
+                continue
+            if ch in "><":
+                run = re.match(r"([><])\1*", text[i:]).group(0)
+                st.pending_broken = run[0]
+                st.broken_count = len(run)  # '>'=3/2+1/2, '>>'=7/4+1/4, ...
+                i += len(run)
+                continue
+            if ch == "-":
+                if tune.notes:
+                    st.tie_pending = tune.notes[-1]
+                i += 1
+                continue
+            # chord [CEG]
+            if ch == "[":
+                j = text.find("]", i + 1)
+                if j != -1 and not re.match(r"\[[A-Za-z]:", text[i:]):
+                    inner = text[i + 1 : j]
+                    # optional length after ]
+                    lm = re.match(r"(\d+/\d+|/\d+|\d+|/+)?", text[j + 1 :])
+                    outer_len = _parse_len(lm.group(0) or None)
+                    start = st.time
+                    max_d = Fraction(0)
+                    for nm in _NOTE_RE.finditer(inner):
+                        pitch = self._note_pitch(nm, key_acc, st)
+                        d = _parse_len(nm.group("len")) * unit_ql * outer_len
+                        tune.notes.append(AbcNote(pitch, start, d, vidx))
+                        max_d = max(max_d, d)
+                    st.time = start + max_d
+                    i = j + 1 + (lm.end() if lm else 0)
+                    continue
+                i += 1
+                continue
+            # rest
+            m = _REST_RE.match(text, i)
+            if m:
+                if m.group("kind") in "ZX":
+                    bars = int(m.group("len") or 1)
+                    bar_ql = Fraction(4 * tune.meter[0], tune.meter[1])
+                    emit(-1, bar_ql * bars, st, vidx)
+                else:
+                    emit(-1, _parse_len(m.group("len")) * unit_ql, st, vidx)
+                i = m.end()
+                continue
+            # note
+            m = _NOTE_RE.match(text, i)
+            if m and m.group("letter"):
+                pitch = self._note_pitch(m, key_acc, st)
+                dur = _parse_len(m.group("len")) * unit_ql
+                emit(pitch, dur, st, vidx)
+                i = m.end()
+                continue
+            i += 1  # unknown char: skip
+
+        tune.n_voices = max(1, len(voice_ids))
+        tune.notes.sort(key=lambda x: (x.voice, x.start, x.pitch))
+
+    def _expand_repeat(self, tune: AbcTune, st: _VoiceState, vidx: int) -> None:
+        """Duplicate the notes of the current repeat section (abc2midi expands
+        repeats into the MIDI event stream). Handles a [1/[2 first ending by
+        repeating only up to the first-ending start."""
+        end_idx = len(tune.notes)
+        if st.first_ending_start is not None:
+            section = [x for x in tune.notes[st.repeat_start_idx : st.first_ending_start]
+                       if x.voice == vidx]
+            ending_len = st.time - (st.first_ending_time or st.time)
+        else:
+            section = [x for x in tune.notes[st.repeat_start_idx : end_idx] if x.voice == vidx]
+            ending_len = Fraction(0)
+        shift = st.time - st.repeat_start_time
+        base = st.time
+        for x in section:
+            tune.notes.append(
+                AbcNote(x.pitch, x.start + shift, x.duration, x.voice)
+            )
+        section_len = sum((x.duration for x in section), Fraction(0))
+        st.time = base + section_len
+        st.repeat_start_idx = len(tune.notes)
+        st.repeat_start_time = st.time
+        st.first_ending_start = None
+        st.first_ending_time = None
+
+    def _note_pitch(self, m: re.Match, key_acc: dict[str, int], st: _VoiceState) -> int:
+        letter = m.group("letter")
+        upper = letter.upper()
+        octave = 5 if letter.islower() else 4  # C=60 (octave 4), c=72
+        for o in m.group("oct"):
+            octave += 1 if o == "'" else -1
+        acc_token = m.group("acc")
+        key = (upper, octave)
+        if acc_token:
+            alter = {"^": 1, "^^": 2, "_": -1, "__": -2, "=": 0}[acc_token]
+            st.measure_accidentals[key] = alter
+        if key in st.measure_accidentals:
+            alter = st.measure_accidentals[key]
+        else:
+            alter = key_acc.get(upper, 0)
+        return 12 * (octave + 1) + _LETTER_SEMITONE[upper] + alter

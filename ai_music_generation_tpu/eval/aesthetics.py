@@ -1,0 +1,143 @@
+"""Audio aesthetics scoring: audio-aes bridge + built-in proxy.
+
+The reference scores WAVs with Meta's Audiobox-aesthetics CLI
+(``audio-aes``, CE/CU/PC/PQ axes; ref:
+scripts/common/abc_to_midi_wav_and_aesthetics.py:323-355). That model
+requires network-downloaded weights; this module:
+
+1. shells out to ``audio-aes`` with the reference's exact invocation when
+   the binary is on PATH (score parity with the reference);
+2. otherwise falls back to a **documented proxy scorer** producing the same
+   JSONL schema from interpretable DSP statistics — useful for relative
+   comparisons and pipeline testing, NOT calibrated to Audiobox absolute
+   scores (each record carries ``"proxy": true``).
+
+Proxy axes:
+- PQ (production quality): bandwidth occupancy + absence of clipping;
+- PC (production complexity): spectral-flux variability;
+- CE (content enjoyment): harmonicity (tonal peak energy vs noise floor);
+- CU (content usefulness): blend of PQ and CE with duration adequacy.
+
+Aggregation (mean/SE/MoE/95% CI via NormalDist) matches ref :327-355.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+from statistics import NormalDist
+from typing import Optional
+
+import numpy as np
+
+AXES = ("CE", "CU", "PC", "PQ")
+
+
+def proxy_score_wave(wave: np.ndarray, sample_rate: int = 16_000) -> dict[str, float]:
+    """DSP-statistics proxy for the four Audiobox axes, each mapped to ~[1, 10]."""
+    wave = np.asarray(wave, np.float32)
+    if wave.size < sample_rate // 4 or np.max(np.abs(wave)) < 1e-5:
+        return {a: 1.0 for a in AXES}
+    # frame-wise spectra
+    frame = 1024
+    hop = 512
+    n_frames = max(1, (len(wave) - frame) // hop)
+    frames = np.stack([wave[i * hop : i * hop + frame] for i in range(n_frames)])
+    frames = frames * np.hanning(frame)
+    spec = np.abs(np.fft.rfft(frames, axis=1))  # [F, bins]
+    power = spec ** 2
+    total = power.sum() + 1e-12
+
+    # PQ: spectral rolloff (bandwidth use) and clipping penalty
+    freqs = np.fft.rfftfreq(frame, 1 / sample_rate)
+    cum = np.cumsum(power.mean(axis=0))
+    rolloff = freqs[int(np.searchsorted(cum, 0.95 * cum[-1]))]
+    clip_frac = float(np.mean(np.abs(wave) > 0.985))
+    pq = 4.0 + 6.0 * min(rolloff / (sample_rate / 2), 1.0) - 20.0 * clip_frac
+
+    # PC: spectral flux variability
+    flux = np.sqrt(((np.diff(spec, axis=0)) ** 2).sum(axis=1))
+    pc = 2.0 + 8.0 * float(np.tanh(3.0 * np.std(flux) / (np.mean(flux) + 1e-9) - 0.5)) if len(flux) else 2.0
+    pc = float(np.clip(pc, 1.0, 10.0))
+
+    # CE: harmonicity — share of energy in the top spectral peaks
+    mean_spec = power.mean(axis=0)
+    top = np.sort(mean_spec)[-32:].sum()
+    harmonicity = top / (mean_spec.sum() + 1e-12)
+    ce = 1.0 + 9.0 * float(harmonicity)
+
+    # CU: blend with duration adequacy (>= 5 s considered adequate)
+    dur_factor = min(len(wave) / (5 * sample_rate), 1.0)
+    cu = 0.5 * pq + 0.3 * ce + 2.0 * dur_factor
+
+    return {
+        "CE": float(np.clip(ce, 1.0, 10.0)),
+        "CU": float(np.clip(cu, 1.0, 10.0)),
+        "PC": pc,
+        "PQ": float(np.clip(pq, 1.0, 10.0)),
+    }
+
+
+def run_aesthetics(
+    input_jsonl: str,
+    output_jsonl: str,
+    batch_size: int = 10,
+    force_proxy: bool = False,
+) -> bool:
+    """Score every {"path": wav} line of input_jsonl into output_jsonl.
+
+    Returns True if the real ``audio-aes`` CLI was used.
+    """
+    binary = shutil.which("audio-aes")
+    if binary and not force_proxy:
+        # reference invocation (ref :323-325)
+        with open(output_jsonl, "w") as out:
+            subprocess.run(
+                [binary, input_jsonl, "--batch-size", str(batch_size)],
+                stdout=out, check=False,
+            )
+        return True
+
+    from ai_music_generation_tpu.synth.wav_io import read_wav
+
+    with open(input_jsonl) as f, open(output_jsonl, "w") as out:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            path = json.loads(line)["path"]
+            try:
+                wave, rate = read_wav(path)
+                scores = proxy_score_wave(wave, rate)
+            except Exception:
+                scores = {a: float("nan") for a in AXES}
+            scores["proxy"] = True
+            out.write(json.dumps(scores) + "\n")
+    return False
+
+
+def aggregate_jsonl_stats(jsonl_path: str, columns: Optional[list[str]] = None) -> dict:
+    """mean/se/moe/ci95 per numeric column (ref aggregation :329-349)."""
+    import pandas as pd
+
+    if not os.path.exists(jsonl_path) or os.path.getsize(jsonl_path) == 0:
+        return {"error": "No data available"}
+    df = pd.read_json(jsonl_path, lines=True)
+    if df.empty:
+        return {"error": "No data available"}
+    df = df.select_dtypes("number")
+    if columns:
+        df = df[[c for c in columns if c in df.columns]]
+    mean = df.mean()
+    se = df.sem(ddof=1)
+    z95 = NormalDist().inv_cdf(0.975)
+    moe = z95 * se
+    return {
+        "mean": mean.to_dict(),
+        "se": se.to_dict(),
+        "moe": moe.to_dict(),
+        "ci95_lower": (mean - moe).to_dict(),
+        "ci95_upper": (mean + moe).to_dict(),
+    }

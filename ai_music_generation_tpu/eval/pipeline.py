@@ -1,0 +1,270 @@
+"""Shared evaluation pipeline: render + structural metrics + aesthetics.
+
+The engine behind the three reference pipeline scripts
+(ref: scripts/common/abc_to_midi_wav_and_aesthetics.py,
+midi_to_wav_and_aesthetics.py, midi_and_wav_to_aesthetics.py). Directory
+layout, JSONL schemas, and aggregation match the reference:
+
+    <out>/midi/<converter>/file_<idx>.mid
+    <out>/wav/<converter>/<synth>/<bank>/file_<idx>.wav
+    <out>/metrics/<converter>/structure/{inner,reference_similarity,
+        conditional_prefix_similarity}.jsonl + aggregated_similarities.json
+    <out>/audiobox_aesthetics/.../wav_paths.jsonl, aesthetics.jsonl,
+        aesthetics_aggregated.jsonl
+
+Per-file failures are tolerated (ref crash-proof workers,
+midi_and_wav_to_aesthetics.py:130-149). The ABC->MIDI stage uses the
+in-repo compiler (abc2midi replacement) and the WAV stage the on-TPU synth.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from dataclasses import dataclass
+from typing import Optional
+
+from ai_music_generation_tpu.eval.aesthetics import aggregate_jsonl_stats, run_aesthetics
+from ai_music_generation_tpu.eval.calculate import (
+    SimilarityResult,
+    calculate_conditioned_similarity_of_music_vectors,
+    calculate_inner_similarity_of_music_vectors,
+    calculate_reference_similarity_of_music_vectors,
+)
+from ai_music_generation_tpu.eval.similarities import (
+    cyclic_pitch_similarity,
+    rhythmic_similarity,
+)
+from ai_music_generation_tpu.eval.vectorization import MidiVectorizer
+
+
+@dataclass
+class PipelineConfig:
+    abc_input_folder: Optional[str] = None
+    midi_input_folder: Optional[str] = None
+    base_output_dir: str = "eval_out"
+    abc_to_midi_converter: str = "builtin"  # replaces abc2midi/music21 choice
+    midi_to_wav_converter: str = "tpu_synth"  # replaces FluidSynth/Timidity
+    sound_font: str = "builtin_additive"
+    sample_rate: int = 16_000
+    reference_midi_files_dir: Optional[str] = None
+    n_conditioned_measures: int = 0
+    render_wav: bool = True
+    aesthetics_batch_size: int = 10
+
+
+def extract_index(abc_content: str, filename: str) -> str:
+    """X: header index, else trailing filename chunk (ref :103-110)."""
+    m = re.search(r"^X:\s*(\d+)", abc_content, flags=re.MULTILINE)
+    if m:
+        return m.group(1)
+    return os.path.splitext(os.path.basename(filename))[0].split("_")[-1]
+
+
+def structural_metrics(
+    midi_path: str,
+    vectorizer: MidiVectorizer,
+    reference_midi_path: Optional[str],
+    n_conditioned: int,
+):
+    """(inner, reference, conditioned) melody+rhythm SimilarityResult pairs."""
+    pf, of = vectorizer.midi_or_score_to_notes_and_offsets_feature_vectors(midi_path)
+    inner = (
+        calculate_inner_similarity_of_music_vectors(pf, cyclic_pitch_similarity),
+        calculate_inner_similarity_of_music_vectors(of, rhythmic_similarity),
+    )
+    reference = (None, None)
+    if reference_midi_path and os.path.exists(reference_midi_path):
+        rpf, rof = vectorizer.midi_or_score_to_notes_and_offsets_feature_vectors(
+            reference_midi_path
+        )
+        reference = (
+            calculate_reference_similarity_of_music_vectors(
+                pf, rpf, cyclic_pitch_similarity, n_measures_to_skip=n_conditioned
+            ),
+            calculate_reference_similarity_of_music_vectors(
+                of, rof, rhythmic_similarity, n_measures_to_skip=n_conditioned
+            ),
+        )
+    conditioned = (None, None)
+    if n_conditioned > 0 and len(pf) >= n_conditioned:
+        conditioned = (
+            calculate_conditioned_similarity_of_music_vectors(
+                pf, n_conditioned, cyclic_pitch_similarity
+            ),
+            calculate_conditioned_similarity_of_music_vectors(
+                of, n_conditioned, rhythmic_similarity
+            ),
+        )
+    return inner, reference, conditioned
+
+
+class EvalPipeline:
+    def __init__(self, config: PipelineConfig):
+        self.c = config
+        c = config
+        self.midi_dir = os.path.join(c.base_output_dir, "midi", c.abc_to_midi_converter)
+        self.wav_dir = os.path.join(
+            c.base_output_dir, "wav", c.abc_to_midi_converter,
+            c.midi_to_wav_converter, c.sound_font,
+        )
+        self.structure_dir = os.path.join(
+            c.base_output_dir, "metrics", c.abc_to_midi_converter, "structure"
+        )
+        self.audiobox_dir = os.path.join(
+            c.base_output_dir, "audiobox_aesthetics", c.abc_to_midi_converter,
+            c.midi_to_wav_converter, c.sound_font,
+        )
+        for d in (self.midi_dir, self.wav_dir, self.structure_dir, self.audiobox_dir):
+            os.makedirs(d, exist_ok=True)
+        self.vectorizer = MidiVectorizer()
+
+    # -- stages -----------------------------------------------------------
+
+    def abc_to_midi(self, abc_path: str) -> tuple[str, str]:
+        from ai_music_generation_tpu.abcnotation.to_midi import abc_file_to_midi_file
+
+        with open(abc_path) as f:
+            idx = extract_index(f.read(), abc_path)
+        midi_path = os.path.join(self.midi_dir, f"file_{idx}.mid")
+        abc_file_to_midi_file(abc_path, midi_path)
+        return idx, midi_path
+
+    def midi_to_wav(self, idx: str, midi_path: str) -> str:
+        from ai_music_generation_tpu.codec import midi_io
+        from ai_music_generation_tpu.synth.render import synthesize_midi
+        from ai_music_generation_tpu.synth.wav_io import write_wav
+
+        wav_path = os.path.join(self.wav_dir, f"file_{idx}.wav")
+        wave = synthesize_midi(
+            midi_io.parse_midi_file(midi_path), self.c.sample_rate
+        )
+        write_wav(wav_path, wave, self.c.sample_rate)
+        return wav_path
+
+    def reference_midi_for(self, idx: str, midi_filename: str) -> Optional[str]:
+        if not self.c.reference_midi_files_dir:
+            return None
+        # ref mapping: strip the sample_ prefix (midi_to_wav_and_aesthetics.py:82)
+        candidates = [
+            f"file_{idx}.mid",
+            os.path.basename(midi_filename).removeprefix("sample_"),
+            f"{idx}.mid",
+        ]
+        for cand in candidates:
+            p = os.path.join(self.c.reference_midi_files_dir, cand)
+            if os.path.exists(p):
+                return p
+        return None
+
+    # -- full run ---------------------------------------------------------
+
+    def run(self, files: Optional[list[str]] = None) -> dict:
+        c = self.c
+        if c.abc_input_folder:
+            files = files or sorted(
+                f for f in os.listdir(c.abc_input_folder) if f.endswith(".abc")
+            )
+            inputs = [(os.path.join(c.abc_input_folder, f), "abc") for f in files]
+        else:
+            files = files or sorted(
+                f for f in os.listdir(c.midi_input_folder)
+                if f.endswith((".mid", ".midi"))
+            )
+            inputs = [(os.path.join(c.midi_input_folder, f), "midi") for f in files]
+
+        wav_paths = []
+        inner_rows, ref_rows, cond_rows = [], [], []
+        n_failed = 0
+        for path, kind in inputs:
+            try:
+                if kind == "abc":
+                    idx, midi_path = self.abc_to_midi(path)
+                else:
+                    idx = os.path.splitext(os.path.basename(path))[0].split("_")[-1]
+                    midi_path = path
+                if c.render_wav:
+                    wav_paths.append(os.path.abspath(self.midi_to_wav(idx, midi_path)))
+                ref_path = self.reference_midi_for(idx, os.path.basename(midi_path))
+                inner, reference, conditioned = structural_metrics(
+                    midi_path, self.vectorizer, ref_path, c.n_conditioned_measures
+                )
+                inner_rows.append((midi_path, *inner))
+                if reference[0] is not None:
+                    ref_rows.append((midi_path, *reference))
+                if conditioned[0] is not None:
+                    cond_rows.append((midi_path, *conditioned))
+            except Exception as e:
+                print(f"Error processing {path}: {e}")
+                n_failed += 1
+
+        # JSONL outputs (ref :232-284)
+        def write_rows(rows, out_path):
+            with open(out_path, "w") as f:
+                for midi_path, melody, rhythm in rows:
+                    f.write(json.dumps({
+                        "path": midi_path,  # key parity: ref writes "path"
+                        "melody": melody.model_dump(mode="json"),
+                        "rhythm": rhythm.model_dump(mode="json"),
+                    }) + "\n")
+
+        inner_jsonl = os.path.join(self.structure_dir, "inner_similarity.jsonl")
+        ref_jsonl = os.path.join(self.structure_dir, "reference_similarity.jsonl")
+        cond_jsonl = os.path.join(
+            self.structure_dir, "conditional_prefix_similarity.jsonl"
+        )
+        write_rows(inner_rows, inner_jsonl)
+        write_rows(ref_rows, ref_jsonl)
+        write_rows(cond_rows, cond_jsonl)
+
+        def aggregate_similarity(jsonl_file: str) -> dict:
+            import pandas as pd
+            from statistics import NormalDist
+
+            if not os.path.exists(jsonl_file) or os.path.getsize(jsonl_file) == 0:
+                return {"error": "No data available"}
+            df = pd.read_json(jsonl_file, lines=True)
+            if df.empty:
+                return {"error": "No data available"}
+            melody = df["melody"].apply(lambda x: x["mean_best_similarities"])
+            rhythm = df["rhythm"].apply(lambda x: x["mean_best_similarities"])
+            mean = pd.Series({"melody": melody.mean(), "rhythm": rhythm.mean()})
+            se = pd.Series({"melody": melody.sem(ddof=1), "rhythm": rhythm.sem(ddof=1)})
+            z95 = NormalDist().inv_cdf(0.975)
+            moe = se * z95
+            return {
+                "mean": mean.to_dict(),
+                "se": se.to_dict(),
+                "moe": moe.to_dict(),
+                "ci95_lower": (mean - moe).to_dict(),
+                "ci95_upper": (mean + moe).to_dict(),
+            }
+
+        aggregated = {
+            "inner": aggregate_similarity(inner_jsonl),
+            "reference": aggregate_similarity(ref_jsonl) if c.reference_midi_files_dir else None,
+            "conditioned": aggregate_similarity(cond_jsonl) if c.n_conditioned_measures > 0 else None,
+        }
+        with open(os.path.join(self.structure_dir, "aggregated_similarities.json"), "w") as f:
+            json.dump(aggregated, f, indent=4)
+
+        result = {"aggregated_similarities": aggregated, "n_failed": n_failed}
+        if c.render_wav and wav_paths:
+            input_jsonl = os.path.join(self.audiobox_dir, "wav_paths.jsonl")
+            with open(input_jsonl, "w") as f:
+                for p in wav_paths:
+                    f.write(json.dumps({"path": p}) + "\n")
+            output_jsonl = os.path.join(self.audiobox_dir, "aesthetics.jsonl")
+            used_real = run_aesthetics(input_jsonl, output_jsonl, c.aesthetics_batch_size)
+            agg = aggregate_jsonl_stats(output_jsonl, ["CE", "CU", "PC", "PQ"])
+            with open(os.path.join(self.audiobox_dir, "aesthetics_aggregated.jsonl"), "w") as f:
+                json.dump(agg, f, indent=4)
+            result["aesthetics"] = agg
+            result["aesthetics_engine"] = "audio-aes" if used_real else "proxy"
+            if "mean" in agg:
+                print("\nMean ± MoE (95% CI half-width)")
+                print("-" * 40)
+                for col, m in agg["mean"].items():
+                    print(f"{col:>3}: {m:.6f} ± {agg['moe'][col]:.6f}")
+        return result
