@@ -1,0 +1,186 @@
+"""Minimal pipeline framework: the Kedro-shell replacement.
+
+The reference wraps everything in a Kedro project whose only real content is
+a pipeline registry, an OmegaConf config loader, a YAML data catalog, and a
+single identity pipeline (ref: src/ai_music_generation/settings.py:26-29,
+pipeline_registry.py:9-17, pipelines/data_processing/pipeline.py:4-21,
+conf/base/catalog.yaml:46-52). This module provides the same orchestration
+surface without the kedro dependency:
+
+- :class:`Node` / :class:`Pipeline`: named, dependency-ordered callables over
+  a dict-style data catalog;
+- :func:`register_pipelines`: auto-discovery of ``create_pipeline()`` in
+  ``project/pipelines/*`` packages, with ``__default__`` as the sum of all
+  (same contract as kedro's ``find_pipelines``);
+- :class:`DataCatalog`: YAML catalog with csv/json/text/midi dataset types;
+- ``python -m ai_music_generation_tpu run [--pipeline NAME]`` entry point.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import importlib
+import json
+import os
+import pkgutil
+from typing import Any, Callable, Iterable, Optional
+
+
+@dataclasses.dataclass
+class Node:
+    func: Callable
+    inputs: list[str]
+    outputs: list[str]
+    name: str = ""
+
+    def run(self, catalog: "DataCatalog") -> None:
+        args = [catalog.load(i) for i in self.inputs]
+        result = self.func(*args)
+        if len(self.outputs) == 1:
+            result = (result,)
+        for out_name, value in zip(self.outputs, result or ()):
+            catalog.save(out_name, value)
+
+
+def node(func, inputs, outputs, name="") -> Node:
+    if isinstance(inputs, str):
+        inputs = [inputs]
+    if isinstance(outputs, str):
+        outputs = [outputs]
+    return Node(func, list(inputs or []), list(outputs or []), name or func.__name__)
+
+
+class Pipeline:
+    def __init__(self, nodes: Iterable[Node]):
+        self.nodes = list(nodes)
+
+    def __add__(self, other: "Pipeline") -> "Pipeline":
+        return Pipeline(self.nodes + other.nodes)
+
+    def run(self, catalog: "DataCatalog") -> None:
+        produced = set(catalog.keys())
+        pending = list(self.nodes)
+        while pending:
+            ready = [n for n in pending if all(i in produced for i in n.inputs)]
+            if not ready:
+                missing = {i for n in pending for i in n.inputs} - produced
+                raise RuntimeError(f"pipeline stuck; missing inputs: {sorted(missing)}")
+            for n in ready:
+                print(f"Running node: {n.name}")
+                n.run(catalog)
+                produced.update(n.outputs)
+                pending.remove(n)
+
+
+def pipeline(nodes: Iterable[Node]) -> Pipeline:
+    return Pipeline(nodes)
+
+
+class DataCatalog:
+    """YAML-described datasets + in-memory entries."""
+
+    def __init__(self, entries: Optional[dict] = None, base_path: str = "."):
+        self.entries = entries or {}
+        self.base_path = base_path
+        self._memory: dict[str, Any] = {}
+
+    @classmethod
+    def from_yaml(cls, path: str) -> "DataCatalog":
+        entries = _load_simple_yaml(path)
+        return cls(entries, base_path=os.path.dirname(os.path.abspath(path)))
+
+    def keys(self):
+        return set(self.entries) | set(self._memory)
+
+    def _filepath(self, spec: dict) -> str:
+        fp = spec.get("filepath", "")
+        if not os.path.isabs(fp):
+            # catalog paths are relative to the project root (conf/../..)
+            fp = os.path.normpath(os.path.join(self.base_path, "..", "..", fp))
+        return fp
+
+    def load(self, name: str):
+        if name in self._memory:
+            return self._memory[name]
+        spec = self.entries.get(name)
+        if spec is None:
+            raise KeyError(f"dataset {name!r} not in catalog")
+        dtype = spec.get("type", "text")
+        fp = self._filepath(spec)
+        if dtype.endswith("CSVDataset") or dtype == "csv":
+            import pandas as pd
+
+            return pd.read_csv(fp)
+        if dtype.endswith("JSONDataset") or dtype == "json":
+            with open(fp) as f:
+                return json.load(f)
+        if dtype == "midi":
+            from ai_music_generation_tpu.codec import midi_io
+
+            return midi_io.parse_midi_file(fp)
+        with open(fp) as f:
+            return f.read()
+
+    def save(self, name: str, value) -> None:
+        spec = self.entries.get(name)
+        if spec is None:
+            self._memory[name] = value
+            return
+        dtype = spec.get("type", "text")
+        fp = self._filepath(spec)
+        os.makedirs(os.path.dirname(fp), exist_ok=True)
+        if dtype.endswith("CSVDataset") or dtype == "csv":
+            value.to_csv(fp, index=False)
+        elif dtype.endswith("JSONDataset") or dtype == "json":
+            with open(fp, "w") as f:
+                json.dump(value, f, indent=2)
+        elif dtype == "midi":
+            from ai_music_generation_tpu.codec import midi_io
+
+            midi_io.write_midi_file(value, fp)
+        else:
+            with open(fp, "w") as f:
+                f.write(str(value))
+
+
+def _load_simple_yaml(path: str) -> dict:
+    """Tiny two-level YAML subset loader (catalog files only use
+    ``name:\\n  key: value`` blocks). Falls back to pyyaml when present."""
+    try:
+        import yaml  # type: ignore
+
+        with open(path) as f:
+            return yaml.safe_load(f) or {}
+    except ImportError:
+        pass
+    entries: dict[str, dict] = {}
+    current: Optional[str] = None
+    with open(path) as f:
+        for raw in f:
+            line = raw.split("#")[0].rstrip()
+            if not line.strip():
+                continue
+            if not raw.startswith(" ") and line.endswith(":"):
+                current = line[:-1].strip()
+                entries[current] = {}
+            elif current is not None and ":" in line:
+                k, v = line.strip().split(":", 1)
+                entries[current][k.strip()] = v.strip().strip("\"'")
+    return entries
+
+
+def register_pipelines() -> dict[str, Pipeline]:
+    """Auto-discover ``create_pipeline()`` under project/pipelines/*
+    (ref contract: pipeline_registry.py:9-17)."""
+    import ai_music_generation_tpu.project.pipelines as pkg
+
+    pipelines: dict[str, Pipeline] = {}
+    for mod_info in pkgutil.iter_modules(pkg.__path__):
+        mod = importlib.import_module(f"{pkg.__name__}.{mod_info.name}.pipeline")
+        if hasattr(mod, "create_pipeline"):
+            pipelines[mod_info.name] = mod.create_pipeline()
+    default = Pipeline([])
+    for p in pipelines.values():
+        default = default + p
+    pipelines["__default__"] = default
+    return pipelines
