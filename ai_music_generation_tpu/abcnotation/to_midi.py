@@ -48,8 +48,13 @@ def tune_to_midi(tune: AbcTune, ticks_per_quarter: int = 480,
     )
 
 
-def abc_to_midi(abc_text: str, **kwargs) -> midi_io.MidiFile:
-    return tune_to_midi(AbcParser().parse(abc_text), **kwargs)
+def abc_to_midi(abc_text: str, prefer_native: bool = True, **kwargs) -> midi_io.MidiFile:
+    """Compile ABC text to MIDI, using the C++ compiler when built
+    (differentially tested against the Python parser)."""
+    from ai_music_generation_tpu.abcnotation.native import get_parser
+
+    parser = get_parser(prefer_native)
+    return tune_to_midi(parser.parse(abc_text), **kwargs)
 
 
 def abc_file_to_midi_file(abc_path, midi_path, **kwargs) -> None:

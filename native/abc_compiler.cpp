@@ -1,0 +1,648 @@
+// ABC notation -> note-event compiler (native implementation).
+//
+// The reference pipeline shells out to the C `abc2midi` binary
+// (ref: scripts/common/abc_to_midi_wav_and_aesthetics.py:118). This is the
+// framework's native equivalent: it implements the same ABC grammar subset
+// as the Python semantic reference (ai_music_generation_tpu/abcnotation/
+// parser.py) — the two are differentially tested against each other — and
+// exposes a C ABI consumed via ctypes (abcnotation/native.py).
+//
+// Time is exact rational quarter-lengths (Frac), so triplet grids survive
+// the trip to MIDI ticks without rounding.
+//
+// Build: make -C native   (produces libabc_compiler.so)
+
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+#include <cctype>
+#include <map>
+#include <numeric>
+#include <string>
+#include <vector>
+
+namespace {
+
+struct Frac {
+  int64_t num = 0;
+  int64_t den = 1;
+  Frac() = default;
+  Frac(int64_t n, int64_t d = 1) : num(n), den(d) { norm(); }
+  void norm() {
+    if (den < 0) { num = -num; den = -den; }
+    int64_t g = std::gcd(num < 0 ? -num : num, den);
+    if (g > 1) { num /= g; den /= g; }
+    if (num == 0) den = 1;
+  }
+  Frac operator+(const Frac& o) const { return Frac(num * o.den + o.num * den, den * o.den); }
+  Frac operator-(const Frac& o) const { return Frac(num * o.den - o.num * den, den * o.den); }
+  Frac operator*(const Frac& o) const { return Frac(num * o.num, den * o.den); }
+  bool operator<(const Frac& o) const { return num * o.den < o.num * den; }
+  bool operator==(const Frac& o) const { return num == o.num && den == o.den; }
+  double value() const { return double(num) / double(den); }
+};
+
+struct Event {
+  int32_t pitch;  // -1 = rest
+  Frac start;
+  Frac dur;
+  int32_t voice;
+};
+
+const char* kSharpOrder = "FCGDAEB";
+
+int letterSemitone(char c) {
+  switch (c) {
+    case 'C': return 0; case 'D': return 2; case 'E': return 4;
+    case 'F': return 5; case 'G': return 7; case 'A': return 9;
+    case 'B': return 11;
+  }
+  return 0;
+}
+
+int majorSharps(const std::string& tonic) {
+  static const std::map<std::string, int> table = {
+      {"C", 0}, {"G", 1}, {"D", 2}, {"A", 3}, {"E", 4}, {"B", 5},
+      {"F#", 6}, {"C#", 7}, {"F", -1}, {"Bb", -2}, {"Eb", -3}, {"Ab", -4},
+      {"Db", -5}, {"Gb", -6}, {"Cb", -7}};
+  auto it = table.find(tonic);
+  return it == table.end() ? 0 : it->second;
+}
+
+int modeOffset(const std::string& mode) {
+  // longest-prefix match, mirroring parser.py _MODE_OFFSET
+  static const std::vector<std::pair<std::string, int>> modes = {
+      {"mixolydian", -1}, {"locrian", -5}, {"phrygian", -4}, {"aeolian", -3},
+      {"dorian", -2}, {"ionian", 0}, {"lydian", 1}, {"major", 0},
+      {"minor", -3}, {"maj", 0}, {"min", -3}, {"mix", -1}, {"dor", -2},
+      {"phr", -4}, {"lyd", 1}, {"loc", -5}, {"aeo", -3}, {"ion", 0},
+      {"m", -3}};
+  for (const auto& [name, off] : modes) {
+    if (mode.rfind(name, 0) == 0) return off;
+  }
+  return 0;
+}
+
+int keySignatureSharps(const std::string& key) {
+  size_t i = 0;
+  while (i < key.size() && isspace((unsigned char)key[i])) i++;
+  if (i >= key.size()) return 0;
+  std::string rest = key.substr(i);
+  std::string lower;
+  for (char c : rest) lower.push_back(tolower((unsigned char)c));
+  if (lower == "none") return 0;
+  char letter = rest[0];
+  if (!isalpha((unsigned char)letter)) return 0;
+  std::string tonic(1, toupper((unsigned char)letter));
+  size_t j = 1;
+  if (j < rest.size() && (rest[j] == '#' || rest[j] == 'b')) {
+    tonic.push_back(rest[j]);
+    j++;
+  }
+  while (j < rest.size() && isspace((unsigned char)rest[j])) j++;
+  std::string mode;
+  while (j < rest.size() && isalpha((unsigned char)rest[j]))
+    mode.push_back(tolower((unsigned char)rest[j++]));
+  return majorSharps(tonic) + modeOffset(mode);
+}
+
+struct VoiceState {
+  Frac time;
+  std::map<std::pair<char, int>, int> measureAcc;
+  char pendingBroken = 0;
+  int brokenCount = 0;
+  int tupletRemaining = 0;
+  Frac tupletFactor{1, 1};
+  int tiePendingIdx = -1;  // index into events
+  int repeatStartIdx = 0;
+  Frac repeatStartTime;
+  int firstEndingStart = -1;
+  Frac firstEndingTime;
+};
+
+struct Parser {
+  std::string text;
+  size_t i = 0;
+  int meterNum = 4, meterDen = 4;
+  Frac unitLen{1, 8};
+  bool explicitL = false;
+  double tempoBpm = 120.0;
+  int sharps = 0;
+  std::vector<Event> events;
+  std::map<std::string, VoiceState> voices;
+  std::vector<std::string> voiceIds;
+  std::string curVoice = "1";
+
+  VoiceState& voice(const std::string& id) {
+    if (!voices.count(id)) {
+      voices[id] = VoiceState();
+      voiceIds.push_back(id);
+    }
+    return voices[id];
+  }
+  int voiceIndex(const std::string& id) {
+    for (size_t k = 0; k < voiceIds.size(); ++k)
+      if (voiceIds[k] == id) return (int)k;
+    return 0;
+  }
+
+  std::map<char, int> keyAcc;
+  void rebuildKeyAcc() {
+    keyAcc.clear();
+    if (sharps > 0)
+      for (int k = 0; k < sharps && k < 7; ++k) keyAcc[kSharpOrder[k]] = 1;
+    else if (sharps < 0)
+      for (int k = 0; k < -sharps && k < 7; ++k) keyAcc[kSharpOrder[6 - k]] = -1;
+  }
+
+  // ---- header -------------------------------------------------------------
+  bool parseMeter(const std::string& v) {
+    std::string s = v;
+    while (!s.empty() && isspace((unsigned char)s.back())) s.pop_back();
+    size_t b = 0;
+    while (b < s.size() && isspace((unsigned char)s[b])) b++;
+    s = s.substr(b);
+    if (s == "C") { meterNum = 4; meterDen = 4; return true; }
+    if (s == "C|") { meterNum = 2; meterDen = 2; return true; }
+    int total = 0, cur = -1;
+    size_t k = 0;
+    for (; k < s.size(); ++k) {
+      if (isdigit((unsigned char)s[k])) {
+        if (cur < 0) cur = 0;
+        cur = cur * 10 + (s[k] - '0');
+      } else if (s[k] == '+') {
+        if (cur >= 0) { total += cur; cur = -1; }
+      } else if (s[k] == '/') {
+        break;
+      } else {
+        return false;
+      }
+    }
+    if (cur >= 0) total += cur;
+    if (k >= s.size() || s[k] != '/') return false;
+    int den = atoi(s.c_str() + k + 1);
+    if (total <= 0 || den <= 0) return false;
+    meterNum = total;
+    meterDen = den;
+    return true;
+  }
+
+  void parseTempo(const std::string& v) {
+    int a, b, bpm;
+    if (sscanf(v.c_str(), "%d/%d=%d", &a, &b, &bpm) == 3 ||
+        sscanf(v.c_str(), "%d / %d = %d", &a, &b, &bpm) == 3) {
+      tempoBpm = bpm * (double(a) / b) * 4.0;
+      return;
+    }
+    if (sscanf(v.c_str(), "%d", &bpm) == 1 &&
+        v.find('/') == std::string::npos && v.find('=') == std::string::npos) {
+      tempoBpm = bpm;
+    }
+  }
+
+  void parseHeaders(const std::string& input, std::string* body) {
+    size_t pos = 0;
+    bool inBody = false;
+    std::string bodyAccum;
+    while (pos <= input.size()) {
+      size_t nl = input.find('\n', pos);
+      std::string line = input.substr(pos, nl == std::string::npos ? std::string::npos : nl - pos);
+      pos = (nl == std::string::npos) ? input.size() + 1 : nl + 1;
+      // strip comments
+      if (line.rfind("%%", 0) == 0) continue;
+      size_t cpos = line.find('%');
+      if (cpos != std::string::npos) line = line.substr(0, cpos);
+      while (!line.empty() && isspace((unsigned char)line.back())) line.pop_back();
+      if (line.empty()) continue;
+      bool header = line.size() > 1 && isupper((unsigned char)line[0]) && line[1] == ':';
+      if (!inBody && header) {
+        char tag = line[0];
+        std::string val = line.substr(2);
+        size_t vs = 0;
+        while (vs < val.size() && isspace((unsigned char)val[vs])) vs++;
+        val = val.substr(vs);
+        if (tag == 'M') parseMeter(val);
+        else if (tag == 'L') {
+          int a, b;
+          if (sscanf(val.c_str(), "%d/%d", &a, &b) == 2 && b > 0) {
+            unitLen = Frac(a, b);
+            explicitL = true;
+          }
+        } else if (tag == 'Q') parseTempo(val);
+        else if (tag == 'K') {
+          sharps = keySignatureSharps(val);
+          inBody = true;
+        }
+        continue;
+      }
+      if (inBody) {
+        if (line.size() > 1 && (line[0] == 'w' || line[0] == 'W') && line[1] == ':')
+          continue;
+        bodyAccum += line;
+        bodyAccum += '\n';
+      } else if (!header) {
+        inBody = true;
+        bodyAccum += line;
+        bodyAccum += '\n';
+      }
+    }
+    if (!explicitL) {
+      // default L from meter: < 3/4 -> 1/16
+      if (Frac(meterNum, meterDen) < Frac(3, 4)) unitLen = Frac(1, 16);
+    }
+    *body = bodyAccum;
+  }
+
+  // ---- body helpers -------------------------------------------------------
+  Frac parseLen() {
+    // [digits][/[digits]] | "/"+  (default 1)
+    size_t start = i;
+    int64_t num = -1;
+    if (i < text.size() && isdigit((unsigned char)text[i])) {
+      num = 0;
+      while (i < text.size() && isdigit((unsigned char)text[i]))
+        num = num * 10 + (text[i++] - '0');
+    }
+    if (i < text.size() && text[i] == '/') {
+      int slashes = 0;
+      while (i < text.size() && text[i] == '/') { slashes++; i++; }
+      int64_t den = -1;
+      if (i < text.size() && isdigit((unsigned char)text[i])) {
+        den = 0;
+        while (i < text.size() && isdigit((unsigned char)text[i]))
+          den = den * 10 + (text[i++] - '0');
+      }
+      if (den > 0) return Frac(num < 0 ? 1 : num, den);
+      return Frac(num < 0 ? 1 : num, 1LL << slashes);
+    }
+    if (num >= 0) return Frac(num, 1);
+    (void)start;
+    return Frac(1, 1);
+  }
+
+  void emit(int pitch, Frac dur, VoiceState& st, int vidx) {
+    if (st.tupletRemaining > 0) {
+      dur = dur * st.tupletFactor;
+      st.tupletRemaining--;
+    }
+    if (st.pendingBroken) {
+      int k = st.brokenCount;
+      Frac factorLong((1LL << (k + 1)) - 1, 1LL << k);
+      Frac factorShort(1, 1LL << k);
+      if (!events.empty()) {
+        Event& prev = events.back();
+        if (st.pendingBroken == '>') {
+          Frac delta = prev.dur * (factorLong - Frac(1));
+          prev.dur = prev.dur * factorLong;
+          st.time = st.time + delta;
+          dur = dur * factorShort;
+        } else {
+          Frac delta = prev.dur * (factorShort - Frac(1));
+          prev.dur = prev.dur * factorShort;
+          st.time = st.time + delta;
+          dur = dur * factorLong;
+        }
+      }
+      st.pendingBroken = 0;
+      st.brokenCount = 0;
+    }
+    if (pitch >= 0 && st.tiePendingIdx >= 0 &&
+        events[st.tiePendingIdx].pitch == pitch) {
+      events[st.tiePendingIdx].dur = events[st.tiePendingIdx].dur + dur;
+      st.tiePendingIdx = -1;
+    } else {
+      events.push_back({(int32_t)pitch, st.time, dur, (int32_t)vidx});
+    }
+    st.time = st.time + dur;
+  }
+
+  int notePitch(char letter, const std::string& acc, int octMarks, VoiceState& st) {
+    char upper = toupper((unsigned char)letter);
+    int octave = islower((unsigned char)letter) ? 5 : 4;
+    octave += octMarks;
+    auto key = std::make_pair(upper, octave);
+    int alter;
+    if (!acc.empty()) {
+      if (acc == "^") alter = 1;
+      else if (acc == "^^") alter = 2;
+      else if (acc == "_") alter = -1;
+      else if (acc == "__") alter = -2;
+      else alter = 0;  // '='
+      st.measureAcc[key] = alter;
+    }
+    if (st.measureAcc.count(key)) alter = st.measureAcc[key];
+    else alter = keyAcc.count(upper) ? keyAcc[upper] : 0;
+    return 12 * (octave + 1) + letterSemitone(upper) + alter;
+  }
+
+  void expandRepeat(VoiceState& st, int vidx) {
+    int endIdx;
+    Frac base = st.time;
+    std::vector<Event> section;
+    if (st.firstEndingStart >= 0) {
+      endIdx = st.firstEndingStart;
+    } else {
+      endIdx = (int)events.size();
+    }
+    for (int k = st.repeatStartIdx; k < endIdx; ++k)
+      if (events[k].voice == vidx) section.push_back(events[k]);
+    Frac shift = st.time - st.repeatStartTime;
+    Frac sectionLen;
+    for (const Event& e : section) sectionLen = sectionLen + e.dur;
+    for (const Event& e : section)
+      events.push_back({e.pitch, e.start + shift, e.dur, e.voice});
+    st.time = base + sectionLen;
+    st.repeatStartIdx = (int)events.size();
+    st.repeatStartTime = st.time;
+    st.firstEndingStart = -1;
+  }
+
+  bool match(const char* s) {
+    size_t n = strlen(s);
+    if (text.compare(i, n, s) == 0) { i += n; return true; }
+    return false;
+  }
+
+  void parseBody(const std::string& body) {
+    text = body;
+    i = 0;
+    rebuildKeyAcc();
+    VoiceState* st = &voice(curVoice);
+    Frac unitQl = unitLen * Frac(4);
+
+    while (i < text.size()) {
+      char ch = text[i];
+      int vidx = voiceIndex(curVoice);
+      if (ch == ' ' || ch == '\t' || ch == '\n' || ch == '\\') { i++; continue; }
+      if (ch == '"') {
+        size_t j = text.find('"', i + 1);
+        i = (j == std::string::npos) ? text.size() : j + 1;
+        continue;
+      }
+      if (ch == '{') {
+        size_t j = text.find('}', i + 1);
+        i = (j == std::string::npos) ? text.size() : j + 1;
+        continue;
+      }
+      if (ch == '!') {
+        size_t j = text.find('!', i + 1);
+        i = (j == std::string::npos) ? i + 1 : j + 1;
+        continue;
+      }
+      if (strchr("~.HLMNOPRSTuv", ch) && !(ch == 'V' )) {
+        // single-char decorations (note letters A-G are NOT in this set)
+        i++; continue;
+      }
+      if (ch == 'V' && i + 1 < text.size() && text[i + 1] == ':') {
+        i += 2;
+        while (i < text.size() && isspace((unsigned char)text[i])) i++;
+        std::string id;
+        while (i < text.size() && !isspace((unsigned char)text[i])) id.push_back(text[i++]);
+        curVoice = id;
+        st = &voice(curVoice);
+        continue;
+      }
+      // inline fields [X:...]
+      if (ch == '[' && i + 2 < text.size() && isalpha((unsigned char)text[i + 1]) &&
+          text[i + 2] == ':') {
+        size_t j = text.find(']', i);
+        if (j != std::string::npos) {
+          char tag = text[i + 1];
+          std::string val = text.substr(i + 3, j - i - 3);
+          if (tag == 'M') parseMeter(val);
+          else if (tag == 'L') {
+            int a, b;
+            if (sscanf(val.c_str(), "%d/%d", &a, &b) == 2 && b > 0) {
+              unitLen = Frac(a, b);
+              unitQl = unitLen * Frac(4);
+            }
+          } else if (tag == 'K') {
+            sharps = keySignatureSharps(val);
+            rebuildKeyAcc();
+          } else if (tag == 'Q') parseTempo(val);
+          else if (tag == 'V') {
+            std::string id = val;
+            size_t a2 = id.find_first_not_of(" \t");
+            size_t b2 = id.find_last_not_of(" \t");
+            if (a2 != std::string::npos) id = id.substr(a2, b2 - a2 + 1);
+            curVoice = id;
+            st = &voice(curVoice);
+          }
+          i = j + 1;
+          continue;
+        }
+      }
+      // volta [1 / [2
+      if (ch == '[' && i + 1 < text.size() && isdigit((unsigned char)text[i + 1])) {
+        int num = text[i + 1] - '0';
+        if (num == 1) {
+          st->firstEndingStart = (int)events.size();
+          st->firstEndingTime = st->time;
+        }
+        i += 2;
+        continue;
+      }
+      // bars / repeats
+      if (ch == '|' || ch == ':' || ch == '[') {
+        bool isRepeatStart = false, isRepeatEnd = false, isBar = false;
+        if (match("|]")) { isBar = true; }
+        else if (match("||")) { isBar = true; }
+        else if (match("::")) { isRepeatEnd = true; isRepeatStart = true; isBar = true; }
+        else if (match("|:")) { isRepeatStart = true; isBar = true; }
+        else if (match(":|]")) { isRepeatEnd = true; isBar = true; }
+        else if (match(":|")) { isRepeatEnd = true; isBar = true; }
+        else if (match("[|")) { isBar = true; }
+        else if (ch == '|') { i++; isBar = true; }
+        if (isBar) {
+          st->measureAcc.clear();
+          if (isRepeatEnd) expandRepeat(*st, vidx);
+          if (isRepeatStart) {
+            st->repeatStartIdx = (int)events.size();
+            st->repeatStartTime = st->time;
+          }
+          continue;
+        }
+        // plain '[' falls through (chord / unknown)
+      }
+      // tuplet (p[:q[:r]]
+      if (ch == '(' && i + 1 < text.size() && isdigit((unsigned char)text[i + 1]) &&
+          text[i + 1] >= '2') {
+        int p = text[i + 1] - '0';
+        i += 2;
+        int q = -1, r = -1;
+        if (i < text.size() && text[i] == ':') {
+          i++;
+          q = 0;
+          while (i < text.size() && isdigit((unsigned char)text[i]))
+            q = q * 10 + (text[i++] - '0');
+          if (q == 0) q = -1;
+          if (i < text.size() && text[i] == ':') {
+            i++;
+            r = 0;
+            while (i < text.size() && isdigit((unsigned char)text[i]))
+              r = r * 10 + (text[i++] - '0');
+            if (r == 0) r = -1;
+          }
+        }
+        int defaultQ = (p == 2 || p == 4 || p == 8) ? 3 : 2;
+        if (p == 3 || p == 6) defaultQ = 2;
+        int qv = q > 0 ? q : defaultQ;
+        int rv = r > 0 ? r : p;
+        st->tupletRemaining = rv;
+        st->tupletFactor = Frac(qv, p);
+        continue;
+      }
+      if (ch == '(' || ch == ')') { i++; continue; }
+      if (ch == '>' || ch == '<') {
+        char b = ch;
+        int count = 0;
+        while (i < text.size() && text[i] == b) { count++; i++; }
+        st->pendingBroken = b;
+        st->brokenCount = count;
+        continue;
+      }
+      if (ch == '-') {
+        if (!events.empty()) st->tiePendingIdx = (int)events.size() - 1;
+        i++;
+        continue;
+      }
+      // chord [CEG]
+      if (ch == '[') {
+        size_t j = text.find(']', i + 1);
+        if (j != std::string::npos) {
+          std::string inner = text.substr(i + 1, j - i - 1);
+          i = j + 1;
+          Frac outerLen = parseLen();  // optional length after ]
+          Frac start = st->time;
+          Frac maxD;
+          size_t k = 0;
+          while (k < inner.size()) {
+            std::string acc;
+            while (k < inner.size() && (inner[k] == '^' || inner[k] == '_' || inner[k] == '=')) {
+              acc.push_back(inner[k++]);
+            }
+            if (k < inner.size() && isalpha((unsigned char)inner[k]) &&
+                strchr("ABCDEFGabcdefg", inner[k])) {
+              char letter = inner[k++];
+              int octMarks = 0;
+              while (k < inner.size() && (inner[k] == ',' || inner[k] == '\'')) {
+                octMarks += (inner[k] == '\'') ? 1 : -1;
+                k++;
+              }
+              // inner length
+              std::string innerText = inner;
+              size_t save_i = i;
+              std::string save_text = text;
+              text = inner;
+              i = k;
+              Frac innerLen = parseLen();
+              k = i;
+              text = save_text;
+              i = save_i;
+              int pitch = notePitch(letter, acc, octMarks, *st);
+              Frac d = innerLen * unitQl * outerLen;
+              events.push_back({(int32_t)pitch, start, d, (int32_t)vidx});
+              if (maxD < d) maxD = d;
+            } else {
+              k++;
+            }
+          }
+          st->time = start + maxD;
+          continue;
+        }
+        i++;
+        continue;
+      }
+      // rest
+      if (ch == 'z' || ch == 'x' || ch == 'Z' || ch == 'X') {
+        char kind = ch;
+        i++;
+        Frac len = parseLen();
+        if (kind == 'Z' || kind == 'X') {
+          Frac barQl(4LL * meterNum, meterDen);
+          emit(-1, barQl * len, *st, vidx);
+        } else {
+          emit(-1, len * unitQl, *st, vidx);
+        }
+        continue;
+      }
+      // note
+      {
+        std::string acc;
+        size_t save = i;
+        while (i < text.size() && (text[i] == '^' || text[i] == '_' || text[i] == '=')) {
+          acc.push_back(text[i++]);
+        }
+        if (i < text.size() && strchr("ABCDEFGabcdefg", text[i])) {
+          char letter = text[i++];
+          int octMarks = 0;
+          while (i < text.size() && (text[i] == ',' || text[i] == '\'')) {
+            octMarks += (text[i] == '\'') ? 1 : -1;
+            i++;
+          }
+          Frac len = parseLen();
+          int pitch = notePitch(letter, acc, octMarks, *st);
+          emit(pitch, len * unitQl, *st, vidx);
+          continue;
+        }
+        i = save;
+      }
+      i++;  // unknown char
+    }
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+struct AbcEventC {
+  int32_t pitch;
+  int64_t start_num, start_den;
+  int64_t dur_num, dur_den;
+  int32_t voice;
+};
+
+struct AbcResultC {
+  AbcEventC* events;
+  int32_t n_events;
+  int32_t meter_num, meter_den;
+  int32_t sharps;
+  double tempo_bpm;
+  int64_t unit_num, unit_den;
+  int32_t n_voices;
+};
+
+AbcResultC* abc_compile(const char* abc_text) {
+  Parser p;
+  std::string body;
+  p.parseHeaders(abc_text ? abc_text : "", &body);
+  p.parseBody(body);
+
+  auto* res = (AbcResultC*)calloc(1, sizeof(AbcResultC));
+  res->n_events = (int32_t)p.events.size();
+  res->events = (AbcEventC*)calloc(p.events.size() ? p.events.size() : 1,
+                                   sizeof(AbcEventC));
+  for (size_t k = 0; k < p.events.size(); ++k) {
+    const Event& e = p.events[k];
+    res->events[k] = {e.pitch, e.start.num, e.start.den, e.dur.num, e.dur.den,
+                      e.voice};
+  }
+  res->meter_num = p.meterNum;
+  res->meter_den = p.meterDen;
+  res->sharps = p.sharps;
+  res->tempo_bpm = p.tempoBpm;
+  res->unit_num = p.unitLen.num;
+  res->unit_den = p.unitLen.den;
+  res->n_voices = (int32_t)(p.voiceIds.empty() ? 1 : p.voiceIds.size());
+  return res;
+}
+
+void abc_free(AbcResultC* res) {
+  if (res) {
+    free(res->events);
+    free(res);
+  }
+}
+
+}  // extern "C"

@@ -1,0 +1,91 @@
+"""Differential tests: native C++ ABC compiler vs the Python reference parser.
+
+Builds the shared library on demand (g++ is baked into the image)."""
+
+import random
+import subprocess
+
+import pytest
+
+from ai_music_generation_tpu.abcnotation.parser import AbcParser
+
+
+@pytest.fixture(scope="module")
+def native_parser():
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    subprocess.run(["make", "-C", os.path.join(root, "native")], check=True,
+                   capture_output=True)
+    from ai_music_generation_tpu.abcnotation import native
+
+    assert native.native_available()
+    return native.NativeAbcParser()
+
+
+def assert_tunes_equal(a, b, msg=""):
+    assert a.meter == b.meter, msg
+    assert a.sharps == b.sharps, msg
+    assert a.unit_length == b.unit_length, msg
+    assert a.tempo_bpm == pytest.approx(b.tempo_bpm), msg
+    na = [(n.pitch, n.start, n.duration, n.voice) for n in a.notes]
+    nb = [(n.pitch, n.start, n.duration, n.voice) for n in b.notes]
+    assert na == nb, f"{msg}\npython={na}\nnative={nb}"
+
+
+CASES = [
+    "X:1\nL:1/8\nM:4/4\nK:C\nC D E F | G A B c |",
+    "X:1\nL:1/8\nM:4/4\nK:D\nF C f c |",
+    "X:1\nL:1/8\nM:4/4\nK:C\n^F F | F |",
+    "X:1\nL:1/8\nM:4/4\nK:Bb\nB e B' B, |",
+    "X:1\nL:1/8\nM:4/4\nK:C\nC2 C/2 C/ C3/2 C// |",
+    "X:1\nM:2/4\nK:C\nCDEF |",  # default L from meter
+    "X:1\nL:1/8\nM:4/4\nK:C\nC z C z2 | Z C |",
+    "X:1\nL:1/8\nM:4/4\nK:C\nC>D E<F C>>D |",
+    "X:1\nL:1/8\nM:4/4\nK:C\nC2- C2 D- E |",
+    "X:1\nL:1/8\nM:4/4\nK:C\n[CEG]2 [DF] D |",
+    "X:1\nL:1/8\nM:4/4\nK:C\n(3CDE F (3:2:2GA B |",
+    "X:1\nL:1/8\nM:4/4\nK:C\n|: C D :| E |",
+    "X:1\nL:1/8\nM:4/4\nK:C\nC D :| E |",
+    "X:1\nL:1/8\nM:4/4\nK:C\nC | [M:3/4] D E F |",
+    "X:1\nQ:1/8=90\nL:1/8\nM:4/4\nK:Em\nE F G |",
+    'X:1\nL:1/8\nM:4/4\nK:C\n"Am" C {ag}D !trill!E .F |',
+    "X:1\nL:1/8\nM:6/8\nK:Ador\nEAA BAB | g2e a2b |",
+    "X:1\nL:1/4\nM:3/4\nK:Gm\nG A B | =B c d |",
+    "X:1\nL:1/8\nM:4/4\nK:C\nV:1\nC D |\nV:2\nE F |",
+    "X:1\nL:1/16\nM:2/4\nK:Amix\ncBAG EFGE |",
+]
+
+
+@pytest.mark.parametrize("abc", CASES)
+def test_native_matches_python(native_parser, abc):
+    assert_tunes_equal(AbcParser().parse(abc), native_parser.parse(abc), abc)
+
+
+def test_native_matches_python_random_corpus(native_parser):
+    """Fuzz: random baseline-style tunes must agree exactly."""
+    from ai_music_generation_tpu.cli.random_baselines import (
+        KEY_SIGNATURES,
+        NOTES,
+        TIME_SIGNATURES,
+        random_note_seq,
+    )
+
+    rng = random.Random(0)
+    py = AbcParser()
+    for trial in range(50):
+        measures = []
+        for _ in range(rng.randint(2, 8)):
+            measures.append(" ".join(random_note_seq(rng, rng.randint(1, 5))))
+        abc = (
+            f"X:{trial}\nL:1/4\nM:{rng.choice(TIME_SIGNATURES)}\n"
+            f"K:{rng.choice(KEY_SIGNATURES)}\n" + " | ".join(measures) + " |\n"
+        )
+        assert_tunes_equal(py.parse(abc), native_parser.parse(abc), abc)
+
+
+def test_native_empty_and_garbage(native_parser):
+    t = native_parser.parse("")
+    assert t.notes == []
+    t = native_parser.parse("X:1\nK:C\n@#$%^&*")
+    assert t.notes == []
