@@ -63,7 +63,10 @@ class KVCache:
     leaf, so inside a ``lax.scan`` decode loop XLA updates it in place via
     buffer donation instead of materializing a stacked copy of the whole
     cache every step (the stack/unstack pattern costs GB/step of HBM traffic
-    at eval-protocol batch sizes).
+    at eval-protocol batch sizes). Each decode step's write is one
+    contiguous [B, 1, H, D] slab; the Pallas fused decode kernel
+    (ops/decode_attention.py) views the same memory as [B, S, H*D] (a free
+    reshape) so its position-chunk DMA slices stay tile-aligned.
 
     ``length`` is the number of valid positions already written (a shared
     scalar — decode is lockstep across the batch).
@@ -138,23 +141,47 @@ class CausalSelfAttention(nn.Module):
         if layer_cache is not None:
             ck, cv = layer_cache  # [B, S, H, D]
             S = ck.shape[1]
-            ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, cache_len, 0, 0))
-            cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, cache_len, 0, 0))
+            # contiguous [B, T, H, D] slab write at position cache_len
+            ck = jax.lax.dynamic_update_slice(
+                ck, k.astype(ck.dtype), (0, cache_len, 0, 0))
+            cv = jax.lax.dynamic_update_slice(
+                cv, v.astype(cv.dtype), (0, cache_len, 0, 0))
             new_cache = (ck, cv)
-            k, v = ck, cv
+            if T == 1 and cfg.attn_impl == "pallas":
+                from ai_music_generation_tpu.ops.decode_attention import (
+                    decode_attention,
+                )
+
+                y = decode_attention(
+                    q.reshape(B, C), ck.reshape(B, S, C), cv.reshape(B, S, C),
+                    cache_len + 1, n_head=H,
+                ).reshape(B, 1, C).astype(cfg.dtype)
+                y = nn.Dense(
+                    C, use_bias=cfg.bias, dtype=cfg.dtype,
+                    param_dtype=cfg.param_dtype,
+                    kernel_init=_init_normal(0.02 / math.sqrt(2 * cfg.n_layer)),
+                    name="c_proj",
+                )(y)
+                y = nn.Dropout(cfg.dropout)(y, deterministic=deterministic)
+                return y, new_cache
             # positions of the T query tokens are cache_len .. cache_len+T-1
             q_pos = cache_len + jnp.arange(T)[:, None]  # [T, 1]
             k_pos = jnp.arange(S)[None, :]  # [1, S]
             mask = k_pos <= q_pos  # [T, S]
+            scale = jnp.asarray(1.0 / jnp.sqrt(D), cfg.dtype)
+            att = jnp.einsum("bthd,bshd->bhts", q, ck) * scale
+            att = jnp.where(mask[None, None, :, :], att, jnp.asarray(-jnp.inf, att.dtype))
+            att = jax.nn.softmax(att.astype(jnp.float32), axis=-1).astype(cfg.dtype)
+            att = nn.Dropout(cfg.dropout)(att, deterministic=deterministic)
+            y = jnp.einsum("bhts,bshd->bthd", att, cv).reshape(B, T, C)
         else:
             mask = jnp.tril(jnp.ones((T, T), dtype=bool))
-
-        scale = jnp.asarray(1.0 / jnp.sqrt(D), cfg.dtype)
-        att = jnp.einsum("bthd,bshd->bhts", q, k) * scale
-        att = jnp.where(mask[None, None, :, :], att, jnp.asarray(-jnp.inf, att.dtype))
-        att = jax.nn.softmax(att.astype(jnp.float32), axis=-1).astype(cfg.dtype)
-        att = nn.Dropout(cfg.dropout)(att, deterministic=deterministic)
-        y = jnp.einsum("bhts,bshd->bthd", att, v).reshape(B, T, C)
+            scale = jnp.asarray(1.0 / jnp.sqrt(D), cfg.dtype)
+            att = jnp.einsum("bthd,bshd->bhts", q, k) * scale
+            att = jnp.where(mask[None, None, :, :], att, jnp.asarray(-jnp.inf, att.dtype))
+            att = jax.nn.softmax(att.astype(jnp.float32), axis=-1).astype(cfg.dtype)
+            att = nn.Dropout(cfg.dropout)(att, deterministic=deterministic)
+            y = jnp.einsum("bhts,bshd->bthd", att, v).reshape(B, T, C)
 
         y = nn.Dense(
             C,

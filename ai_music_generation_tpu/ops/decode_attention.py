@@ -1,0 +1,184 @@
+"""Pallas fused decode attention with valid-prefix-only cache reads.
+
+Single-token (T=1) attention over a KV cache is HBM-bandwidth-bound: at the
+eval protocol's batch/width the cache streams ~2.4 GB per decode step and is
+~75% of step time. XLA's einsum path must read the FULL cache because
+``length`` is a traced value; this kernel receives ``length`` as a
+scalar-prefetch argument and only DMAs the cache position-chunks that
+contain valid entries — positions past ``length`` are never fetched.
+
+Layout contract (TPU tiling-driven): q [B, H*D], k/v caches [B, S, H*D]
+(see KVCache) — the lane dim is H*D (a 128-multiple) and position chunks
+slice the sublane dim (any multiple of the sublane tile), so chunk DMA is
+legal AND each decode step's cache write stays one contiguous slab.
+head_dim D = 64 would misalign any [.., D]-last layout.
+
+Compute per batch row (grid (B,)):
+- scores for ALL heads in one MXU dot: a block-diagonal [H, H*D] expansion
+  of q (rows masked to their own head's columns) times the [H*D, S] cache;
+- masked fp32 softmax over valid columns;
+- PV as one [H, S] x [S?]: probs @ v^T gives [H, H*D]; the per-head diagonal
+  blocks are extracted with the same mask and summed into the [H*D] output.
+
+Falls back cleanly: ``GPTConfig(attn_impl="xla")`` keeps the pure-XLA path;
+off-TPU the kernel runs in interpreter mode automatically.
+
+Measured on v5e (baby GPT 6L/6H/384d, B=1024, S=256, bf16, end-to-end
+500-token decode):
+
+- standalone op: this kernel beats the XLA einsum 1.33-1.48x on the
+  [B, S, H*D] layout (valid-prefix DMA skip works);
+- BUT whole-model throughput is layout-dominated: with the cache stored
+  [B, S, H, D] the XLA path hits 259k tok/s while routing through the
+  kernel costs a physical relayout per step (TPU tiled layouts differ
+  between [.., H, 64] and [.., 384]) and collapses to 30k; storing the
+  cache [B, S, H*D] natively lets the kernel reach 108k but degrades the
+  XLA prefill/update path to 68k.
+
+Default therefore stays ``attn_impl="xla"`` with the [B, S, H, D] cache.
+The kernel is the scaffold for a future all-[B,S,H*D] decode path (prefill
+einsums rewritten against the flat layout) where its skip savings stack.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+CHUNK = 64  # cache positions per DMA chunk (sublane slices: multiples of 16)
+
+
+def _kernel(S: int, H: int, HD: int):
+    D = HD // H
+    n_chunks = pl.cdiv(S, CHUNK)
+
+    def kernel(len_ref, q_ref, k_hbm, v_hbm, o_ref, k_buf, v_buf, sems):
+        b = pl.program_id(0)
+        L = len_ref[0]
+
+        for c in range(n_chunks):
+            start = c * CHUNK
+            size = min(CHUNK, S - start)
+
+            @pl.when(start < L)
+            def _(c=c, start=start, size=size):
+                pltpu.make_async_copy(
+                    k_hbm.at[b, pl.ds(start, size), :],
+                    k_buf.at[pl.ds(start, size), :],
+                    sems.at[2 * c],
+                ).start()
+                pltpu.make_async_copy(
+                    v_hbm.at[b, pl.ds(start, size), :],
+                    v_buf.at[pl.ds(start, size), :],
+                    sems.at[2 * c + 1],
+                ).start()
+
+        for c in range(n_chunks):
+            start = c * CHUNK
+            size = min(CHUNK, S - start)
+
+            @pl.when(start < L)
+            def _(c=c, start=start, size=size):
+                pltpu.make_async_copy(
+                    k_hbm.at[b, pl.ds(start, size), :],
+                    k_buf.at[pl.ds(start, size), :], sems.at[2 * c],
+                ).wait()
+                pltpu.make_async_copy(
+                    v_hbm.at[b, pl.ds(start, size), :],
+                    v_buf.at[pl.ds(start, size), :], sems.at[2 * c + 1],
+                ).wait()
+
+        scale = 1.0 / math.sqrt(D)
+        q = q_ref[0, 0]  # [HD]
+        # block-diagonal q: row h holds q's head-h slice, zeros elsewhere
+        head_of_col = jax.lax.broadcasted_iota(jnp.int32, (H, HD), 1) // D
+        row = jax.lax.broadcasted_iota(jnp.int32, (H, HD), 0)
+        head_mask = (head_of_col == row).astype(q.dtype)  # [H, HD]
+        q_bd = q[None, :] * head_mask
+
+        scores = jax.lax.dot_general(
+            q_bd, k_buf[...],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [H, S]
+        col = jax.lax.broadcasted_iota(jnp.int32, (H, S), 1)
+        scores = jnp.where(col < L, scores * scale, -jnp.inf)
+        probs = jax.nn.softmax(scores, axis=-1)
+
+        # mask V beyond length (stale values would poison 0 * garbage)
+        vrow = jax.lax.broadcasted_iota(jnp.int32, (S, HD), 0)
+        v_valid = jnp.where(vrow < L, v_buf[...], 0)
+        out_all = jax.lax.dot_general(
+            probs.astype(v_buf.dtype), v_valid,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [H, HD]: row h, cols of every head — diagonal blocks wanted
+        out = jnp.sum(out_all * head_mask.astype(out_all.dtype), axis=0)  # [HD]
+        o_ref[0, 0] = out.astype(o_ref.dtype)
+
+    return kernel
+
+
+def decode_attention(q, k_cache, v_cache, length, n_head: int = 6,
+                     interpret: bool = False):
+    """q [B, H*D], k/v [B, S, H*D], length scalar -> [B, H*D].
+
+    Automatically falls back to interpret mode off-TPU (CPU tests)."""
+    interpret = interpret or jax.default_backend() != "tpu"
+    return _decode_attention(q, k_cache, v_cache, length, n_head, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("n_head", "interpret"))
+def _decode_attention(q, k_cache, v_cache, length, n_head, interpret):
+    B, S, HD = k_cache.shape
+    n_chunks = pl.cdiv(S, CHUNK)
+    length_arr = jnp.asarray(length, jnp.int32).reshape(1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B,),
+        in_specs=[
+            # q as [B, 1, HD]: block (1, 1, HD) keeps the trailing dims equal
+            # to the array dims (tiling rule for non-multiple-of-8 sublanes)
+            pl.BlockSpec((1, 1, HD), lambda b, *_: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, HD), lambda b, *_: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((S, HD), k_cache.dtype),
+            pltpu.VMEM((S, HD), v_cache.dtype),
+            pltpu.SemaphoreType.DMA((2 * n_chunks,)),
+        ],
+    )
+    out = pl.pallas_call(
+        _kernel(S, n_head, HD),
+        out_shape=jax.ShapeDtypeStruct((B, 1, HD), q.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(length_arr, q.reshape(B, 1, HD), k_cache, v_cache)
+    return out.reshape(B, HD)
+
+
+def decode_attention_reference(q, k_cache, v_cache, length, n_head: int = 6):
+    """Pure-XLA reference (same math as the in-model einsum path)."""
+    B, S, HD = k_cache.shape
+    D = HD // n_head
+    scale = 1.0 / math.sqrt(D)
+    q4 = q.reshape(B, n_head, D)
+    k4 = k_cache.reshape(B, S, n_head, D)
+    v4 = v_cache.reshape(B, S, n_head, D)
+    scores = jnp.einsum("bhd,bshd->bhs", q4, k4) * scale
+    mask = jnp.arange(S)[None, None, :] < length
+    scores = jnp.where(mask, scores, -jnp.inf)
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+    v_valid = jnp.where(mask[0, 0][:, None, None], v4, 0)
+    out = jnp.einsum("bhs,bshd->bhd", probs.astype(v_cache.dtype), v_valid)
+    return out.reshape(B, HD).astype(q.dtype)
