@@ -58,12 +58,20 @@ DEFAULTS = dict(
 IRISHMAN_BAR_REGEX = re.compile(r"(:\||::|\s\||\|\])")
 
 
-def load_model(out_dir: str, dtype: str = "bfloat16"):
-    """Load the best checkpoint -> (model, params, config dict)."""
+def load_model(out_dir: str, dtype: str = "bfloat16", init_from: str = "resume"):
+    """Load the best checkpoint (or a HF GPT-2, ref sample.py:55-71)."""
+    import dataclasses
+
     import jax.numpy as jnp
 
-    state, meta = ckpt_lib.load_checkpoint(out_dir, ckpt_lib.BEST)
     jdtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+    if init_from.startswith("gpt2"):
+        from ai_music_generation_tpu.models.hf_import import from_pretrained
+
+        config, params = from_pretrained(init_from)
+        config = dataclasses.replace(config, dtype=jdtype)
+        return GPT(config), params, {"model_args": {}, "config": {}}
+    state, meta = ckpt_lib.load_checkpoint(out_dir, ckpt_lib.BEST)
     config = GPTConfig(dropout=0.0, dtype=jdtype, **meta["model_args"])
     model = GPT(config)
     params = state["params"]
@@ -148,8 +156,16 @@ def run_sampling(c: dict, write: bool = True) -> list[tuple[object, str]]:
 
     from ai_music_generation_tpu.decode.generate import Generator
 
-    model, params, ckpt_meta = load_model(c["out_dir"], c["dtype"])
-    encode, decode = build_codec(ckpt_meta, c["data_root"], c["tokens_format"])
+    model, params, ckpt_meta = load_model(c["out_dir"], c["dtype"], c["init_from"])
+    if c["init_from"].startswith("gpt2"):
+        # GPT-2 BPE fallback (ref: sample.py:96-100)
+        import tiktoken
+
+        enc = tiktoken.get_encoding("gpt2")
+        encode = lambda s: enc.encode(s, allowed_special={"<|endoftext|>"})
+        decode = lambda l: enc.decode(list(map(int, l)))
+    else:
+        encode, decode = build_codec(ckpt_meta, c["data_root"], c["tokens_format"])
     prompts = list(prompt_iter(c))
 
     gen = Generator(

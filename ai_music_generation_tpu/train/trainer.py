@@ -131,6 +131,7 @@ class Trainer:
         resuming = c["init_from"] == "resume" and ckpt_lib.checkpoint_exists(
             c["out_dir"], ckpt_lib.LAST
         )
+        hf_params = None
         if resuming:
             _, meta = ckpt_lib.load_checkpoint(c["out_dir"], ckpt_lib.LAST, target=None)
             # architecture comes from the checkpoint (ref: train.py:181-185)
@@ -138,6 +139,16 @@ class Trainer:
         elif c["init_from"] == "resume":
             raise FileNotFoundError(
                 f"init_from=resume but no checkpoint in {c['out_dir']}"
+            )
+        elif c["init_from"].startswith("gpt2"):
+            # HF GPT-2 weight import (ref: train.py:196-203)
+            from ai_music_generation_tpu.models.hf_import import from_pretrained
+
+            hf_config, hf_params = from_pretrained(c["init_from"], c["dropout"])
+            model_args.update(
+                n_layer=hf_config.n_layer, n_head=hf_config.n_head,
+                n_embd=hf_config.n_embd, block_size=hf_config.block_size,
+                bias=hf_config.bias, vocab_size=hf_config.vocab_size,
             )
 
         dtype = jnp.bfloat16 if c["dtype"] == "bfloat16" else jnp.float32
@@ -156,8 +167,11 @@ class Trainer:
             self.schedule, c["weight_decay"], c["beta1"], c["beta2"], c["grad_clip"]
         )
 
-        dummy = jnp.zeros((1, model_args["block_size"]), jnp.int32)
-        params = jax.jit(self.model.init)(jax.random.PRNGKey(c["seed"]), dummy)
+        if hf_params is not None:
+            params = hf_params
+        else:
+            dummy = jnp.zeros((1, model_args["block_size"]), jnp.int32)
+            params = jax.jit(self.model.init)(jax.random.PRNGKey(c["seed"]), dummy)
         state = TrainState.create(params, self.tx)
 
         # shard: params per TP rules, opt-state moments inherit param layout
