@@ -27,6 +27,10 @@ def main(argv=None):
     ap.add_argument("--valid_json")
     ap.add_argument("--train_dir")
     ap.add_argument("--valid_dir")
+    ap.add_argument("--text", help="single raw text file; split val_ratio off the"
+                    " end (the shakespeare_char recipe, ref: "
+                    "nanoGPT/data/shakespeare_char/prepare.py)")
+    ap.add_argument("--val_ratio", type=float, default=0.1)
     ap.add_argument("--out_dir", required=True)
     ap.add_argument("--extra_vocab_dirs", nargs="*", default=[])
     ap.add_argument("--vocab_size", type=int, default=1024)
@@ -35,8 +39,15 @@ def main(argv=None):
     if a.mode == "midi":
         return P.prepare_midi_texts(a.train_dir, a.valid_dir, a.out_dir,
                                     a.extra_vocab_dirs)
-    train = _load(a.train_json)
-    valid = _load(a.valid_json)
+    if a.text:
+        with open(a.text) as f:
+            text = f.read()
+        split = int(len(text) * (1 - a.val_ratio))
+        train = [{"abc notation": text[:split]}]
+        valid = [{"abc notation": text[split:]}]
+    else:
+        train = _load(a.train_json)
+        valid = _load(a.valid_json)
     if a.mode == "char":
         return P.prepare_char(train, valid, a.out_dir)
     if a.mode == "whitespace":
