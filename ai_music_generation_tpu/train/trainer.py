@@ -298,8 +298,11 @@ class Trainer:
             )
 
             if self.iter_num % c["log_interval"] == 0:
+                # float() syncs every step dispatched since the last log, so
+                # amortize dt over the whole window for honest per-iter time
                 loss = float(metrics["loss"])
-                dt = time.time() - t0
+                window = max(1, c["log_interval"]) if self.iter_num > 0 else 1
+                dt = (time.time() - t0) / window
                 mfu = estimate_mfu(
                     self.gpt_config, self.n_params,
                     self.micro_batch * self.grad_accum, dt,
@@ -309,7 +312,7 @@ class Trainer:
                     f"iter {self.iter_num}: loss {loss:.4f}, time {dt*1000:.2f}ms, "
                     f"mfu {running_mfu*100:.2f}%"
                 )
-            t0 = time.time()
+                t0 = time.time()
 
             self.iter_num += 1
             if self.iter_num > c["max_iters"]:
