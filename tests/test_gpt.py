@@ -112,3 +112,18 @@ def test_dropout_rng_changes_output():
     _, l2, _ = model.apply(params, idx, t, deterministic=False,
                            rngs={"dropout": jax.random.PRNGKey(2)})
     assert not np.isclose(float(l1), float(l2))
+
+
+def test_flash_flag_falls_back_off_tpu():
+    """attn_impl='flash' must produce identical results off-TPU (fallback)."""
+    import dataclasses
+
+    cfg_f = dataclasses.replace(TINY, attn_impl="flash")
+    model_f = GPT(cfg_f)
+    model_x = GPT(TINY)
+    idx = jnp.ones((2, 8), jnp.int32)
+    params = model_x.init(jax.random.PRNGKey(0), idx)
+    t = jnp.ones((2, 8), jnp.int32)
+    _, lf, _ = model_f.apply(params, idx, t)
+    _, lx, _ = model_x.apply(params, idx, t)
+    assert float(lf) == float(lx)
