@@ -46,7 +46,8 @@ class GPTConfig:
     # TPU-specific knobs (no reference equivalent):
     dtype: Any = jnp.bfloat16  # activation/compute dtype
     param_dtype: Any = jnp.float32
-    attn_impl: str = "xla"  # "xla" | "pallas"
+    attn_impl: str = "xla"  # "xla" | "pallas" | "flash"
+    kv_quantized: bool = False  # int8 KV cache (halves decode HBM traffic)
 
     @property
     def head_dim(self) -> int:
@@ -70,26 +71,41 @@ class KVCache:
 
     ``length`` is the number of valid positions already written (a shared
     scalar — decode is lockstep across the batch).
+
+    With ``quantized=True`` the buffers are int8 with per-(position, head)
+    fp scales (``k_scale``/``v_scale`` [B, S, H]): HBM cache traffic — the
+    decode bottleneck — halves. Quantization changes logits slightly, so
+    sampled output differs from the bf16 cache (still fully deterministic
+    at fixed seed); enable via ``GPTConfig(kv_quantized=True)``.
     """
 
     k: tuple[Array, ...]
     v: tuple[Array, ...]
     length: Array  # scalar int32
+    k_scale: Optional[tuple[Array, ...]] = None
+    v_scale: Optional[tuple[Array, ...]] = None
 
     @classmethod
     def create(cls, config: GPTConfig, batch: int, max_len: Optional[int] = None,
-               dtype: Any = None) -> "KVCache":
+               dtype: Any = None, quantized: Optional[bool] = None) -> "KVCache":
         max_len = max_len or config.block_size
-        dtype = dtype or config.dtype
+        quantized = config.kv_quantized if quantized is None else quantized
+        dtype = jnp.int8 if quantized else (dtype or config.dtype)
         shape = (batch, max_len, config.n_head, config.head_dim)
+        scale_shape = (batch, max_len, config.n_head)
+        mk = lambda: tuple(jnp.zeros(shape, dtype) for _ in range(config.n_layer))
+        mks = lambda: tuple(
+            jnp.zeros(scale_shape, jnp.bfloat16) for _ in range(config.n_layer)
+        )
         return cls(
-            k=tuple(jnp.zeros(shape, dtype) for _ in range(config.n_layer)),
-            v=tuple(jnp.zeros(shape, dtype) for _ in range(config.n_layer)),
+            k=mk(), v=mk(),
             length=jnp.zeros((), jnp.int32),
+            k_scale=mks() if quantized else None,
+            v_scale=mks() if quantized else None,
         )
 
     def tree_flatten(self):
-        return (self.k, self.v, self.length), None
+        return (self.k, self.v, self.length, self.k_scale, self.v_scale), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -139,15 +155,35 @@ class CausalSelfAttention(nn.Module):
 
         new_cache = None
         if layer_cache is not None:
-            ck, cv = layer_cache  # [B, S, H, D]
+            ck, cv = layer_cache[0], layer_cache[1]  # [B, S, H, D]
+            ck_scale = layer_cache[2] if len(layer_cache) > 2 else None
+            cv_scale = layer_cache[3] if len(layer_cache) > 2 else None
             S = ck.shape[1]
-            # contiguous [B, T, H, D] slab write at position cache_len
-            ck = jax.lax.dynamic_update_slice(
-                ck, k.astype(ck.dtype), (0, cache_len, 0, 0))
-            cv = jax.lax.dynamic_update_slice(
-                cv, v.astype(cv.dtype), (0, cache_len, 0, 0))
-            new_cache = (ck, cv)
-            if T == 1 and cfg.attn_impl == "pallas":
+            if ck_scale is not None:
+                # int8 cache: quantize the new slab per (position, head)
+                def quantize(x):
+                    s_ = jnp.maximum(jnp.max(jnp.abs(x), axis=-1), 1e-6) / 127.0
+                    q = jnp.clip(jnp.round(x / s_[..., None]), -127, 127)
+                    return q.astype(jnp.int8), s_.astype(jnp.bfloat16)
+
+                kq, ks = quantize(k.astype(jnp.float32))
+                vq, vs = quantize(v.astype(jnp.float32))
+                ck = jax.lax.dynamic_update_slice(ck, kq, (0, cache_len, 0, 0))
+                cv = jax.lax.dynamic_update_slice(cv, vq, (0, cache_len, 0, 0))
+                ck_scale = jax.lax.dynamic_update_slice(ck_scale, ks, (0, cache_len, 0))
+                cv_scale = jax.lax.dynamic_update_slice(cv_scale, vs, (0, cache_len, 0))
+                new_cache = (ck, cv, ck_scale, cv_scale)
+                # dequantized views feed the einsums (fused by XLA)
+                ck = ck.astype(cfg.dtype) * ck_scale[..., None].astype(cfg.dtype)
+                cv = cv.astype(cfg.dtype) * cv_scale[..., None].astype(cfg.dtype)
+            else:
+                # contiguous [B, T, H, D] slab write at position cache_len
+                ck = jax.lax.dynamic_update_slice(
+                    ck, k.astype(ck.dtype), (0, cache_len, 0, 0))
+                cv = jax.lax.dynamic_update_slice(
+                    cv, v.astype(cv.dtype), (0, cache_len, 0, 0))
+                new_cache = (ck, cv)
+            if T == 1 and cfg.attn_impl == "pallas" and ck_scale is None:
                 from ai_music_generation_tpu.ops.decode_attention import (
                     decode_attention,
                 )
@@ -312,13 +348,25 @@ class GPT(nn.Module):
 
         new_k: list[Array] = []
         new_v: list[Array] = []
+        new_ks: list[Array] = []
+        new_vs: list[Array] = []
+        quantized = cache is not None and cache.k_scale is not None
         for i in range(cfg.n_layer):
-            layer_cache = None if cache is None else (cache.k[i], cache.v[i])
+            if cache is None:
+                layer_cache = None
+            elif quantized:
+                layer_cache = (cache.k[i], cache.v[i],
+                               cache.k_scale[i], cache.v_scale[i])
+            else:
+                layer_cache = (cache.k[i], cache.v[i])
             cache_len = None if cache is None else cache.length
             x, lc = Block(cfg, i, name=f"h_{i}")(x, deterministic, layer_cache, cache_len)
             if lc is not None:
                 new_k.append(lc[0])
                 new_v.append(lc[1])
+                if len(lc) > 2:
+                    new_ks.append(lc[2])
+                    new_vs.append(lc[3])
 
         x = nn.LayerNorm(
             use_bias=cfg.bias, dtype=cfg.dtype, param_dtype=cfg.param_dtype,
@@ -327,7 +375,11 @@ class GPT(nn.Module):
 
         new_cache = None
         if cache is not None:
-            new_cache = KVCache(tuple(new_k), tuple(new_v), cache.length + T)
+            new_cache = KVCache(
+                tuple(new_k), tuple(new_v), cache.length + T,
+                tuple(new_ks) if new_ks else None,
+                tuple(new_vs) if new_vs else None,
+            )
 
         if targets is not None:
             logits = wte.attend(x)  # weight tying (ref: model.py:138)
