@@ -54,3 +54,33 @@ def test_train_and_generate(tiny_data, tmp_path):
     text = open(out_path).read()
     assert "X:1\n" in text and "X:2\n" in text
     assert "K:C" in text
+
+
+def test_sample_tunesformer_batch(tiny_data, tmp_path):
+    """Batch sampler over validation leadsheets -> sample_<id>.abc files."""
+    root, data_path = tiny_data
+    out = str(tmp_path / "tf_out2")
+    train_main([
+        f"--data_path={data_path}", f"--out_dir={out}",
+        "--num_epochs=1", "--batch_size=4", "--patch_length=16",
+        "--patch_size=16", "--patch_layers=2", "--char_layers=2",
+        "--n_embd=32", "--n_head=2", "--dtype=float32",
+    ])
+    val_json = tmp_path / "val.json"
+    with open(val_json, "w") as f:
+        json.dump([
+            {"id": "t1", "control code": "S:1\nB:2\n",
+             "abc notation": "L:1/8\nK:C\nCDEF GABc|cBAG FEDC|"},
+            {"id": "t2", "abc notation": "L:1/8\nK:C\nCCEE GGcc|"},
+        ], f)
+    from ai_music_generation_tpu.cli.sample_tunesformer import main as st_main
+
+    samples_dir = str(tmp_path / "samples")
+    n = st_main([str(val_json), f"--weights={out}",
+                 f"--output_dir={samples_dir}", "--n_measures=1",
+                 "--max_patch=6", "--seed=3", "--temperature=1.0"])
+    assert n == 2
+    files = sorted(os.listdir(samples_dir))
+    assert files == ["sample_t1.abc", "sample_t2.abc"]
+    text = open(os.path.join(samples_dir, "sample_t1.abc")).read()
+    assert text.startswith("X:t1\n")
