@@ -44,3 +44,26 @@ def test_sharded_forward_matches_replicated(mesh8):
 
     loss_sh = fwd(params_sh, idx_sh, t_sh)
     np.testing.assert_allclose(float(loss_ref), float(loss_sh), rtol=1e-5)
+
+
+def test_sharded_batched_decode(mesh8):
+    """Generation with the batch sharded over the data axis (v5e-8 story):
+    SPMD decode must produce the same tokens as single-device decode."""
+    import numpy as np
+
+    from ai_music_generation_tpu.decode.generate import Generator
+    from ai_music_generation_tpu.parallel import mesh as pmesh
+
+    cfg = GPTConfig(block_size=16, vocab_size=64, n_layer=2, n_head=2,
+                    n_embd=32, dtype=jnp.float32)
+    model = GPT(cfg)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4), jnp.int32))
+    gen = Generator(model, max_new_tokens=6, temperature=0.0)
+    prompts = np.tile(np.array([[3, 1, 4, 1]], np.int32), (8, 1))
+
+    out_local = np.asarray(gen.generate(params, prompts, seed=0))
+
+    params_sh = jax.device_put(params, pmesh.shardings_for_tree(mesh8, params))
+    prompts_sh = jax.device_put(jnp.asarray(prompts), pmesh.batch_sharding(mesh8))
+    out_sh = np.asarray(gen.generate(params_sh, prompts_sh, seed=0))
+    np.testing.assert_array_equal(out_local, out_sh)
