@@ -291,9 +291,11 @@ class AbcParser:
             note = AbcNote(pitch, st.time, dur, vidx)
             if pitch >= 0 and st.tie_pending is not None and st.tie_pending.pitch == pitch:
                 st.tie_pending.duration += dur
-                st.tie_pending = None
             else:
                 tune.notes.append(note)
+            # a tie binds only the immediately-following note; clear it either
+            # way so a mismatched tie can't capture a later same-pitch note
+            st.tie_pending = None
             st.time += dur
 
         while i < n:
@@ -466,8 +468,9 @@ class AbcParser:
             tune.notes.append(
                 AbcNote(x.pitch, x.start + shift, x.duration, x.voice)
             )
-        section_len = sum((x.duration for x in section), Fraction(0))
-        st.time = base + section_len
+        # advance by the section's time SPAN (== shift); summing durations
+        # overcounts when the section contains chords (overlapping notes)
+        st.time = base + shift
         st.repeat_start_idx = len(tune.notes)
         st.repeat_start_time = st.time
         st.first_ending_start = None

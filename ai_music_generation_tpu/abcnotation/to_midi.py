@@ -21,9 +21,11 @@ def tune_to_midi(tune: AbcTune, ticks_per_quarter: int = 480,
                  velocity: int = 105, program: int = 0) -> midi_io.MidiFile:
     tpq = ticks_per_quarter
     n_voices = max(tune.n_voices, 1 + max((n.voice for n in tune.notes), default=0))
+    # melodic channels only: skip GM percussion channel 9 without collisions
+    melodic_channels = [c for c in range(16) if c != 9]
     tracks = [
         midi_io.TrackInfo(index=v + 1, name=f"Voice {v + 1}", program=program,
-                          channel=v % 16 if v % 16 != 9 else 10)
+                          channel=melodic_channels[v % len(melodic_channels)])
         for v in range(n_voices)
     ]
     for note in tune.notes:

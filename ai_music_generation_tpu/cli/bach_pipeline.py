@@ -207,6 +207,12 @@ def cmd_generate(a):
         bases = (72, 65, 57, 48)
         for m_idx, m_len in enumerate(template[: a.max_measures]):
             chords_in_measure = max(1, int(float(m_len)))
+            # sample the measure's chord SEQUENCE once so all four voices
+            # sound the same chord at each slot
+            measure_chords = []
+            for _ in range(chords_in_measure):
+                measure_chords.append(chord_key)
+                chord_key = sample_next(chord_key)
             for p_idx, part in enumerate(satb_parts):
                 measure = Measure(
                     time_sig=ts if m_idx == 0 else None,
@@ -215,16 +221,14 @@ def cmd_generate(a):
                     real_duration=ts.bar_duration,
                 )
                 step = ts.bar_duration / chords_in_measure
-                for c_idx in range(chords_in_measure):
-                    pcs = json.loads(chord_key)
+                for c_idx, ck in enumerate(measure_chords):
+                    pcs = json.loads(ck)
                     pc = pcs[p_idx % len(pcs)]
                     base = bases[p_idx]
                     pitch = base + ((pc - base) % 12)
                     measure.notes.append(
                         NoteEl(offset=step * c_idx, quarter_length=step, pitches=(pitch,))
                     )
-                    if p_idx == len(satb_parts) - 1:
-                        chord_key = sample_next(chord_key)
                 part.measures.append(measure)
         score = Score(satb_parts)
         midi = score_to_midi(score)

@@ -21,6 +21,7 @@ import argparse
 import json
 import os
 import re
+import zlib
 from pathlib import Path
 
 import jax.numpy as jnp
@@ -95,7 +96,7 @@ def main(argv=None):
                   else control_code) + prefix
         tunes = gen.generate_tunes(
             params, prompt, num_tunes=1, max_patch=a.max_patch,
-            seed=a.seed if a.seed is not None else hash(_id) % (2**31),
+            seed=a.seed if a.seed is not None else zlib.crc32(_id.encode()),
             show_control_code=a.show_control_code,
         )
         out_path = Path(a.output_dir) / f"sample_{_id}.abc"

@@ -234,13 +234,14 @@ def _notes_to_part(notes, tsigs, fill_rests: bool) -> Part:
             _fill_gap_rests(measure)
         part.measures.append(measure)
 
-    # trim trailing all-rest measures beyond the music
-    while part.measures and all(n.is_rest for n in part.measures[-1].notes):
-        if any(not n.is_rest for n in part.measures[-1].notes):
-            break
-        last = part.measures.pop()
-        if last.time_sig is not None:
-            break  # keep a measure that carries a signature change
+    # trim trailing all-rest measures beyond the music; keep any measure
+    # that carries a time-signature change
+    while (
+        part.measures
+        and all(n.is_rest for n in part.measures[-1].notes)
+        and part.measures[-1].time_sig is None
+    ):
+        part.measures.pop()
     if not part.measures and grid:
         part.measures.append(Measure(offset=grid[0][0], bar_duration=grid[0][1]))
     return part

@@ -149,7 +149,13 @@ class TunesGenerator:
 
         prompt_patches = p.encode(prompt, L, S, add_special_patches=True)[:-1]
         prefix = p.decode(prompt_patches)
-        remaining = prompt[len(prefix):]
+        # the decoded patch view is only a string prefix of the prompt when
+        # no line/bar was truncated by patch_size or stripped by unidecode;
+        # otherwise carrying text would duplicate content already encoded
+        from ai_music_generation_tpu.tokenizers.patchilizer import _ascii
+
+        norm_prompt = _ascii(prompt)
+        remaining = norm_prompt[len(prefix):] if norm_prompt.startswith(prefix) else ""
 
         patches = np.zeros((B, L, S), np.int32)
         patches[:, : len(prompt_patches)] = np.asarray(prompt_patches, np.int32)

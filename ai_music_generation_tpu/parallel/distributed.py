@@ -35,8 +35,10 @@ def initialize_distributed(
     num_processes = num_processes or _int_env("JAX_NUM_PROCESSES")
     process_id = process_id if process_id is not None else _int_env("JAX_PROCESS_ID")
 
+    # decide from env/args ONLY: touching jax.process_count() here would
+    # initialize the backend and make jax.distributed.initialize() raise
     multi_host = coordinator_address is not None or (num_processes or 1) > 1
-    if multi_host and jax.process_count() == 1:
+    if multi_host:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,

@@ -251,6 +251,7 @@ class Trainer:
         losses_path = os.path.join(c["out_dir"], "losses.jsonl")
         rng = jax.random.PRNGKey(c["seed"])
         running_mfu = -1.0
+        local_iter = 0  # iterations THIS process (compile pollutes early dts)
         t0 = time.time()
 
         if c["wandb_log"]:
@@ -303,11 +304,12 @@ class Trainer:
                 loss = float(metrics["loss"])
                 window = max(1, c["log_interval"]) if self.iter_num > 0 else 1
                 dt = (time.time() - t0) / window
-                mfu = estimate_mfu(
-                    self.gpt_config, self.n_params,
-                    self.micro_batch * self.grad_accum, dt,
-                )
-                running_mfu = mfu if running_mfu == -1.0 else 0.9 * running_mfu + 0.1 * mfu
+                if local_iter >= 5:  # skip compile-polluted early windows (ref :363-369)
+                    mfu = estimate_mfu(
+                        self.gpt_config, self.n_params,
+                        self.micro_batch * self.grad_accum, dt,
+                    )
+                    running_mfu = mfu if running_mfu == -1.0 else 0.9 * running_mfu + 0.1 * mfu
                 print(
                     f"iter {self.iter_num}: loss {loss:.4f}, time {dt*1000:.2f}ms, "
                     f"mfu {running_mfu*100:.2f}%"
@@ -315,6 +317,7 @@ class Trainer:
                 t0 = time.time()
 
             self.iter_num += 1
+            local_iter += 1
             if self.iter_num > c["max_iters"]:
                 break
         return self.best_val_loss

@@ -309,10 +309,11 @@ struct Parser {
     if (pitch >= 0 && st.tiePendingIdx >= 0 &&
         events[st.tiePendingIdx].pitch == pitch) {
       events[st.tiePendingIdx].dur = events[st.tiePendingIdx].dur + dur;
-      st.tiePendingIdx = -1;
     } else {
       events.push_back({(int32_t)pitch, st.time, dur, (int32_t)vidx});
     }
+    // a tie binds only the immediately-following note
+    st.tiePendingIdx = -1;
     st.time = st.time + dur;
   }
 
@@ -347,11 +348,11 @@ struct Parser {
     for (int k = st.repeatStartIdx; k < endIdx; ++k)
       if (events[k].voice == vidx) section.push_back(events[k]);
     Frac shift = st.time - st.repeatStartTime;
-    Frac sectionLen;
-    for (const Event& e : section) sectionLen = sectionLen + e.dur;
     for (const Event& e : section)
       events.push_back({e.pitch, e.start + shift, e.dur, e.voice});
-    st.time = base + sectionLen;
+    // advance by the section's time SPAN; summing durations overcounts
+    // when the section contains chords (overlapping notes)
+    st.time = base + shift;
     st.repeatStartIdx = (int)events.size();
     st.repeatStartTime = st.time;
     st.firstEndingStart = -1;

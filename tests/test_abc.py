@@ -187,3 +187,26 @@ def test_random_notes_style_abc():
     midi = abc_to_midi(abc)
     assert len(midi.notes) == 5
     assert midi.key_signatures[0].sharps == -2
+
+
+def test_mismatched_tie_does_not_capture_later_note():
+    """A tie binds only the immediately-following note: 'C2- D2 C2' must
+    yield three notes (regression: the tie used to capture the later C)."""
+    t = parse("C2- D2 C2 |")
+    ns = notes_of(t)
+    assert [(p, s, d) for p, s, d in ns] == [
+        (60, 0, 1), (62, 1, 1), (60, 2, 1),
+    ]
+
+
+def test_repeat_with_chords_advances_by_span():
+    """Repeat expansion must advance time by the section SPAN, not the sum
+    of note durations (regression: chords overcounted)."""
+    t = parse("|: [CEG]2 :| D |")
+    ns = notes_of(t)
+    # [CEG]2 spans 1 quarter: chord at 0, repeat at 1, D at 2
+    # (the bug advanced by the 3-quarter duration SUM -> D landed at 4)
+    starts = sorted(set(s for _, s, _ in ns))
+    assert starts == [0, 1, 2]
+    d_note = [n for n in ns if n[0] == 62]
+    assert d_note[0][1] == 2

@@ -89,3 +89,12 @@ def test_native_empty_and_garbage(native_parser):
     assert t.notes == []
     t = native_parser.parse("X:1\nK:C\n@#$%^&*")
     assert t.notes == []
+
+
+def test_native_regression_tie_and_chord_repeat(native_parser):
+    """The two review-found parser bugs, fixed in BOTH implementations."""
+    for abc in (
+        "X:1\nL:1/8\nM:4/4\nK:C\nC2- D2 C2 |",
+        "X:1\nL:1/8\nM:4/4\nK:C\n|: [CEG]2 :| D |",
+    ):
+        assert_tunes_equal(AbcParser().parse(abc), native_parser.parse(abc), abc)
