@@ -39,6 +39,31 @@ from ai_music_generation_tpu.eval.similarities import (
 from ai_music_generation_tpu.eval.vectorization import MidiVectorizer
 
 
+_worker_vectorizer: Optional[MidiVectorizer] = None
+
+
+def _init_metrics_worker() -> None:
+    global _worker_vectorizer
+    _worker_vectorizer = MidiVectorizer()
+
+
+def _metrics_job(args):
+    """Pool worker: (midi_path, ref_path, n_conditioned) -> rows or error.
+
+    Mirrors the reference's multiprocessing fan-out of per-file metrics
+    (ref: abc_to_midi_wav_and_aesthetics.py:226-227) — crash-proof like
+    midi_and_wav_to_aesthetics.py:130-149."""
+    midi_path, ref_path, n_conditioned = args
+    try:
+        vec = _worker_vectorizer or MidiVectorizer()
+        inner, reference, conditioned = structural_metrics(
+            midi_path, vec, ref_path, n_conditioned
+        )
+        return midi_path, inner, reference, conditioned, None
+    except Exception as e:
+        return midi_path, None, None, None, str(e)
+
+
 @dataclass
 class PipelineConfig:
     abc_input_folder: Optional[str] = None
@@ -52,6 +77,8 @@ class PipelineConfig:
     n_conditioned_measures: int = 0
     render_wav: bool = True
     aesthetics_batch_size: int = 10
+    synth_batch: int = 8  # tunes rendered per device call (vmapped synth)
+    metrics_processes: Optional[int] = None  # Pool size for the metrics stage
 
 
 def extract_index(abc_content: str, filename: str) -> str:
@@ -174,8 +201,8 @@ class EvalPipeline:
             )
             inputs = [(os.path.join(c.midi_input_folder, f), "midi") for f in files]
 
-        wav_paths = []
-        inner_rows, ref_rows, cond_rows = [], [], []
+        # stage 1: compile ABC -> MIDI (host, fast)
+        todo = []  # (idx, midi_path)
         n_failed = 0
         for path, kind in inputs:
             try:
@@ -184,20 +211,55 @@ class EvalPipeline:
                 else:
                     idx = os.path.splitext(os.path.basename(path))[0].split("_")[-1]
                     midi_path = path
-                if c.render_wav:
-                    wav_paths.append(os.path.abspath(self.midi_to_wav(idx, midi_path)))
-                ref_path = self.reference_midi_for(idx, os.path.basename(midi_path))
-                inner, reference, conditioned = structural_metrics(
-                    midi_path, self.vectorizer, ref_path, c.n_conditioned_measures
-                )
-                inner_rows.append((midi_path, *inner))
-                if reference[0] is not None:
-                    ref_rows.append((midi_path, *reference))
-                if conditioned[0] is not None:
-                    cond_rows.append((midi_path, *conditioned))
+                todo.append((idx, midi_path))
             except Exception as e:
                 print(f"Error processing {path}: {e}")
                 n_failed += 1
+
+        # stage 2: batched on-TPU rendering (synth_batch tunes per call)
+        wav_paths = []
+        if c.render_wav and todo:
+            from ai_music_generation_tpu.codec import midi_io
+            from ai_music_generation_tpu.synth.render import synthesize_midi_batch
+            from ai_music_generation_tpu.synth.wav_io import write_wav
+
+            for lo in range(0, len(todo), c.synth_batch):
+                chunk = todo[lo : lo + c.synth_batch]
+                midis = []
+                for _idx, midi_path in chunk:
+                    midis.append(midi_io.parse_midi_file(midi_path))
+                waves = synthesize_midi_batch(midis, c.sample_rate)
+                for (idx, _), wave in zip(chunk, waves):
+                    wav_path = os.path.join(self.wav_dir, f"file_{idx}.wav")
+                    write_wav(wav_path, wave, c.sample_rate)
+                    wav_paths.append(os.path.abspath(wav_path))
+
+        # stage 3: structural metrics, fanned out over a process pool
+        # (reference's multiprocessing.Pool, ref :226-227)
+        jobs = [
+            (midi_path, self.reference_midi_for(idx, os.path.basename(midi_path)),
+             c.n_conditioned_measures)
+            for idx, midi_path in todo
+        ]
+        inner_rows, ref_rows, cond_rows = [], [], []
+        if c.metrics_processes == 1 or len(jobs) <= 2:
+            _init_metrics_worker()
+            results = map(_metrics_job, jobs)
+        else:
+            import multiprocessing as mp
+
+            pool = mp.Pool(c.metrics_processes, initializer=_init_metrics_worker)
+            results = pool.imap(_metrics_job, jobs)
+        for midi_path, inner, reference, conditioned, err in results:
+            if err is not None:
+                print(f"Error processing {midi_path}: {err}")
+                n_failed += 1
+                continue
+            inner_rows.append((midi_path, *inner))
+            if reference[0] is not None:
+                ref_rows.append((midi_path, *reference))
+            if conditioned[0] is not None:
+                cond_rows.append((midi_path, *conditioned))
 
         # JSONL outputs (ref :232-284)
         def write_rows(rows, out_path):

@@ -146,6 +146,53 @@ def _pad_events(events: np.ndarray) -> np.ndarray:
     return np.concatenate([events, pad], axis=0)
 
 
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def render_events_batch(events: jax.Array, total_samples: int,
+                        sample_rate: int = SAMPLE_RATE) -> jax.Array:
+    """Render a BATCH of padded event tensors [N, E, 4] -> [N, total_samples].
+
+    vmap of :func:`render_events`: all tunes' note-scans run as one batched
+    program, amortizing per-call dispatch for directory-scale rendering."""
+    return jax.vmap(lambda ev: render_events(ev, total_samples, sample_rate))(events)
+
+
+def synthesize_midi_batch(
+    midis: list, sample_rate: int = SAMPLE_RATE,
+    max_seconds: float = 120.0, trim: bool = True,
+) -> list:
+    """Render many MidiFiles in one device call (canonical shapes).
+
+    Returns a list of trimmed float32 waveforms, order-matched to ``midis``.
+    """
+    all_events = [midi_to_events(m, sample_rate) for m in midis]
+    n_pad = max((len(_pad_events(e)) for e in all_events if len(e)), default=EVENT_PAD)
+    total = int(min(CANONICAL_SECONDS, max_seconds) * sample_rate)
+    batch = np.zeros((len(midis), n_pad, 4), np.float32)
+    needs = []
+    for i, ev in enumerate(all_events):
+        needs.append(
+            min(float((ev[:, 1] + ev[:, 2]).max()) / sample_rate + 1.0, max_seconds)
+            if len(ev) else 0.0
+        )
+        if len(ev):
+            batch[i, : len(ev)] = ev
+    waves = np.asarray(jax.device_get(
+        render_events_batch(jnp.asarray(batch), total, sample_rate)
+    ))
+    out = []
+    for i, wave in enumerate(waves):
+        if needs[i] == 0.0:
+            out.append(np.zeros(0, np.float32))
+            continue
+        end = len(wave)
+        if trim:
+            above = np.abs(wave) > 1e-3
+            idx = int(np.max(np.where(above)[0])) if above.any() else 0
+            end = min(idx + 1 + 1600, len(wave))
+        out.append(wave[: min(end, int(needs[i] * sample_rate))])
+    return out
+
+
 def synthesize_midi(midi: midi_io.MidiFile, sample_rate: int = SAMPLE_RATE,
                     max_seconds: float = 120.0, trim: bool = True) -> np.ndarray:
     """Host convenience: MidiFile -> trimmed float32 waveform (numpy).
