@@ -22,6 +22,7 @@ TPU-native differences:
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import random
@@ -132,7 +133,34 @@ def main(argv=None):
     opt_state = tx.init(params["params"])
     step_count = 0
 
-    @jax.jit
+    # data-parallel over all devices: replicated params, batch sharded on
+    # the data axis (replaces the reference's nn.DataParallel scatter,
+    # ref train.py:35-36 — and actually batches, which DataParallel didn't).
+    # Falls back to single-device jit when the batch doesn't divide the
+    # device count.
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ai_music_generation_tpu.parallel import mesh as pmesh
+
+    n_dev = jax.device_count()
+    if n_dev > 1 and B % n_dev == 0:
+        mesh = pmesh.make_mesh()
+        batch_sharding = NamedSharding(mesh, P(pmesh.DATA_AXIS))
+        replicated = NamedSharding(mesh, P())
+        train_jit = functools.partial(
+            jax.jit,
+            in_shardings=(replicated, replicated, batch_sharding, replicated),
+            out_shardings=(replicated, replicated, replicated),
+        )
+        eval_jit = functools.partial(
+            jax.jit, in_shardings=(replicated, batch_sharding),
+            out_shardings=replicated,
+        )
+    else:
+        train_jit = jax.jit
+        eval_jit = jax.jit
+
+    @train_jit
     def train_step(params, opt_state, batch, rng):
         def loss_fn(p):
             return model.apply(p, batch, False, rngs={"dropout": rng})
@@ -150,15 +178,23 @@ def main(argv=None):
         )
         return new_params, new_opt, loss
 
-    @jax.jit
+    @eval_jit
     def eval_step(params, batch):
         return model.apply(params, batch, True)
 
-    def batches(arrs, shuffle_rng):
+    def batches(arrs, shuffle_rng, pad_to_full=False):
+        """Full batches; with pad_to_full the tail wraps around so small
+        eval sets still produce one (slightly example-weighted) batch."""
+        import itertools
+
         idx = list(range(len(arrs)))
         shuffle_rng.shuffle(idx)
         for lo in range(0, len(idx) - B + 1, B):
             yield np.stack([arrs[i] for i in idx[lo : lo + B]])
+        rem = len(idx) % B
+        if pad_to_full and rem and idx:
+            tail = list(itertools.islice(itertools.cycle(idx), len(idx) - rem, len(idx) - rem + B))
+            yield np.stack([arrs[i] for i in tail])
 
     best_epoch, min_eval_loss, pre_epoch = 0, 100.0, 0
     if c["load_from_checkpoint"] and ckpt_lib.checkpoint_exists(c["out_dir"], "weights"):
@@ -189,7 +225,7 @@ def main(argv=None):
                 tl += loss
                 tn += 1
         el, en = 0.0, 0
-        for batch in batches(eval_arrs, rng_py):
+        for batch in batches(eval_arrs, rng_py, pad_to_full=True):
             loss = float(eval_step(params, jnp.asarray(batch)))
             if loss == loss:
                 el += loss

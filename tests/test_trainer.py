@@ -87,3 +87,28 @@ def test_resume_forces_arch_from_checkpoint(tiny_dataset, tmp_path):
     # ask for a different n_embd; resume must override it from the checkpoint
     t2 = Trainer(make_config(root, out, max_iters=12, init_from="resume", n_embd=64))
     assert t2.model_args["n_embd"] == 32
+
+
+def test_train_on_uint32_corpus(tmp_path):
+    """Large-vocab (uint32 bin) corpora must flow through the trainer
+    (the reference keys dtype off out_dir; here it comes from meta)."""
+    from ai_music_generation_tpu.tokenizers.simple import WhitespaceTokenizer
+
+    d = tmp_path / "data" / "bigvocab"
+    d.mkdir(parents=True)
+    words = " ".join(f"tok{i}" for i in range(200))
+    text = (words + " $ ") * 50
+    tok = WhitespaceTokenizer.from_texts([text])
+    meta = tok.meta()
+    meta["bin_dtype"] = "uint32"  # force the large-vocab path
+    ids = np.asarray(tok.encode(text), np.uint32)
+    write_bin(ids, str(d / "train.bin"), np.uint32)
+    write_bin(ids[: len(ids) // 4], str(d / "val.bin"), np.uint32)
+    write_meta(meta, str(d / "meta.pkl"))
+
+    c = make_config(str(tmp_path / "data"), str(tmp_path / "out"),
+                    dataset="bigvocab", max_iters=3, eval_interval=3,
+                    eval_iters=1)
+    t = Trainer(c)
+    assert t.train_data.dtype == np.uint32
+    t.run()

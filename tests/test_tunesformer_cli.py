@@ -84,3 +84,17 @@ def test_sample_tunesformer_batch(tiny_data, tmp_path):
     assert files == ["sample_t1.abc", "sample_t2.abc"]
     text = open(os.path.join(samples_dir, "sample_t1.abc")).read()
     assert text.startswith("X:t1\n")
+
+
+def test_tunesformer_train_runs_on_multi_device_mesh(tiny_data, tmp_path):
+    """The DP-sharded TunesFormer train step must run across the 8-device
+    virtual mesh (batch divisible by device count)."""
+    root, data_path = tiny_data
+    out = str(tmp_path / "tf_dp")
+    loss = train_main([
+        f"--data_path={data_path}", f"--out_dir={out}",
+        "--num_epochs=1", "--batch_size=8", "--patch_length=16",
+        "--patch_size=16", "--patch_layers=2", "--char_layers=2",
+        "--n_embd=32", "--n_head=2", "--dtype=float32",
+    ])
+    assert loss < 100
