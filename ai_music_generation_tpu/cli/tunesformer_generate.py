@@ -44,6 +44,8 @@ def get_args(parser: argparse.ArgumentParser):
                         help="whether to show control code")
     parser.add_argument("-weights", type=str, default="tf_out",
                         help="orbax checkpoint directory (from tunesformer_train)")
+    parser.add_argument("-torch_weights", type=str, default="",
+                        help="path to a reference weights.pth (torch) to convert on load")
     parser.add_argument("-prompt", type=str, default="prompt.txt",
                         help="path to the prompt file")
     parser.add_argument("-output_dir", type=str, default="output_tunes")
@@ -55,21 +57,34 @@ def generate_abc(args) -> str:
     from ai_music_generation_tpu.models.tunesformer import TunesFormer, TunesFormerConfig
     from ai_music_generation_tpu.train import checkpoint as ckpt_lib
 
-    if not ckpt_lib.checkpoint_exists(args.weights, "weights"):
-        raise FileNotFoundError(
-            f"no checkpoint at {args.weights}/weights — train one with "
-            "`python -m ai_music_generation_tpu.cli.tunesformer_train`"
+    torch_weights = getattr(args, "torch_weights", "")
+    if torch_weights:
+        # reference weights.pth (ref generate.py:57-89 downloads this file;
+        # here the user supplies it — zero-egress environments can't fetch)
+        from ai_music_generation_tpu.models.tunesformer_import import (
+            load_reference_checkpoint,
         )
-    state, meta = ckpt_lib.load_checkpoint(args.weights, "weights")
-    ma = meta["model_args"]
-    cfg = TunesFormerConfig(
-        patch_length=ma["patch_length"], patch_size=ma["patch_size"],
-        patch_layers=ma["patch_layers"], char_layers=ma["char_layers"],
-        n_embd=ma["n_embd"], n_head=ma["n_head"],
-        share_weights=ma["share_weights"], dropout=0.0, dtype=jnp.bfloat16,
-    )
-    model = TunesFormer(cfg)
-    params = {"params": state["params"]["params"]}
+
+        cfg = TunesFormerConfig(dropout=0.0, dtype=jnp.bfloat16)
+        model = TunesFormer(cfg)
+        params = load_reference_checkpoint(torch_weights, cfg)
+    else:
+        if not ckpt_lib.checkpoint_exists(args.weights, "weights"):
+            raise FileNotFoundError(
+                f"no checkpoint at {args.weights}/weights — train one with "
+                "`python -m ai_music_generation_tpu.cli.tunesformer_train` or "
+                "pass -torch_weights weights.pth (the reference checkpoint)"
+            )
+        state, meta = ckpt_lib.load_checkpoint(args.weights, "weights")
+        ma = meta["model_args"]
+        cfg = TunesFormerConfig(
+            patch_length=ma["patch_length"], patch_size=ma["patch_size"],
+            patch_layers=ma["patch_layers"], char_layers=ma["char_layers"],
+            n_embd=ma["n_embd"], n_head=ma["n_head"],
+            share_weights=ma["share_weights"], dropout=0.0, dtype=jnp.bfloat16,
+        )
+        model = TunesFormer(cfg)
+        params = {"params": state["params"]["params"]}
 
     with open(args.prompt) as f:
         prompt = f.read()
