@@ -468,9 +468,15 @@ class AbcParser:
             tune.notes.append(
                 AbcNote(x.pitch, x.start + shift, x.duration, x.voice)
             )
-        # advance by the section's time SPAN (== shift); summing durations
-        # overcounts when the section contains chords (overlapping notes)
-        st.time = base + shift
+        # advance by the COPIED section's time span: with a [1 first ending
+        # the copy stops at the ending, so the advance excludes it; without
+        # one it is the full shift. (Summing durations instead would
+        # overcount chords.)
+        if st.first_ending_time is not None:
+            section_span = st.first_ending_time - st.repeat_start_time
+        else:
+            section_span = shift
+        st.time = base + section_span
         st.repeat_start_idx = len(tune.notes)
         st.repeat_start_time = st.time
         st.first_ending_start = None

@@ -145,7 +145,6 @@ class EvalPipeline:
         )
         for d in (self.midi_dir, self.wav_dir, self.structure_dir, self.audiobox_dir):
             os.makedirs(d, exist_ok=True)
-        self.vectorizer = MidiVectorizer()
 
     # -- stages -----------------------------------------------------------
 
@@ -157,18 +156,6 @@ class EvalPipeline:
         midi_path = os.path.join(self.midi_dir, f"file_{idx}.mid")
         abc_file_to_midi_file(abc_path, midi_path)
         return idx, midi_path
-
-    def midi_to_wav(self, idx: str, midi_path: str) -> str:
-        from ai_music_generation_tpu.codec import midi_io
-        from ai_music_generation_tpu.synth.render import synthesize_midi
-        from ai_music_generation_tpu.synth.wav_io import write_wav
-
-        wav_path = os.path.join(self.wav_dir, f"file_{idx}.wav")
-        wave = synthesize_midi(
-            midi_io.parse_midi_file(midi_path), self.c.sample_rate
-        )
-        write_wav(wav_path, wave, self.c.sample_rate)
-        return wav_path
 
     def reference_midi_for(self, idx: str, midi_filename: str) -> Optional[str]:
         if not self.c.reference_midi_files_dir:
@@ -216,7 +203,8 @@ class EvalPipeline:
                 print(f"Error processing {path}: {e}")
                 n_failed += 1
 
-        # stage 2: batched on-TPU rendering (synth_batch tunes per call)
+        # stage 2: batched on-TPU rendering (synth_batch tunes per call),
+        # per-file tolerant like the reference's crash-proof workers
         wav_paths = []
         if c.render_wav and todo:
             from ai_music_generation_tpu.codec import midi_io
@@ -224,15 +212,31 @@ class EvalPipeline:
             from ai_music_generation_tpu.synth.wav_io import write_wav
 
             for lo in range(0, len(todo), c.synth_batch):
-                chunk = todo[lo : lo + c.synth_batch]
+                chunk = []
                 midis = []
-                for _idx, midi_path in chunk:
-                    midis.append(midi_io.parse_midi_file(midi_path))
-                waves = synthesize_midi_batch(midis, c.sample_rate)
+                for idx, midi_path in todo[lo : lo + c.synth_batch]:
+                    try:
+                        midis.append(midi_io.parse_midi_file(midi_path))
+                        chunk.append((idx, midi_path))
+                    except Exception as e:
+                        print(f"Error parsing {midi_path}: {e}")
+                        n_failed += 1
+                if not chunk:
+                    continue
+                try:
+                    waves = synthesize_midi_batch(midis, c.sample_rate)
+                except Exception as e:
+                    print(f"Error rendering batch at {lo}: {e}")
+                    n_failed += len(chunk)
+                    continue
                 for (idx, _), wave in zip(chunk, waves):
-                    wav_path = os.path.join(self.wav_dir, f"file_{idx}.wav")
-                    write_wav(wav_path, wave, c.sample_rate)
-                    wav_paths.append(os.path.abspath(wav_path))
+                    try:
+                        wav_path = os.path.join(self.wav_dir, f"file_{idx}.wav")
+                        write_wav(wav_path, wave, c.sample_rate)
+                        wav_paths.append(os.path.abspath(wav_path))
+                    except Exception as e:
+                        print(f"Error writing wav for {idx}: {e}")
+                        n_failed += 1
 
         # stage 3: structural metrics, fanned out over a process pool
         # (reference's multiprocessing.Pool, ref :226-227)
@@ -242,24 +246,33 @@ class EvalPipeline:
             for idx, midi_path in todo
         ]
         inner_rows, ref_rows, cond_rows = [], [], []
+
+        def consume(results):
+            nonlocal n_failed
+            for midi_path, inner, reference, conditioned, err in results:
+                if err is not None:
+                    print(f"Error processing {midi_path}: {err}")
+                    n_failed += 1
+                    continue
+                inner_rows.append((midi_path, *inner))
+                if reference[0] is not None:
+                    ref_rows.append((midi_path, *reference))
+                if conditioned[0] is not None:
+                    cond_rows.append((midi_path, *conditioned))
+
         if c.metrics_processes == 1 or len(jobs) <= 2:
             _init_metrics_worker()
-            results = map(_metrics_job, jobs)
+            consume(map(_metrics_job, jobs))
         else:
             import multiprocessing as mp
 
-            pool = mp.Pool(c.metrics_processes, initializer=_init_metrics_worker)
-            results = pool.imap(_metrics_job, jobs)
-        for midi_path, inner, reference, conditioned, err in results:
-            if err is not None:
-                print(f"Error processing {midi_path}: {err}")
-                n_failed += 1
-                continue
-            inner_rows.append((midi_path, *inner))
-            if reference[0] is not None:
-                ref_rows.append((midi_path, *reference))
-            if conditioned[0] is not None:
-                cond_rows.append((midi_path, *conditioned))
+            # spawn: fork after stage 2 initialized the JAX/TPU runtime is
+            # unsafe (inherited locked mutexes can deadlock children);
+            # workers import only numpy-level modules
+            ctx = mp.get_context("spawn")
+            with ctx.Pool(c.metrics_processes,
+                          initializer=_init_metrics_worker) as pool:
+                consume(pool.imap(_metrics_job, jobs))
 
         # JSONL outputs (ref :232-284)
         def write_rows(rows, out_path):

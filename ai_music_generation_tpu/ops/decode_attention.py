@@ -137,7 +137,9 @@ def decode_attention(q, k_cache, v_cache, length, n_head: int = 6,
 def _decode_attention(q, k_cache, v_cache, length, n_head, interpret):
     B, S, HD = k_cache.shape
     n_chunks = pl.cdiv(S, CHUNK)
-    length_arr = jnp.asarray(length, jnp.int32).reshape(1)
+    # L=0 would mask every score to -inf and softmax to NaN; decode
+    # always has >=1 valid position, so clamp defensively
+    length_arr = jnp.maximum(jnp.asarray(length, jnp.int32), 1).reshape(1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -176,7 +178,7 @@ def decode_attention_reference(q, k_cache, v_cache, length, n_head: int = 6):
     k4 = k_cache.reshape(B, S, n_head, D)
     v4 = v_cache.reshape(B, S, n_head, D)
     scores = jnp.einsum("bhd,bshd->bhs", q4, k4) * scale
-    mask = jnp.arange(S)[None, None, :] < length
+    mask = jnp.arange(S)[None, None, :] < jnp.maximum(length, 1)
     scores = jnp.where(mask, scores, -jnp.inf)
     probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
     v_valid = jnp.where(mask[0, 0][:, None, None], v4, 0)

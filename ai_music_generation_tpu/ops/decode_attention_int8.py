@@ -142,7 +142,9 @@ def _decode_attention_int8(q, k_int8, v_int8, k_scale, v_scale, length,
                            n_head, interpret):
     B, S, HD = k_int8.shape
     n_chunks = pl.cdiv(S, CHUNK)
-    length_arr = jnp.asarray(length, jnp.int32).reshape(1)
+    # L=0 would mask every score to -inf and softmax to NaN; decode
+    # always has >=1 valid position, so clamp defensively
+    length_arr = jnp.maximum(jnp.asarray(length, jnp.int32), 1).reshape(1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -186,7 +188,7 @@ def decode_attention_int8_reference(q, k_int8, v_int8, k_scale, v_scale,
     k4 = kf.reshape(B, S, n_head, D)
     v4 = vf.reshape(B, S, n_head, D)
     scores = jnp.einsum("bhd,bshd->bhs", q4, k4) * sm_scale
-    mask = jnp.arange(S)[None, None, :] < length
+    mask = jnp.arange(S)[None, None, :] < jnp.maximum(length, 1)
     scores = jnp.where(mask, scores, -jnp.inf)
     probs = jax.nn.softmax(scores, axis=-1)
     v_valid = jnp.where(mask[0, 0][:, None, None], v4, 0)

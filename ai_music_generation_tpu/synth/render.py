@@ -132,14 +132,20 @@ EVENT_PAD = 512  # canonical note-count pad: one compile covers the corpus
 CANONICAL_SECONDS = 128  # canonical render length: ONE compile per process
 
 
+def _event_bucket(n: int) -> int:
+    """Canonical note-count bucket (EVENT_PAD, then powers of 2 beyond)."""
+    bucket = EVENT_PAD
+    while bucket < n:
+        bucket *= 2
+    return bucket
+
+
 def _pad_events(events: np.ndarray) -> np.ndarray:
     """Pad the note dimension to the canonical bucket (powers of 2 beyond it)
     with silent (velocity 0) events, so the jitted render compiles ONCE for a
     whole corpus — distinct shapes cost ~60 s of XLA compile each."""
     n = len(events)
-    bucket = EVENT_PAD
-    while bucket < n:
-        bucket *= 2
+    bucket = _event_bucket(n)
     if bucket == n:
         return events
     pad = np.zeros((bucket - n, 4), np.float32)
@@ -165,7 +171,7 @@ def synthesize_midi_batch(
     Returns a list of trimmed float32 waveforms, order-matched to ``midis``.
     """
     all_events = [midi_to_events(m, sample_rate) for m in midis]
-    n_pad = max((len(_pad_events(e)) for e in all_events if len(e)), default=EVENT_PAD)
+    n_pad = max((_event_bucket(len(e)) for e in all_events if len(e)), default=EVENT_PAD)
     total = int(min(CANONICAL_SECONDS, max_seconds) * sample_rate)
     batch = np.zeros((len(midis), n_pad, 4), np.float32)
     needs = []

@@ -340,7 +340,8 @@ struct Parser {
     int endIdx;
     Frac base = st.time;
     std::vector<Event> section;
-    if (st.firstEndingStart >= 0) {
+    bool hasEnding = st.firstEndingStart >= 0;
+    if (hasEnding) {
       endIdx = st.firstEndingStart;
     } else {
       endIdx = (int)events.size();
@@ -350,9 +351,11 @@ struct Parser {
     Frac shift = st.time - st.repeatStartTime;
     for (const Event& e : section)
       events.push_back({e.pitch, e.start + shift, e.dur, e.voice});
-    // advance by the section's time SPAN; summing durations overcounts
-    // when the section contains chords (overlapping notes)
-    st.time = base + shift;
+    // advance by the COPIED section's span: a [1 first ending is excluded
+    // from the copy, so it is excluded from the advance too
+    Frac sectionSpan = hasEnding ? (st.firstEndingTime - st.repeatStartTime)
+                                 : shift;
+    st.time = base + sectionSpan;
     st.repeatStartIdx = (int)events.size();
     st.repeatStartTime = st.time;
     st.firstEndingStart = -1;

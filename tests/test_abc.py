@@ -210,3 +210,12 @@ def test_repeat_with_chords_advances_by_span():
     assert starts == [0, 1, 2]
     d_note = [n for n in ns if n[0] == 62]
     assert d_note[0][1] == 2
+
+
+def test_first_second_ending_timing():
+    """Volta timing: the second ending starts right after the repeated body
+    (regression: the span fix over-advanced by the first ending's length)."""
+    t = parse("|: A2 [1 B2 :| [2 c2 |")
+    assert [(p, s) for p, s, _ in notes_of(t)] == [
+        (69, 0), (71, 1), (69, 2), (72, 3),
+    ]

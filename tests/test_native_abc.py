@@ -98,3 +98,8 @@ def test_native_regression_tie_and_chord_repeat(native_parser):
         "X:1\nL:1/8\nM:4/4\nK:C\n|: [CEG]2 :| D |",
     ):
         assert_tunes_equal(AbcParser().parse(abc), native_parser.parse(abc), abc)
+
+
+def test_native_volta_timing(native_parser):
+    abc = "X:1\nL:1/8\nM:4/4\nK:C\n|: A2 [1 B2 :| [2 c2 |"
+    assert_tunes_equal(AbcParser().parse(abc), native_parser.parse(abc), abc)
