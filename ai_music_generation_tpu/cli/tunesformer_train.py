@@ -53,6 +53,7 @@ DEFAULTS = dict(
     n_head=12,
     share_weights=False,
     load_from_checkpoint=False,
+    patch_sampling_batch_size=0,  # ref config.py:9; 0 = full context
     seed=42,
     eval_ratio=0.1,
     dtype="bfloat16",
@@ -149,7 +150,8 @@ def main(argv=None):
         replicated = NamedSharding(mesh, P())
         train_jit = functools.partial(
             jax.jit,
-            in_shardings=(replicated, replicated, batch_sharding, replicated),
+            in_shardings=(replicated, replicated, batch_sharding, replicated,
+                          batch_sharding),
             out_shardings=(replicated, replicated, replicated),
         )
         eval_jit = functools.partial(
@@ -160,10 +162,13 @@ def main(argv=None):
         train_jit = jax.jit
         eval_jit = jax.jit
 
+    psbs = c["patch_sampling_batch_size"]
+
     @train_jit
-    def train_step(params, opt_state, batch, rng):
+    def train_step(params, opt_state, batch, rng, patch_indices=None):
         def loss_fn(p):
-            return model.apply(p, batch, False, rngs={"dropout": rng})
+            return model.apply(p, batch, False, patch_indices,
+                               rngs={"dropout": rng})
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, new_opt = tx.update(grads["params"], opt_state, params["params"])
@@ -216,8 +221,17 @@ def main(argv=None):
         tl, tn = 0.0, 0
         for batch in batches(train_arrs, rng_py):
             rng = jax.random.fold_in(drop_rng, step_count)
+            patch_indices = None
+            if psbs and psbs < c["patch_length"] - 1:
+                # per-step random subset of conditioning rows (ref :126-135)
+                sel = np.sort(np.stack([
+                    np.random.default_rng((c["seed"], step_count, b_)).choice(
+                        c["patch_length"] - 1, size=psbs, replace=False)
+                    for b_ in range(len(batch))
+                ]), axis=1).astype(np.int32)
+                patch_indices = jnp.asarray(sel)
             params, opt_state, loss = train_step(
-                params, opt_state, jnp.asarray(batch), rng
+                params, opt_state, jnp.asarray(batch), rng, patch_indices
             )
             step_count += 1
             loss = float(loss)

@@ -183,17 +183,28 @@ class TunesFormer(nn.Module):
         self,
         patches: Array,  # [B, P, S] int32, zero-padded rows beyond n_patches
         deterministic: bool = True,
+        patch_indices: Optional[Array] = None,  # [B, K] int32
     ) -> Array:
         """Mean char cross-entropy (ref composition: utils.py:209-219).
 
         Conditioning: encoded patch p predicts the chars of patch p+1.
         Fully-padded rows contribute nothing (pad labels are ignored).
+
+        ``patch_indices`` selects which conditioning rows (0..P-2) feed the
+        char decoder — the reference's PATCH_SAMPLING_BATCH_SIZE memory
+        saver (ref: utils.py:126-135); the trainer draws them per step.
         """
         cfg = self.config
         B, P, S = patches.shape
         encoded = self.encode_patches(patches, deterministic)  # [B, P, C]
-        cond = encoded[:, :-1, :].reshape(B * (P - 1), cfg.n_embd)
-        target = patches[:, 1:, :].reshape(B * (P - 1), S)
+        cond = encoded[:, :-1, :]  # [B, P-1, C]
+        target = patches[:, 1:, :]  # [B, P-1, S]
+        if patch_indices is not None:
+            cond = jnp.take_along_axis(cond, patch_indices[:, :, None], axis=1)
+            target = jnp.take_along_axis(target, patch_indices[:, :, None], axis=1)
+        K = cond.shape[1]
+        cond = cond.reshape(B * K, cfg.n_embd)
+        target = target.reshape(B * K, S)
         logits = self.char_logits(cond, target, deterministic)  # [N, S, 128]
         labels = jnp.where(target == 0, -1, target)
         # HF-style shift: logits[:, :-1] predict labels[:, 1:]

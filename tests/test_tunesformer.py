@@ -164,3 +164,18 @@ def test_generate_hides_control_codes(tiny_model):
                                show_control_code=False)
     assert "S:" not in tunes[0] and "B:" not in tunes[0] and "E:" not in tunes[0]
     assert "K:C" in tunes[0]
+
+
+def test_patch_sampling_subset(tiny_model):
+    """patch_indices restricts the char-decoder loss to selected rows."""
+    model, params = tiny_model
+    p = Patchilizer()
+    arr, n = p.encode_array("K:C\nCDE|FGA|CDE|FGA|", patch_length=16,
+                            patch_size=16, add_special_patches=True)
+    batch = jnp.asarray(arr[None], jnp.int32)
+    full = model.apply(params, batch)
+    idx = jnp.asarray([[0, 1, 2]], jnp.int32)
+    subset = model.apply(params, batch, True, idx)
+    assert jnp.isfinite(subset)
+    # subset over only-valid rows differs from the full-context loss
+    assert float(subset) != float(full)
