@@ -54,3 +54,29 @@ def test_int8_kernel_ignores_poisoned_region():
         np.asarray(out, np.float32), np.asarray(ref, np.float32),
         atol=3e-2, rtol=3e-2,
     )
+
+
+def test_int8_multirow_matches_reference():
+    from ai_music_generation_tpu.ops.decode_attention_int8 import (
+        decode_attention_int8_multirow,
+    )
+
+    B, H, S, D = 16, 2, 256, 64
+    HD = H * D
+    rng = np.random.default_rng(2)
+    q = jnp.asarray(rng.normal(size=(B, HD)), jnp.bfloat16)
+    kf = rng.normal(size=(B, S, HD)).astype(np.float32)
+    ks = (np.abs(kf).max(-1) / 127).astype(np.float32)
+    k8 = jnp.asarray(np.clip(np.round(kf / ks[..., None]), -127, 127), jnp.int8)
+    out = decode_attention_int8_multirow(
+        q, k8, k8, jnp.asarray(ks), jnp.asarray(ks), jnp.int32(100),
+        n_head=H, rows_per_program=4, interpret=True,
+    )
+    ref = decode_attention_int8_reference(
+        q, k8, k8, jnp.asarray(ks.reshape(B, 1, S)),
+        jnp.asarray(ks.reshape(B, 1, S)), jnp.int32(100), n_head=H,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        atol=3e-2, rtol=3e-2,
+    )
