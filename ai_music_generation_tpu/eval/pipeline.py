@@ -269,10 +269,17 @@ class EvalPipeline:
             # spawn: fork after stage 2 initialized the JAX/TPU runtime is
             # unsafe (inherited locked mutexes can deadlock children);
             # workers import only numpy-level modules
-            ctx = mp.get_context("spawn")
-            with ctx.Pool(c.metrics_processes,
-                          initializer=_init_metrics_worker) as pool:
-                consume(pool.imap(_metrics_job, jobs))
+            try:
+                ctx = mp.get_context("spawn")
+                with ctx.Pool(c.metrics_processes,
+                              initializer=_init_metrics_worker) as pool:
+                    consume(pool.imap(_metrics_job, jobs))
+            except Exception as e:
+                # spawn re-imports __main__, which fails for stdin/notebook
+                # entry points — fall back to serial metrics
+                print(f"metrics pool unavailable ({e}); running serially")
+                _init_metrics_worker()
+                consume(map(_metrics_job, jobs))
 
         # JSONL outputs (ref :232-284)
         def write_rows(rows, out_path):
