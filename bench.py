@@ -25,7 +25,7 @@ from ai_music_generation_tpu.models.gpt import GPT, GPTConfig
 BASELINE_TOKENS_PER_SEC = 50_000.0
 
 # flagship sampling config: baby GPT at irishman-char scale
-BATCH = 2048
+BATCH = 4096
 PROMPT_LEN = 8
 MAX_NEW = 500
 # int8 KV cache halves decode HBM traffic (the bottleneck): measured
