@@ -39,17 +39,57 @@ class BinDataset:
     def __len__(self) -> int:
         return self._len
 
+    def global_indices(self, seed: int, it: int, n: int, block_size: int) -> np.ndarray:
+        """Deterministic global batch offsets for (seed, it) — identical on
+        every host, so per-host slices of it are disjoint by construction."""
+        rng = np.random.default_rng(np.random.SeedSequence([seed, it]))
+        return rng.integers(0, self._len - block_size - 1, size=n)
+
+    def gather(self, ix: np.ndarray, block_size: int):
+        """Materialize (x, y) int32 windows for the given flat offsets."""
+        data = np.memmap(self.path, dtype=self.dtype, mode="r")
+        flat = np.asarray(ix).reshape(-1)
+        x = np.stack([data[i : i + block_size] for i in flat]).astype(np.int32)
+        y = np.stack([data[i + 1 : i + 1 + block_size] for i in flat]).astype(np.int32)
+        shape = (*np.shape(ix), block_size)
+        return x.reshape(shape), y.reshape(shape)
+
     def sample(self, seed: int, it: int, batch_shape: tuple[int, ...], block_size: int):
         """Sample (x, y) int32 arrays of shape [*batch_shape, block_size]."""
-        data = np.memmap(self.path, dtype=self.dtype, mode="r")
-        rng = np.random.default_rng(np.random.SeedSequence([seed, it]))
         n = int(np.prod(batch_shape))
-        ix = rng.integers(0, self._len - block_size - 1, size=n)
-        x = np.stack([data[i : i + block_size] for i in ix]).astype(np.int32)
-        y = np.stack([data[i + 1 : i + 1 + block_size] for i in ix]).astype(np.int32)
+        ix = self.global_indices(seed, it, n, block_size).reshape(batch_shape)
+        return self.gather(ix, block_size)
+
+    def sharded_sample(self, seed: int, it: int, batch_shape: tuple[int, ...],
+                       block_size: int, sharding):
+        """Sample directly into a globally-sharded jax.Array pair.
+
+        Multi-host correct by construction (replaces the reference's
+        seed-offset per-rank sampling, ref: nanoGPT/train.py:95-99): every
+        host computes the same global offset grid, then gathers ONLY the rows
+        its addressable devices own (``addressable_devices_indices_map``) —
+        no replicated global batch, no host reads data it doesn't feed.
+        """
+        import jax
+
+        global_shape = (*batch_shape, block_size)
+        ix = self.global_indices(
+            seed, it, int(np.prod(batch_shape)), block_size
+        ).reshape(batch_shape)
+        idx_map = sharding.addressable_devices_indices_map(global_shape)
+        xs, ys = [], []
+        cache: dict = {}  # model-axis replicas share one gather
+        for dev, idx in idx_map.items():
+            key = tuple((s.start, s.stop, s.step) for s in idx[:-1])
+            if key not in cache:
+                cache[key] = self.gather(ix[idx[:-1]], block_size)
+            x, y = cache[key]
+            xs.append(jax.device_put(x, dev))
+            ys.append(jax.device_put(y, dev))
+        make = jax.make_array_from_single_device_arrays
         return (
-            x.reshape(*batch_shape, block_size),
-            y.reshape(*batch_shape, block_size),
+            make(global_shape, sharding, xs),
+            make(global_shape, sharding, ys),
         )
 
 

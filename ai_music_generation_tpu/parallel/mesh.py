@@ -84,7 +84,18 @@ def shardings_for_tree(mesh: Mesh, tree):
         ndim = getattr(leaf, "ndim", 0)
         if len(s) > ndim:  # scalar or lower-rank leaf: trim trailing axes
             s = P(*s[:ndim])
-        return NamedSharding(mesh, s)
+        shape = getattr(leaf, "shape", ())
+        # replicate any dim the mesh can't split evenly (e.g. an odd vocab
+        # size from a dataset meta.pkl vs a 2-way model axis) — matches the
+        # reference's tolerance for arbitrary meta vocab sizes
+        # (ref: nanoGPT/train.py:152-158)
+        fixed = tuple(
+            None
+            if axis is not None and shape[i] % mesh.shape[axis] != 0
+            else axis
+            for i, axis in enumerate(tuple(s) + (None,) * (ndim - len(s)))
+        )
+        return NamedSharding(mesh, P(*fixed))
 
     return jax.tree_util.tree_map_with_path(shard, tree)
 

@@ -198,6 +198,8 @@ class Trainer:
         accum_batch_sh = jax.sharding.NamedSharding(
             self.mesh, jax.sharding.PartitionSpec(None, pmesh.DATA_AXIS)
         )
+        self._batch_sh = batch_sh
+        self._accum_batch_sh = accum_batch_sh
         state_sh = self.state_shardings
         self._train_step = jax.jit(
             make_train_step(self.model, self.tx, self.schedule),
@@ -212,15 +214,23 @@ class Trainer:
 
     # -- data --------------------------------------------------------------
     def get_batch(self, split: str, it: int, for_accum: bool = True):
+        """Globally-sharded (x, y) for one optimizer iteration.
+
+        Each host gathers only the batch rows its devices own (disjoint
+        slices by construction), replacing the reference's seed-offset
+        per-rank draws (ref: nanoGPT/train.py:95-99).
+        """
         c = self.c
         ds = self.train_data if split == "train" else self.val_data
         # distinct seed stream per split (replaces ref's shared torch RNG)
         seed = c["seed"] + (0 if split == "train" else 101)
         if for_accum:
             shape = (self.grad_accum, self.micro_batch)
+            sharding = self._accum_batch_sh
         else:
             shape = (self.micro_batch,)
-        return ds.sample(seed, it, shape, c["block_size"])
+            sharding = self._batch_sh
+        return ds.sharded_sample(seed, it, shape, c["block_size"], sharding)
 
     # -- eval ---------------------------------------------------------------
     def estimate_loss(self) -> dict[str, float]:
@@ -231,7 +241,7 @@ class Trainer:
             losses = []
             for k in range(self.c["eval_iters"]):
                 x, y = self.get_batch(split, 10_000_000 + self.iter_num + k, for_accum=False)
-                losses.append(self._eval_step(params, jnp.asarray(x), jnp.asarray(y)))
+                losses.append(self._eval_step(params, x, y))
             out[split] = float(np.mean(jax.device_get(losses)))
         return out
 
@@ -294,9 +304,7 @@ class Trainer:
 
             x, y = self.get_batch("train", self.iter_num)
             step_rng = jax.random.fold_in(rng, self.iter_num)
-            self.state, metrics = self._train_step(
-                self.state, jnp.asarray(x), jnp.asarray(y), step_rng
-            )
+            self.state, metrics = self._train_step(self.state, x, y, step_rng)
 
             if self.iter_num % c["log_interval"] == 0:
                 # float() syncs every step dispatched since the last log, so

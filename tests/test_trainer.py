@@ -52,6 +52,40 @@ def test_dataset_sampling_deterministic(tiny_dataset):
     assert not np.array_equal(x1, x3)
 
 
+def test_sharded_sample_matches_global_and_partitions_rows(tiny_dataset, mesh8):
+    """sharded_sample must equal the replicated global draw, and each device
+    must hold exactly its own disjoint slice of the batch (= per-host
+    disjointness by construction when devices span hosts)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ai_music_generation_tpu.parallel.mesh import DATA_AXIS
+
+    root, _ = tiny_dataset
+    ds = BinDataset(os.path.join(root, "tinymusic", "train.bin"))
+
+    # train layout: [accum=2, batch=8, T=16], batch over the 4-way data axis
+    sh = NamedSharding(mesh8, P(None, DATA_AXIS))
+    gx, gy = ds.sample(7, 3, (2, 8), 16)
+    sx, sy = ds.sharded_sample(7, 3, (2, 8), 16, sh)
+    np.testing.assert_array_equal(jax.device_get(sx), gx)
+    np.testing.assert_array_equal(jax.device_get(sy), gy)
+
+    seen_rows = []
+    for shard in sx.addressable_shards:
+        sl = shard.index[1]  # batch-dim slice owned by this device
+        rows = range(*sl.indices(8))
+        seen_rows.extend(rows)
+        np.testing.assert_array_equal(np.asarray(shard.data), gx[:, sl])
+    # 4 data positions x 2 model replicas -> every row exactly twice
+    assert sorted(seen_rows) == sorted(list(range(8)) * 2)
+
+    # eval layout: [batch=8, T=16] over the data axis
+    sh1 = NamedSharding(mesh8, P(DATA_AXIS))
+    ex, _ = ds.sharded_sample(7, 4, (8,), 16, sh1)
+    np.testing.assert_array_equal(jax.device_get(ex), ds.sample(7, 4, (8,), 16)[0])
+
+
 def test_train_loss_decreases(tiny_dataset, tmp_path):
     root, tok = tiny_dataset
     out = str(tmp_path / "out")
