@@ -149,12 +149,23 @@ class EvalPipeline:
     # -- stages -----------------------------------------------------------
 
     def abc_to_midi(self, abc_path: str) -> tuple[str, str]:
-        from ai_music_generation_tpu.abcnotation.to_midi import abc_file_to_midi_file
-
         with open(abc_path) as f:
             idx = extract_index(f.read(), abc_path)
         midi_path = os.path.join(self.midi_dir, f"file_{idx}.mid")
-        abc_file_to_midi_file(abc_path, midi_path)
+        if self.c.abc_to_midi_converter == "music21":
+            # the reference's alternative converter path
+            # (ref: abc_to_midi_wav_and_aesthetics.py:119-121)
+            from ai_music_generation_tpu.abcnotation.music21_oracle import (
+                abc_file_to_midi_file_music21,
+            )
+
+            abc_file_to_midi_file_music21(abc_path, midi_path)
+        else:
+            from ai_music_generation_tpu.abcnotation.to_midi import (
+                abc_file_to_midi_file,
+            )
+
+            abc_file_to_midi_file(abc_path, midi_path)
         return idx, midi_path
 
     def reference_midi_for(self, idx: str, midi_filename: str) -> Optional[str]:
