@@ -44,6 +44,7 @@ class _AbcResultC(ctypes.Structure):
         ("unit_num", ctypes.c_int64),
         ("unit_den", ctypes.c_int64),
         ("n_voices", ctypes.c_int32),
+        ("accomp_voice", ctypes.c_int32),  # -1 = none
     ]
 
 
@@ -60,6 +61,8 @@ def load_library(path: Optional[str] = None):
     lib = ctypes.CDLL(path)
     lib.abc_compile.argtypes = [ctypes.c_char_p]
     lib.abc_compile.restype = ctypes.POINTER(_AbcResultC)
+    lib.abc_compile_opts.argtypes = [ctypes.c_char_p, ctypes.c_int32]
+    lib.abc_compile_opts.restype = ctypes.POINTER(_AbcResultC)
     lib.abc_free.argtypes = [ctypes.POINTER(_AbcResultC)]
     lib.abc_free.restype = None
     _lib = lib
@@ -70,14 +73,14 @@ def native_available() -> bool:
     return load_library() is not None
 
 
-def compile_abc(abc_text: str) -> AbcTune:
+def compile_abc(abc_text: str, gchord: bool = False) -> AbcTune:
     """Parse via the native compiler. Raises RuntimeError if not built."""
     lib = load_library()
     if lib is None:
         raise RuntimeError(
             "native ABC compiler not built — run `make -C native`"
         )
-    res_ptr = lib.abc_compile(abc_text.encode("utf-8"))
+    res_ptr = lib.abc_compile_opts(abc_text.encode("utf-8"), int(gchord))
     try:
         res = res_ptr.contents
         tune = AbcTune(
@@ -86,6 +89,7 @@ def compile_abc(abc_text: str) -> AbcTune:
             tempo_bpm=res.tempo_bpm,
             sharps=res.sharps,
             n_voices=res.n_voices,
+            accomp_voice=res.accomp_voice if res.accomp_voice >= 0 else None,
         )
         for k in range(res.n_events):
             e = res.events[k]
@@ -106,12 +110,15 @@ def compile_abc(abc_text: str) -> AbcTune:
 class NativeAbcParser:
     """Drop-in parser using the C++ compiler."""
 
+    def __init__(self, gchord: bool = False):
+        self.gchord = gchord
+
     def parse(self, abc_text: str) -> AbcTune:
-        return compile_abc(abc_text)
+        return compile_abc(abc_text, gchord=self.gchord)
 
 
-def get_parser(prefer_native: bool = True):
+def get_parser(prefer_native: bool = True, gchord: bool = False):
     """Best available parser: native if built, else the Python reference."""
     if prefer_native and native_available():
-        return NativeAbcParser()
-    return AbcParser()
+        return NativeAbcParser(gchord=gchord)
+    return AbcParser(gchord=gchord)

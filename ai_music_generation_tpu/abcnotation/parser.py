@@ -12,9 +12,21 @@ fractions, rests (z Z x), bars and repeats (|: :| :: |] [1 [2), ties, chords
 ``[M:6/8]``, multi-voice ``V:``, key modes (maj/min/mix/dor/phr/lyd/loc) with
 per-measure accidental propagation, default-note-length-from-meter rule.
 
-Deliberately skipped (no melodic effect; noted for parity review): chord
-symbols ``"G"`` (abc2midi's gchord accompaniment), grace notes ``{...}``,
-decorations, slurs, lyrics.
+Grace notes ``{...}`` are played abc2midi-style: the group steals the first
+1/4 of the following note's (or chord's) span, split equally, with the
+principal scaled to 3/4 (clean-room fixed-fraction analogue of abc2midi's
+gracedivider; exact fractions so the differential stays bit-identical).
+Chord symbols ``"G7"`` are always parsed into ``AbcTune.chord_symbols``;
+with ``AbcParser(gchord=True)`` they additionally render an abc2midi-style
+accompaniment (meter-derived ``fzcz`` patterns, fundamental at octave 2,
+chord tones at octave 3) on a dedicated voice (``AbcTune.accomp_voice``),
+mirroring abc2midi's gchord engine
+(ref: abc_to_midi_wav_and_aesthetics.py:118 renders leadsheet corpora whose
+chords drive the audible accompaniment).
+
+Deliberately skipped (no melodic effect; noted for parity review):
+decorations (``!trill!``, ``+trill+``, single-char shorthands — consumed and
+ignored), slurs, lyrics.
 
 Output: per-voice note events in quarter-length ``Fraction`` time, plus
 tempo/meter/key metadata — directly convertible to MIDI (``to_midi``) or to
@@ -86,6 +98,67 @@ def sharps_to_accidentals(sharps: int) -> dict[str, int]:
     return acc
 
 
+# gchord chord-type table (abc2midi's built-in chord names, semitone
+# intervals above the root). Unknown types fall back to a major triad, as
+# abc2midi does (with a warning) for unrecognized chord names.
+_CHORD_TYPES: dict[str, tuple[int, ...]] = {
+    "": (0, 4, 7), "maj": (0, 4, 7), "M": (0, 4, 7),
+    "6": (0, 4, 7, 9), "m6": (0, 3, 7, 9),
+    "7": (0, 4, 7, 10), "maj7": (0, 4, 7, 11), "M7": (0, 4, 7, 11),
+    "9": (0, 4, 7, 10, 14), "maj9": (0, 4, 7, 11, 14), "M9": (0, 4, 7, 11, 14),
+    "11": (0, 4, 7, 10, 14, 17),
+    "m": (0, 3, 7), "min": (0, 3, 7), "-": (0, 3, 7),
+    "m7": (0, 3, 7, 10), "min7": (0, 3, 7, 10), "-7": (0, 3, 7, 10),
+    "m9": (0, 3, 7, 10, 14),
+    "dim": (0, 3, 6), "dim7": (0, 3, 6, 9), "m7b5": (0, 3, 6, 10),
+    "aug": (0, 4, 8), "+": (0, 4, 8), "aug7": (0, 4, 8, 10), "+7": (0, 4, 8, 10),
+    "sus": (0, 5, 7), "sus4": (0, 5, 7), "sus2": (0, 2, 7),
+    "7sus4": (0, 5, 7, 10), "7sus2": (0, 2, 7, 10),
+}
+_CHORD_SYMBOL_RE = re.compile(
+    r"^([A-G])([#b]?)([A-Za-z0-9+\-]*)(?:/([A-G])([#b]?))?$"
+)
+_ACCIDENTAL_PC = {"": 0, "#": 1, "b": -1}
+
+GRACE_NUM, GRACE_DEN = 1, 4  # graces steal the first 1/4 of the principal
+FUNDAMENTAL_BASE = 36  # gchord 'f' octave (C2)
+CHORD_BASE = 48  # gchord 'c' octave (C3)
+GCHORD_SLOT = Fraction(1, 2)  # one pattern char = one eighth note
+
+
+def parse_chord_symbol(sym: str) -> Optional[tuple[int, tuple[int, ...], Optional[int]]]:
+    """``"G7"`` / ``"Dm/F#"`` -> (root_pc, intervals, bass_pc) or None for
+    non-chord annotations (``"Intro"``, ``"^text"``, ...)."""
+    m = _CHORD_SYMBOL_RE.match(sym.strip())
+    if not m:
+        return None
+    root_pc = (_LETTER_SEMITONE[m.group(1)] + _ACCIDENTAL_PC[m.group(2)]) % 12
+    intervals = _CHORD_TYPES.get(m.group(3), _CHORD_TYPES[""])
+    bass_pc = None
+    if m.group(4):
+        bass_pc = (_LETTER_SEMITONE[m.group(4)] + _ACCIDENTAL_PC[m.group(5) or ""]) % 12
+    return root_pc, intervals, bass_pc
+
+
+def gchord_pattern(meter: tuple[int, int]) -> str:
+    """abc2midi's meter-derived default accompaniment patterns: one char per
+    eighth note; f=fundamental c=chord z=rest b=both."""
+    num, den = meter
+    eighths = Fraction(8 * num, den)
+    if eighths.denominator != 1:
+        return ""
+    slots = int(eighths)
+    if den == 8 and num % 3 == 0:
+        return "fzc" * (num // 3)
+    if (num, den) == (3, 4):
+        return "fzczcz"
+    if slots % 4 == 0:
+        return "fzcz" * (slots // 4)
+    if slots % 2 == 0:
+        return "fz" * (slots // 2)
+    return ""
+
+
 @dataclasses.dataclass
 class AbcNote:
     pitch: int  # MIDI number; -1 for rest
@@ -109,6 +182,10 @@ class AbcTune:
     sharps: int = 0
     notes: list[AbcNote] = dataclasses.field(default_factory=list)
     n_voices: int = 1
+    # chord symbols as (time_ql, text), repeat-expanded; always collected
+    chord_symbols: list[tuple[QL, str]] = dataclasses.field(default_factory=list)
+    # voice index of generated gchord accompaniment (None unless gchord=True)
+    accomp_voice: Optional[int] = None
 
     def duration(self) -> QL:
         if not self.notes:
@@ -177,6 +254,7 @@ class _VoiceState:
         self.tuplet_remaining = 0
         self.tuplet_factor = Fraction(1)
         self.tie_pending: Optional[AbcNote] = None
+        self.pending_graces: list[int] = []  # pitches awaiting a principal
         # repeat handling
         self.repeat_start_time: Fraction = Fraction(0)
         self.repeat_start_idx: int = 0
@@ -186,7 +264,13 @@ class _VoiceState:
 
 
 class AbcParser:
-    """Parse one ABC tune into an :class:`AbcTune` with expanded repeats."""
+    """Parse one ABC tune into an :class:`AbcTune` with expanded repeats.
+
+    ``gchord=True`` additionally renders chord-symbol accompaniment on a
+    dedicated voice (abc2midi's gchord engine, see module docstring)."""
+
+    def __init__(self, gchord: bool = False):
+        self.gchord = gchord
 
     def parse(self, abc_text: str) -> AbcTune:
         tune = AbcTune()
@@ -239,6 +323,9 @@ class AbcParser:
                 tune.unit_length = Fraction(1, 16)
 
         self._parse_body(tune, "\n".join(body_lines))
+        if self.gchord:
+            self._generate_gchord(tune)
+            tune.notes.sort(key=lambda x: (x.voice, x.start, x.pitch))
         return tune
 
     # ------------------------------------------------------------------
@@ -288,11 +375,25 @@ class AbcParser:
                     dur = dur * factor_long
                 st.pending_broken = None
                 st.broken_count = 0
-            note = AbcNote(pitch, st.time, dur, vidx)
             if pitch >= 0 and st.tie_pending is not None and st.tie_pending.pitch == pitch:
                 st.tie_pending.duration += dur
-            else:
-                tune.notes.append(note)
+                st.pending_graces.clear()  # graces can't split a tied note
+                st.tie_pending = None
+                st.time += dur
+                return
+            if pitch < 0:
+                st.pending_graces.clear()  # graces never attach to a rest
+            elif st.pending_graces:
+                # graces steal the first GRACE_NUM/GRACE_DEN of the span,
+                # split equally; the principal scales to the remainder
+                steal = dur * GRACE_NUM / GRACE_DEN
+                per = steal / len(st.pending_graces)
+                for gp in st.pending_graces:
+                    tune.notes.append(AbcNote(gp, st.time, per, vidx))
+                    st.time += per
+                st.pending_graces.clear()
+                dur = dur - steal
+            tune.notes.append(AbcNote(pitch, st.time, dur, vidx))
             # a tie binds only the immediately-following note; clear it either
             # way so a mismatched tie can't capture a later same-pitch note
             st.tie_pending = None
@@ -305,16 +406,27 @@ class AbcParser:
             if ch in " \t\n\\":
                 i += 1
                 continue
-            if ch == '"':  # chord symbol: skip to closing quote
+            if ch == '"':  # chord symbol: record (time, text)
                 j = text.find('"', i + 1)
+                sym = text[i + 1 : j] if j != -1 else text[i + 1 :]
+                if sym and sym[0] not in "^_<>@":  # not a placement annotation
+                    tune.chord_symbols.append((st.time, sym))
                 i = (j + 1) if j != -1 else n
                 continue
-            if ch == "{":  # grace notes: skip
+            if ch == "{":  # grace group: collect pitches (lengths ignored)
                 j = text.find("}", i + 1)
+                inner = text[i + 1 : j] if j != -1 else text[i + 1 :]
+                for gm in _NOTE_RE.finditer(inner):
+                    if gm.group("letter"):
+                        st.pending_graces.append(self._note_pitch(gm, key_acc, st))
                 i = (j + 1) if j != -1 else n
                 continue
             if ch == "!":  # decoration
                 j = text.find("!", i + 1)
+                i = (j + 1) if j != -1 else i + 1
+                continue
+            if ch == "+":  # old-style +...+ decoration
+                j = text.find("+", i + 1)
                 i = (j + 1) if j != -1 else i + 1
                 continue
             if ch in "~.HLMNOPRSTuv":  # single-char decorations
@@ -369,6 +481,7 @@ class AbcParser:
                 if m:
                     bar = m.group(1)
                     st.measure_accidentals.clear()
+                    st.pending_graces.clear()  # graces don't cross barlines
                     if bar in ("|:", "[|:"):
                         st.repeat_start_idx = len(tune.notes)
                         st.repeat_start_time = st.time
@@ -414,13 +527,28 @@ class AbcParser:
                     # optional length after ]
                     lm = re.match(r"(\d+/\d+|/\d+|\d+|/+)?", text[j + 1 :])
                     outer_len = _parse_len(lm.group(0) or None)
+                    chord = [
+                        (self._note_pitch(nm, key_acc, st),
+                         _parse_len(nm.group("len")) * unit_ql * outer_len)
+                        for nm in _NOTE_RE.finditer(inner)
+                        if nm.group("letter")
+                    ]
+                    max_d = max((d for _, d in chord), default=Fraction(0))
+                    if st.pending_graces and chord:
+                        # same steal rule as single notes: graces take the
+                        # first 1/4 of the chord span, chord scales to 3/4
+                        steal = max_d * GRACE_NUM / GRACE_DEN
+                        per = steal / len(st.pending_graces)
+                        for gp in st.pending_graces:
+                            tune.notes.append(AbcNote(gp, st.time, per, vidx))
+                            st.time += per
+                        st.pending_graces.clear()
+                        chord = [(p, d * (GRACE_DEN - GRACE_NUM) / GRACE_DEN)
+                                 for p, d in chord]
+                        max_d = max_d * (GRACE_DEN - GRACE_NUM) / GRACE_DEN
                     start = st.time
-                    max_d = Fraction(0)
-                    for nm in _NOTE_RE.finditer(inner):
-                        pitch = self._note_pitch(nm, key_acc, st)
-                        d = _parse_len(nm.group("len")) * unit_ql * outer_len
+                    for pitch, d in chord:
                         tune.notes.append(AbcNote(pitch, start, d, vidx))
-                        max_d = max(max_d, d)
                     st.time = start + max_d
                     i = j + 1 + (lm.end() if lm else 0)
                     continue
@@ -468,6 +596,16 @@ class AbcParser:
             tune.notes.append(
                 AbcNote(x.pitch, x.start + shift, x.duration, x.voice)
             )
+        if vidx == 0:
+            # chord symbols inside the repeated window play again too
+            # (voice 0 drives the single accompaniment line, like abc2midi)
+            window_end = (st.first_ending_time if st.first_ending_time is not None
+                          else st.time)
+            copied = [
+                (t + shift, sym) for t, sym in tune.chord_symbols
+                if st.repeat_start_time <= t < window_end
+            ]
+            tune.chord_symbols.extend(copied)
         # advance by the COPIED section's time span: with a [1 first ending
         # the copy stops at the ending, so the advance excludes it; without
         # one it is the full shift. (Summing durations instead would
@@ -481,6 +619,45 @@ class AbcParser:
         st.repeat_start_time = st.time
         st.first_ending_start = None
         st.first_ending_time = None
+
+    def _generate_gchord(self, tune: AbcTune) -> None:
+        """Render chord-symbol accompaniment on a dedicated voice: the
+        meter's ``fzcz`` pattern over an eighth-note grid anchored at t=0,
+        fundamental at octave 2, chord tones at octave 3, from the first
+        chord symbol to the melody's end (abc2midi's gchord engine)."""
+        pattern = gchord_pattern(tune.meter)
+        changes = []
+        for t, sym in sorted(tune.chord_symbols, key=lambda x: x[0]):
+            parsed = parse_chord_symbol(sym)
+            if parsed:
+                changes.append((t, parsed))
+        if not pattern or not changes:
+            return
+        end = tune.duration()
+        voice = max(tune.n_voices, 1 + max((x.voice for x in tune.notes), default=0))
+        first = changes[0][0]
+        k = -(-first.numerator * GCHORD_SLOT.denominator
+              // (first.denominator * GCHORD_SLOT.numerator))  # ceil(first/slot)
+        active_idx = 0
+        while True:
+            t = k * GCHORD_SLOT
+            if t >= end:
+                break
+            c = pattern[k % len(pattern)]
+            while (active_idx + 1 < len(changes)
+                   and changes[active_idx + 1][0] <= t):
+                active_idx += 1
+            root_pc, intervals, bass_pc = changes[active_idx][1]
+            if c in "fb":
+                pc = bass_pc if bass_pc is not None else root_pc
+                tune.notes.append(AbcNote(FUNDAMENTAL_BASE + pc, t, GCHORD_SLOT, voice))
+            if c in "cb":
+                for iv in intervals:
+                    tune.notes.append(
+                        AbcNote(CHORD_BASE + root_pc + iv, t, GCHORD_SLOT, voice)
+                    )
+            k += 1
+        tune.accomp_voice = voice
 
     def _note_pitch(self, m: re.Match, key_acc: dict[str, int], st: _VoiceState) -> int:
         letter = m.group("letter")

@@ -18,14 +18,21 @@ from ai_music_generation_tpu.codec import midi_io
 
 
 def tune_to_midi(tune: AbcTune, ticks_per_quarter: int = 480,
-                 velocity: int = 105, program: int = 0) -> midi_io.MidiFile:
+                 velocity: int = 105, program: int = 0,
+                 accomp_program: int = 24,
+                 accomp_velocity: int = 80) -> midi_io.MidiFile:
     tpq = ticks_per_quarter
     n_voices = max(tune.n_voices, 1 + max((n.voice for n in tune.notes), default=0))
     # melodic channels only: skip GM percussion channel 9 without collisions
     melodic_channels = [c for c in range(16) if c != 9]
     tracks = [
-        midi_io.TrackInfo(index=v + 1, name=f"Voice {v + 1}", program=program,
-                          channel=melodic_channels[v % len(melodic_channels)])
+        midi_io.TrackInfo(
+            index=v + 1,
+            name="gchord" if v == tune.accomp_voice else f"Voice {v + 1}",
+            # generated accompaniment: nylon guitar, quieter (gchord-style)
+            program=accomp_program if v == tune.accomp_voice else program,
+            channel=melodic_channels[v % len(melodic_channels)],
+        )
         for v in range(n_voices)
     ]
     for note in tune.notes:
@@ -36,8 +43,9 @@ def tune_to_midi(tune: AbcTune, ticks_per_quarter: int = 480,
         if end <= start:
             end = start + 1
         tr = tracks[note.voice]
+        vel = accomp_velocity if note.voice == tune.accomp_voice else velocity
         tr.notes.append(
-            midi_io.MidiNote(note.pitch, velocity, start, end, tr.channel or 0, note.voice + 1)
+            midi_io.MidiNote(note.pitch, vel, start, end, tr.channel or 0, note.voice + 1)
         )
     for tr in tracks:
         tr.notes.sort(key=lambda n: (n.start_tick, n.pitch))
@@ -50,12 +58,14 @@ def tune_to_midi(tune: AbcTune, ticks_per_quarter: int = 480,
     )
 
 
-def abc_to_midi(abc_text: str, prefer_native: bool = True, **kwargs) -> midi_io.MidiFile:
+def abc_to_midi(abc_text: str, prefer_native: bool = True,
+                gchord: bool = False, **kwargs) -> midi_io.MidiFile:
     """Compile ABC text to MIDI, using the C++ compiler when built
-    (differentially tested against the Python parser)."""
+    (differentially tested against the Python parser). ``gchord=True``
+    renders chord-symbol accompaniment (abc2midi's gchord engine)."""
     from ai_music_generation_tpu.abcnotation.native import get_parser
 
-    parser = get_parser(prefer_native)
+    parser = get_parser(prefer_native, gchord=gchord)
     return tune_to_midi(parser.parse(abc_text), **kwargs)
 
 

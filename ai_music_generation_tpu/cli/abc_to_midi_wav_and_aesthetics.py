@@ -22,6 +22,11 @@ def main(argv=None):
     ap.add_argument("--n_conditioned_measures", type=int, default=0)
     ap.add_argument("--sample_rate", type=int, default=16_000)
     ap.add_argument("--no_wav", action="store_true", help="skip audio rendering")
+    ap.add_argument("--abc_to_midi_converter", default="builtin",
+                    choices=["builtin", "music21"])
+    ap.add_argument("--gchord", action="store_true",
+                    help='render "G7" chord-symbol accompaniment '
+                         "(abc2midi's gchord engine; for leadsheet corpora)")
     a = ap.parse_args(argv)
     pipeline = EvalPipeline(PipelineConfig(
         abc_input_folder=a.abc_input_folder,
@@ -30,6 +35,8 @@ def main(argv=None):
         n_conditioned_measures=a.n_conditioned_measures,
         sample_rate=a.sample_rate,
         render_wav=not a.no_wav,
+        abc_to_midi_converter=a.abc_to_midi_converter,
+        gchord=a.gchord,
     ))
     return pipeline.run()
 

@@ -70,6 +70,7 @@ class PipelineConfig:
     midi_input_folder: Optional[str] = None
     base_output_dir: str = "eval_out"
     abc_to_midi_converter: str = "builtin"  # replaces abc2midi/music21 choice
+    gchord: bool = False  # render "G7" chord-symbol accompaniment (abc2midi)
     midi_to_wav_converter: str = "tpu_synth"  # replaces FluidSynth/Timidity
     sound_font: str = "builtin_additive"
     sample_rate: int = 16_000
@@ -165,7 +166,7 @@ class EvalPipeline:
                 abc_file_to_midi_file,
             )
 
-            abc_file_to_midi_file(abc_path, midi_path)
+            abc_file_to_midi_file(abc_path, midi_path, gchord=self.c.gchord)
         return idx, midi_path
 
     def reference_midi_for(self, idx: str, midi_filename: str) -> Optional[str]:

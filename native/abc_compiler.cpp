@@ -12,6 +12,7 @@
 //
 // Build: make -C native   (produces libabc_compiler.so)
 
+#include <algorithm>
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
@@ -118,7 +119,103 @@ struct VoiceState {
   Frac repeatStartTime;
   int firstEndingStart = -1;
   Frac firstEndingTime;
+  std::vector<int> pendingGraces;  // pitches awaiting a principal note
 };
+
+// gchord chord-type table (mirrors parser.py _CHORD_TYPES; unknown types
+// fall back to a major triad like abc2midi).
+const std::vector<std::pair<std::string, std::vector<int>>>& chordTypes() {
+  static const std::vector<std::pair<std::string, std::vector<int>>> table = {
+      {"", {0, 4, 7}}, {"maj", {0, 4, 7}}, {"M", {0, 4, 7}},
+      {"6", {0, 4, 7, 9}}, {"m6", {0, 3, 7, 9}},
+      {"7", {0, 4, 7, 10}}, {"maj7", {0, 4, 7, 11}}, {"M7", {0, 4, 7, 11}},
+      {"9", {0, 4, 7, 10, 14}}, {"maj9", {0, 4, 7, 11, 14}},
+      {"M9", {0, 4, 7, 11, 14}}, {"11", {0, 4, 7, 10, 14, 17}},
+      {"m", {0, 3, 7}}, {"min", {0, 3, 7}}, {"-", {0, 3, 7}},
+      {"m7", {0, 3, 7, 10}}, {"min7", {0, 3, 7, 10}}, {"-7", {0, 3, 7, 10}},
+      {"m9", {0, 3, 7, 10, 14}},
+      {"dim", {0, 3, 6}}, {"dim7", {0, 3, 6, 9}}, {"m7b5", {0, 3, 6, 10}},
+      {"aug", {0, 4, 8}}, {"+", {0, 4, 8}},
+      {"aug7", {0, 4, 8, 10}}, {"+7", {0, 4, 8, 10}},
+      {"sus", {0, 5, 7}}, {"sus4", {0, 5, 7}}, {"sus2", {0, 2, 7}},
+      {"7sus4", {0, 5, 7, 10}}, {"7sus2", {0, 2, 7, 10}},
+  };
+  return table;
+}
+
+constexpr int kGraceNum = 1, kGraceDen = 4;  // graces steal 1/4 of the span
+constexpr int kFundamentalBase = 36;         // gchord 'f' octave (C2)
+constexpr int kChordBase = 48;               // gchord 'c' octave (C3)
+
+struct ParsedChord {
+  int rootPc;
+  std::vector<int> intervals;
+  int bassPc;  // -1 = none
+};
+
+// "G7" / "Dm/F#" -> chord, or false for non-chord annotations.
+bool parseChordSymbol(const std::string& raw, ParsedChord* out) {
+  size_t a = raw.find_first_not_of(" \t");
+  if (a == std::string::npos) return false;
+  size_t b = raw.find_last_not_of(" \t");
+  std::string s = raw.substr(a, b - a + 1);
+  size_t i = 0;
+  if (s.empty() || s[0] < 'A' || s[0] > 'G') return false;
+  int rootPc = letterSemitone(s[i++]);
+  if (i < s.size() && (s[i] == '#' || s[i] == 'b')) {
+    rootPc += (s[i] == '#') ? 1 : -1;
+    i++;
+  }
+  rootPc = ((rootPc % 12) + 12) % 12;
+  std::string type;
+  int bassPc = -1;
+  for (; i < s.size(); ++i) {
+    char c = s[i];
+    if (c == '/') {
+      i++;
+      if (i >= s.size() || s[i] < 'A' || s[i] > 'G') return false;
+      bassPc = letterSemitone(s[i++]);
+      if (i < s.size() && (s[i] == '#' || s[i] == 'b')) {
+        bassPc += (s[i] == '#') ? 1 : -1;
+        i++;
+      }
+      bassPc = ((bassPc % 12) + 12) % 12;
+      if (i != s.size()) return false;
+      break;
+    }
+    if (!(isalnum((unsigned char)c) || c == '+' || c == '-')) return false;
+    type.push_back(c);
+  }
+  out->rootPc = rootPc;
+  out->bassPc = bassPc;
+  out->intervals = chordTypes()[0].second;  // default: major
+  for (const auto& [name, ivs] : chordTypes()) {
+    if (name == type) { out->intervals = ivs; break; }
+  }
+  return true;
+}
+
+// abc2midi's meter-derived default patterns; one char per eighth note.
+std::string gchordPattern(int num, int den) {
+  int64_t n8 = 8LL * num;
+  if (n8 % den != 0) return "";
+  int slots = (int)(n8 / den);
+  std::string out;
+  if (den == 8 && num % 3 == 0) {
+    for (int k = 0; k < num / 3; ++k) out += "fzc";
+    return out;
+  }
+  if (num == 3 && den == 4) return "fzczcz";
+  if (slots % 4 == 0) {
+    for (int k = 0; k < slots / 4; ++k) out += "fzcz";
+    return out;
+  }
+  if (slots % 2 == 0) {
+    for (int k = 0; k < slots / 2; ++k) out += "fz";
+    return out;
+  }
+  return "";
+}
 
 struct Parser {
   std::string text;
@@ -132,6 +229,8 @@ struct Parser {
   std::map<std::string, VoiceState> voices;
   std::vector<std::string> voiceIds;
   std::string curVoice = "1";
+  std::vector<std::pair<Frac, std::string>> chordSymbols;
+  int accompVoice = -1;
 
   VoiceState& voice(const std::string& id) {
     if (!voices.count(id)) {
@@ -309,9 +408,26 @@ struct Parser {
     if (pitch >= 0 && st.tiePendingIdx >= 0 &&
         events[st.tiePendingIdx].pitch == pitch) {
       events[st.tiePendingIdx].dur = events[st.tiePendingIdx].dur + dur;
-    } else {
-      events.push_back({(int32_t)pitch, st.time, dur, (int32_t)vidx});
+      st.pendingGraces.clear();  // graces can't split a tied note
+      st.tiePendingIdx = -1;
+      st.time = st.time + dur;
+      return;
     }
+    if (pitch < 0) {
+      st.pendingGraces.clear();  // graces never attach to a rest
+    } else if (!st.pendingGraces.empty()) {
+      // graces steal the first kGraceNum/kGraceDen of the span, split
+      // equally; the principal scales to the remainder (parser.py emit)
+      Frac steal = dur * Frac(kGraceNum, kGraceDen);
+      Frac per = steal * Frac(1, (int64_t)st.pendingGraces.size());
+      for (int gp : st.pendingGraces) {
+        events.push_back({(int32_t)gp, st.time, per, (int32_t)vidx});
+        st.time = st.time + per;
+      }
+      st.pendingGraces.clear();
+      dur = dur - steal;
+    }
+    events.push_back({(int32_t)pitch, st.time, dur, (int32_t)vidx});
     // a tie binds only the immediately-following note
     st.tiePendingIdx = -1;
     st.time = st.time + dur;
@@ -351,6 +467,16 @@ struct Parser {
     Frac shift = st.time - st.repeatStartTime;
     for (const Event& e : section)
       events.push_back({e.pitch, e.start + shift, e.dur, e.voice});
+    if (vidx == 0) {
+      // chord symbols inside the repeated window play again too
+      Frac windowEnd = hasEnding ? st.firstEndingTime : st.time;
+      size_t nSyms = chordSymbols.size();
+      for (size_t k = 0; k < nSyms; ++k) {
+        const Frac& t = chordSymbols[k].first;
+        if (!(t < st.repeatStartTime) && t < windowEnd)
+          chordSymbols.emplace_back(t + shift, chordSymbols[k].second);
+      }
+    }
     // advance by the COPIED section's span: a [1 first ending is excluded
     // from the copy, so it is excluded from the advance too
     Frac sectionSpan = hasEnding ? (st.firstEndingTime - st.repeatStartTime)
@@ -378,18 +504,50 @@ struct Parser {
       char ch = text[i];
       int vidx = voiceIndex(curVoice);
       if (ch == ' ' || ch == '\t' || ch == '\n' || ch == '\\') { i++; continue; }
-      if (ch == '"') {
+      if (ch == '"') {  // chord symbol: record (time, text)
         size_t j = text.find('"', i + 1);
+        std::string sym = (j == std::string::npos)
+                              ? text.substr(i + 1)
+                              : text.substr(i + 1, j - i - 1);
+        if (!sym.empty() && !strchr("^_<>@", sym[0]))
+          chordSymbols.emplace_back(st->time, sym);
         i = (j == std::string::npos) ? text.size() : j + 1;
         continue;
       }
-      if (ch == '{') {
+      if (ch == '{') {  // grace group: collect pitches (lengths ignored)
         size_t j = text.find('}', i + 1);
+        std::string inner = (j == std::string::npos)
+                                ? text.substr(i + 1)
+                                : text.substr(i + 1, j - i - 1);
+        size_t k = 0;
+        while (k < inner.size()) {
+          std::string acc;
+          while (k < inner.size() &&
+                 (inner[k] == '^' || inner[k] == '_' || inner[k] == '=')) {
+            acc.push_back(inner[k++]);
+          }
+          if (k < inner.size() && strchr("ABCDEFGabcdefg", inner[k])) {
+            char letter = inner[k++];
+            int octMarks = 0;
+            while (k < inner.size() && (inner[k] == ',' || inner[k] == '\'')) {
+              octMarks += (inner[k] == '\'') ? 1 : -1;
+              k++;
+            }
+            st->pendingGraces.push_back(notePitch(letter, acc, octMarks, *st));
+          } else {
+            k++;
+          }
+        }
         i = (j == std::string::npos) ? text.size() : j + 1;
         continue;
       }
       if (ch == '!') {
         size_t j = text.find('!', i + 1);
+        i = (j == std::string::npos) ? i + 1 : j + 1;
+        continue;
+      }
+      if (ch == '+') {  // old-style +...+ decoration
+        size_t j = text.find('+', i + 1);
         i = (j == std::string::npos) ? i + 1 : j + 1;
         continue;
       }
@@ -459,6 +617,7 @@ struct Parser {
         else if (ch == '|') { i++; isBar = true; }
         if (isBar) {
           st->measureAcc.clear();
+          st->pendingGraces.clear();  // graces don't cross barlines
           if (isRepeatEnd) expandRepeat(*st, vidx);
           if (isRepeatStart) {
             st->repeatStartIdx = (int)events.size();
@@ -517,7 +676,7 @@ struct Parser {
           std::string inner = text.substr(i + 1, j - i - 1);
           i = j + 1;
           Frac outerLen = parseLen();  // optional length after ]
-          Frac start = st->time;
+          std::vector<std::pair<int, Frac>> chordNotes;
           Frac maxD;
           size_t k = 0;
           while (k < inner.size()) {
@@ -545,12 +704,29 @@ struct Parser {
               i = save_i;
               int pitch = notePitch(letter, acc, octMarks, *st);
               Frac d = innerLen * unitQl * outerLen;
-              events.push_back({(int32_t)pitch, start, d, (int32_t)vidx});
+              chordNotes.emplace_back(pitch, d);
               if (maxD < d) maxD = d;
             } else {
               k++;
             }
           }
+          if (!st->pendingGraces.empty() && !chordNotes.empty()) {
+            // same steal rule as single notes: graces take the first 1/4
+            // of the chord span, chord scales to 3/4 (parser.py)
+            Frac steal = maxD * Frac(kGraceNum, kGraceDen);
+            Frac per = steal * Frac(1, (int64_t)st->pendingGraces.size());
+            for (int gp : st->pendingGraces) {
+              events.push_back({(int32_t)gp, st->time, per, (int32_t)vidx});
+              st->time = st->time + per;
+            }
+            st->pendingGraces.clear();
+            Frac scale(kGraceDen - kGraceNum, kGraceDen);
+            for (auto& cn : chordNotes) cn.second = cn.second * scale;
+            maxD = maxD * scale;
+          }
+          Frac start = st->time;
+          for (const auto& [pitch, d] : chordNotes)
+            events.push_back({(int32_t)pitch, start, d, (int32_t)vidx});
           st->time = start + maxD;
           continue;
         }
@@ -594,6 +770,59 @@ struct Parser {
       i++;  // unknown char
     }
   }
+
+  // Render chord-symbol accompaniment on a dedicated voice (parser.py
+  // _generate_gchord): the meter's pattern over an eighth-note grid anchored
+  // at t=0, fundamental at C2+pc, chord tones at C3+pc+iv, from the first
+  // chord symbol to the melody's end.
+  void generateGchord() {
+    std::string pattern = gchordPattern(meterNum, meterDen);
+    std::vector<std::pair<Frac, ParsedChord>> changes;
+    std::vector<std::pair<Frac, std::string>> sorted = chordSymbols;
+    std::stable_sort(sorted.begin(), sorted.end(),
+                     [](const auto& a, const auto& b) { return a.first < b.first; });
+    for (const auto& [t, sym] : sorted) {
+      ParsedChord pc;
+      if (parseChordSymbol(sym, &pc)) changes.emplace_back(t, pc);
+    }
+    if (pattern.empty() || changes.empty()) return;
+    Frac end;
+    int maxVoice = -1;
+    for (const Event& e : events) {
+      Frac e_end = e.start + e.dur;
+      if (end < e_end) end = e_end;
+      if (e.voice > maxVoice) maxVoice = e.voice;
+    }
+    int nMelody = (int)(voiceIds.empty() ? 1 : voiceIds.size());
+    int voice = nMelody > maxVoice + 1 ? nMelody : maxVoice + 1;
+    const Frac slot(1, 2);
+    const Frac& first = changes[0].first;
+    // k = ceil(first / slot) = ceil(2 * first)
+    int64_t k = (2 * first.num + first.den - 1) / first.den;
+    if (first.num <= 0) k = 0;
+    size_t activeIdx = 0;
+    while (true) {
+      Frac t = Frac(k) * slot;
+      if (!(t < end)) break;
+      char c = pattern[(size_t)(k % (int64_t)pattern.size())];
+      while (activeIdx + 1 < changes.size() &&
+             !(t < changes[activeIdx + 1].first)) {
+        activeIdx++;
+      }
+      const ParsedChord& ch = changes[activeIdx].second;
+      if (c == 'f' || c == 'b') {
+        int pc = ch.bassPc >= 0 ? ch.bassPc : ch.rootPc;
+        events.push_back({(int32_t)(kFundamentalBase + pc), t, slot, (int32_t)voice});
+      }
+      if (c == 'c' || c == 'b') {
+        for (int iv : ch.intervals)
+          events.push_back(
+              {(int32_t)(kChordBase + ch.rootPc + iv), t, slot, (int32_t)voice});
+      }
+      k++;
+    }
+    accompVoice = voice;
+  }
 };
 
 }  // namespace
@@ -615,15 +844,18 @@ struct AbcResultC {
   double tempo_bpm;
   int64_t unit_num, unit_den;
   int32_t n_voices;
+  int32_t accomp_voice;  // -1 = no generated accompaniment
 };
 
-AbcResultC* abc_compile(const char* abc_text) {
+AbcResultC* abc_compile_opts(const char* abc_text, int32_t gchord) {
   Parser p;
   std::string body;
   p.parseHeaders(abc_text ? abc_text : "", &body);
   p.parseBody(body);
+  if (gchord) p.generateGchord();
 
   auto* res = (AbcResultC*)calloc(1, sizeof(AbcResultC));
+  res->accomp_voice = p.accompVoice;
   res->n_events = (int32_t)p.events.size();
   res->events = (AbcEventC*)calloc(p.events.size() ? p.events.size() : 1,
                                    sizeof(AbcEventC));
@@ -640,6 +872,10 @@ AbcResultC* abc_compile(const char* abc_text) {
   res->unit_den = p.unitLen.den;
   res->n_voices = (int32_t)(p.voiceIds.empty() ? 1 : p.voiceIds.size());
   return res;
+}
+
+AbcResultC* abc_compile(const char* abc_text) {
+  return abc_compile_opts(abc_text, 0);
 }
 
 void abc_free(AbcResultC* res) {

@@ -150,9 +150,12 @@ def test_voices():
     assert v1[0].start == 0  # voices are parallel
 
 
-def test_chord_symbols_and_graces_skipped():
+def test_chord_symbols_recorded_graces_played_decorations_skipped():
     t = parse('"G" C {ag}D !trill!E |')
-    assert [p for p, _, _ in notes_of(t)] == [60, 62, 64]
+    # graces (a, g) play before D, stealing the first 1/4 of its span
+    assert [p for p, _, _ in notes_of(t)] == [60, 81, 79, 62, 64]
+    assert t.chord_symbols == [(Fraction(0), "G")]
+    assert t.accomp_voice is None  # accompaniment is opt-in
 
 
 def test_inline_meter_change():
@@ -219,3 +222,67 @@ def test_first_second_ending_timing():
     assert [(p, s) for p, s, _ in notes_of(t)] == [
         (69, 0), (71, 1), (69, 2), (72, 3),
     ]
+
+
+# ---- golden event streams: graces + gchord (round-2 features) ---------------
+# Frozen fixtures: any semantic drift in grace stealing or the gchord engine
+# must break these, in BOTH implementations (the differential suite links them).
+
+def test_grace_golden_stream():
+    """{AB}C2: graces split the first 1/4 of C2's 2-quarter span."""
+    t = AbcParser().parse("X:1\nL:1/4\nM:4/4\nK:C\n{AB}C2 D2|\n")
+    assert notes_of(t) == [
+        (69, F(0), F(1, 4)),        # A grace
+        (71, F(1, 4), F(1, 4)),     # B grace
+        (60, F(1, 2), F(3, 2)),     # C2 scaled to 3/4
+        (62, F(2), F(2)),           # D2 untouched
+    ]
+
+
+def test_grace_chord_golden_stream():
+    """{f}[CEG]2: chord scales to 3/4, grace takes the first 1/4."""
+    t = AbcParser().parse("X:1\nL:1/4\nM:4/4\nK:C\n{f}[CEG]2|\n")
+    assert notes_of(t) == [
+        (77, F(0), F(1, 2)),
+        (60, F(1, 2), F(3, 2)),
+        (64, F(1, 2), F(3, 2)),
+        (67, F(1, 2), F(3, 2)),
+    ]
+
+
+def test_gchord_golden_stream():
+    """"C" then "G7" in 4/4: fzczfzcz on the eighth grid, fundamental C2+pc,
+    chord tones C3+pc+iv, on a dedicated voice after the melody voices."""
+    t = AbcParser(gchord=True).parse('X:1\nL:1/4\nM:4/4\nK:C\n"C"CDEF|"G7"GABc|\n')
+    assert t.accomp_voice == 1
+    acc = [(n.pitch, n.start, n.duration) for n in t.notes if n.voice == 1]
+    assert acc == [
+        # bar 1: C major — f(36) z c(48,52,55) z f z c z
+        (36, F(0), F(1, 2)),
+        (48, F(1), F(1, 2)), (52, F(1), F(1, 2)), (55, F(1), F(1, 2)),
+        (36, F(2), F(1, 2)),
+        (48, F(3), F(1, 2)), (52, F(3), F(1, 2)), (55, F(3), F(1, 2)),
+        # bar 2: G7 — f(43) z c(55,59,62,65) z f z c z
+        (43, F(4), F(1, 2)),
+        (55, F(5), F(1, 2)), (59, F(5), F(1, 2)), (62, F(5), F(1, 2)), (65, F(5), F(1, 2)),
+        (43, F(6), F(1, 2)),
+        (55, F(7), F(1, 2)), (59, F(7), F(1, 2)), (62, F(7), F(1, 2)), (65, F(7), F(1, 2)),
+    ]
+
+
+def test_gchord_slash_bass_golden():
+    """"A7/E": fundamental uses the bass pitch class, chord tones the root."""
+    t = AbcParser(gchord=True).parse('X:1\nL:1/4\nM:4/4\nK:C\n"A7/E"A4|\n')
+    acc = [(n.pitch, n.start) for n in t.notes if n.voice == t.accomp_voice]
+    # f slots at 0 and 2 use E (pc 4) -> 40; c slots use A7 (57,61,64,67)
+    assert acc[0] == (40, F(0))
+    assert {p for p, s in acc if s == F(1)} == {57, 61, 64, 67}
+
+
+def test_gchord_to_midi_program_and_velocity():
+    """Accompaniment renders on its own track: program 24, velocity 80."""
+    midi = abc_to_midi('X:1\nL:1/4\nM:4/4\nK:C\n"C"CDEF|\n', gchord=True)
+    by_prog = {tr.program: tr for tr in midi.tracks}
+    assert 24 in by_prog and by_prog[24].name == "gchord"
+    assert all(n.velocity == 80 for n in by_prog[24].notes)
+    assert all(n.velocity == 105 for n in by_prog[0].notes)

@@ -103,3 +103,47 @@ def test_native_regression_tie_and_chord_repeat(native_parser):
 def test_native_volta_timing(native_parser):
     abc = "X:1\nL:1/8\nM:4/4\nK:C\n|: A2 [1 B2 :| [2 c2 |"
     assert_tunes_equal(AbcParser().parse(abc), native_parser.parse(abc), abc)
+
+
+# ---- round-2 features: graces, +decorations+, gchord accompaniment ----------
+
+FEATURE_CASES = [
+    # graces steal 1/4 of the principal's span (single notes and chords)
+    "X:1\nL:1/4\nM:4/4\nK:C\n{AB}C2 D2|{g}E4|",
+    "X:1\nL:1/4\nM:4/4\nK:C\n{f}[CEG]2 D2|",
+    # graces drop at rests/barlines/EOF; grace accidentals propagate
+    "X:1\nL:1/4\nK:C\n{ab}z2 {cd}|C4|",
+    "X:1\nL:1/4\nK:C\n{^F}G F2 G|",
+    # graces can't split a tie
+    "X:1\nL:1/4\nK:C\nC2-{de}C2|",
+    # old-style +...+ decorations are consumed
+    "X:1\nL:1/4\nK:C\n+trill+C D +fermata+E F|",
+    # broken rhythm interacting with a grace group
+    "X:1\nL:1/8\nM:4/4\nK:C\nC>{a}D E2|",
+]
+
+GCHORD_CASES = [
+    'X:1\nL:1/4\nM:4/4\nK:C\n"C"CDEF|"G7"GABc|',
+    'X:1\nL:1/4\nM:3/4\nK:C\n"Dm"DEF|"A7/E"ABc|',
+    'X:1\nL:1/8\nM:6/8\nK:G\n"G"GAB dBG|"Em"E2E G2G|',
+    'X:1\nL:1/4\nM:4/4\nK:C\n|:"C"CDEF:|"F"FGAB|',      # repeat copies chords
+    'X:1\nL:1/4\nM:4/4\nK:C\n|:"C"CDEF|[1 "G"GABG:|[2 "F"FACF|',
+    'X:1\nL:1/4\nM:4/4\nK:C\n"Intro"C4|"^above"D4|"Cm7"E4|',  # annotations skip
+    'X:1\nL:1/4\nM:4/4\nK:C\n"Cadd9"C4|',                # unknown type -> major
+    'X:1\nL:1/4\nM:2/4\nK:D\n"D"DF|"Bm"Bd|"A7sus4"AA|',
+]
+
+
+@pytest.mark.parametrize("abc", FEATURE_CASES)
+def test_native_matches_python_graces_decorations(native_parser, abc):
+    assert_tunes_equal(AbcParser().parse(abc), native_parser.parse(abc), abc)
+
+
+@pytest.mark.parametrize("abc", GCHORD_CASES)
+def test_native_matches_python_gchord(native_parser, abc):
+    from ai_music_generation_tpu.abcnotation.native import NativeAbcParser
+
+    py = AbcParser(gchord=True).parse(abc)
+    cc = NativeAbcParser(gchord=True).parse(abc)
+    assert_tunes_equal(py, cc, abc)
+    assert py.accomp_voice == cc.accomp_voice
