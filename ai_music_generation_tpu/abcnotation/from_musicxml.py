@@ -3,10 +3,14 @@
 Replaces the reference's vendored ``xml2abc.py`` (2,300 LoC, driven by
 ``batch_converter.py`` in tunesformer/data_curation.zip) with a clean-room
 converter for the score-partwise subset the TunesFormer curation pipeline
-needs: parts, measures, divisions, key (fifths) / time attributes, pitched
-notes and rests with durations, chords, ties, voices (first voice kept per
-part — the curation pipeline filters multi-voice tunes anyway), and repeat
-barlines. ``.mxl`` (zipped MusicXML) is handled transparently.
+needs: multiple parts and multiple voices per part (emitted as ABC ``V:``
+lines; ``<backup>`` interleaving handled by voice partitioning), divisions,
+key (fifths) / time attributes, pitched notes and rests with exact
+durations, chords, ties, tuplets (``<time-modification>`` re-emitted as
+``(p:q:r`` groups), grace notes (re-emitted as ABC ``{...}`` groups),
+``<forward>`` gaps (as rests), and repeat barlines. Ornaments/dynamics are
+skipped with a single warning per file. ``.mxl`` (zipped MusicXML) is
+handled transparently.
 
 Output is ABC text directly consumable by the in-repo ABC parser and the
 control-code curation (data/curation.py).
@@ -15,13 +19,14 @@ control-code curation (data/curation.py).
 from __future__ import annotations
 
 import io
+import warnings
 import zipfile
+from dataclasses import dataclass, field
 from fractions import Fraction
 from pathlib import Path
 from typing import Optional
 from xml.etree import ElementTree as ET
 
-_STEP_TO_ABC = {"C": "C", "D": "D", "E": "E", "F": "F", "G": "G", "A": "A", "B": "B"}
 _SHARP_KEYS = ["C", "G", "D", "A", "E", "B", "F#", "C#"]
 _FLAT_KEYS = ["C", "F", "Bb", "Eb", "Ab", "Db", "Gb", "Cb"]
 
@@ -31,8 +36,6 @@ _SHARP_ORDER = "FCGDAEB"
 
 def _key_name(fifths: int, mode: str = "major") -> str:
     if mode.lower().startswith("min"):
-        # relative minor = major key 3 fifths lower
-        name = _key_name(fifths)  # major name of the signature
         minors = ["A", "E", "B", "F#", "C#", "G#", "D#", "A#"]
         minors_flat = ["A", "D", "G", "C", "F", "Bb", "Eb", "Ab"]
         return (minors[fifths] if fifths >= 0 else minors_flat[-fifths]) + "m"
@@ -92,8 +95,54 @@ def load_musicxml(path) -> ET.Element:
     return ET.fromstring(data)
 
 
+@dataclass
+class _Item:
+    """One renderable token: a note/chord/rest with its length and context."""
+    core: str  # 'C' / '[CEG]' / 'z' (no length suffix)
+    units: Fraction
+    timemod: Optional[tuple[int, int]] = None  # (actual, normal)
+    tie: bool = False
+    grace: str = ""  # '{ag}' prefix
+
+
+@dataclass
+class _VoiceCtx:
+    measure_state: dict = field(default_factory=dict)
+    graces: list = field(default_factory=list)
+    items: list = field(default_factory=list)  # current measure's _Items
+    bars: list = field(default_factory=list)  # rendered bar strings
+
+
+def _render_items(items: list[_Item]) -> str:
+    """Items -> bar text, grouping consecutive equal time-modifications into
+    ``(p:q:r`` tuplets (written lengths get the modification undone, so the
+    ABC parser's tuplet factor reproduces the exact played durations)."""
+    tokens: list[str] = []
+    i = 0
+    while i < len(items):
+        it = items[i]
+        if it.timemod is None:
+            tokens.append(it.grace + it.core + _dur_to_abc(it.units)
+                          + ("-" if it.tie else ""))
+            i += 1
+            continue
+        j = i
+        while j < len(items) and items[j].timemod == it.timemod:
+            j += 1
+        a, b = it.timemod
+        tokens.append(f"({a}:{b}:{j - i}")
+        for k in range(i, j):
+            x = items[k]
+            written = x.units * a / b  # undo the modification
+            tokens.append(x.grace + x.core + _dur_to_abc(written)
+                          + ("-" if x.tie else ""))
+        i = j
+    return " ".join(tokens)
+
+
 def musicxml_to_abc(path, reference: int = 1, unit: Fraction = Fraction(1, 8)) -> str:
-    """Convert a MusicXML file to ABC text (first part, first voice)."""
+    """Convert a MusicXML file to ABC text. All parts and voices are kept;
+    with more than one voice the output uses ``V:`` lines."""
     root = load_musicxml(path)
     if root.tag != "score-partwise":
         raise ValueError(f"unsupported MusicXML root {root.tag!r}")
@@ -103,102 +152,158 @@ def musicxml_to_abc(path, reference: int = 1, unit: Fraction = Fraction(1, 8)) -
     if work is not None and work.text:
         title = work.text.strip()
 
-    part = root.find("part")
-    if part is None:
+    parts = root.findall("part")
+    if not parts:
         raise ValueError("no <part> in MusicXML")
 
-    divisions = 1
+    quarter_per_unit = unit * 4  # quarters per ABC unit note
     fifths = 0
     mode = "major"
     beats, beat_type = 4, 4
-    key_alters: dict[str, int] = {}
-    body_bars: list[str] = []
-    pending_tie = False
+    header_attrs_set = False
+    skipped_ornaments = False
 
-    for measure in part.findall("measure"):
-        attrs = measure.find("attributes")
-        if attrs is not None:
-            d = attrs.find("divisions")
-            if d is not None:
-                divisions = int(d.text)
-            k = attrs.find("key/fifths")
-            if k is not None:
-                fifths = int(k.text)
-                key_alters = _signature_alters(fifths)
-            m = attrs.find("key/mode")
-            if m is not None and m.text:
-                mode = m.text
-            t = attrs.find("time")
-            if t is not None:
-                beats = int(t.find("beats").text)
-                beat_type = int(t.find("beat-type").text)
+    voices: dict[tuple[int, str], _VoiceCtx] = {}
+    voice_order: list[tuple[int, str]] = []
 
-        quarter_per_unit = unit * 4  # quarters per ABC unit note
-        measure_state: dict = {}
-        tokens: list[str] = []
-        chord_group: list[str] = []
-        chord_dur: Optional[Fraction] = None
+    def ctx(p_idx: int, vid: str) -> _VoiceCtx:
+        key = (p_idx, vid)
+        if key not in voices:
+            voices[key] = _VoiceCtx()
+            voice_order.append(key)
+            # voices appearing mid-tune pad with the bars already emitted
+            done = max((len(v.bars) for v in voices.values()), default=0)
+            voices[key].bars = [""] * max(0, done - 1)
+        return voices[key]
 
-        def flush_chord():
-            nonlocal chord_group, chord_dur, pending_tie
-            if not chord_group:
-                return
-            dur = _dur_to_abc(chord_dur)
-            tie = "-" if pending_tie else ""
-            if len(chord_group) == 1:
-                tokens.append(chord_group[0] + dur + tie)
-            else:
-                tokens.append("[" + "".join(chord_group) + "]" + dur + tie)
-            chord_group = []
-            chord_dur = None
-            pending_tie = False
+    for p_idx, part in enumerate(parts):
+        divisions = 1
+        key_alters: dict[str, int] = {}
 
-        for note in measure.findall("note"):
-            if note.find("grace") is not None:
-                continue
-            voice_el = note.find("voice")
-            if voice_el is not None and voice_el.text and voice_el.text.strip() != "1":
-                continue
-            dur_el = note.find("duration")
-            if dur_el is None:
-                continue
-            dur_q = Fraction(int(dur_el.text), divisions)  # quarters
-            units = dur_q / quarter_per_unit
-            is_chord = note.find("chord") is not None
-            if not is_chord:
-                flush_chord()
-            if note.find("rest") is not None:
-                tokens.append("z" + _dur_to_abc(units))
-                continue
-            pitch = note.find("pitch")
-            if pitch is None:
-                continue
-            step = pitch.find("step").text
-            octv = int(pitch.find("octave").text)
-            alter_el = pitch.find("alter")
-            alter = int(float(alter_el.text)) if alter_el is not None else 0
-            abc_note = _pitch_to_abc(step, alter, octv, key_alters, measure_state)
-            chord_group.append(abc_note)
-            chord_dur = units
-            # tie start?
-            for tie in note.findall("tie"):
-                if tie.get("type") == "start":
-                    pending_tie = True
-        flush_chord()
+        for m_idx, measure in enumerate(part.findall("measure")):
+            attrs = measure.find("attributes")
+            if attrs is not None:
+                d = attrs.find("divisions")
+                if d is not None:
+                    divisions = int(d.text)
+                k = attrs.find("key/fifths")
+                if k is not None:
+                    key_alters = _signature_alters(int(k.text))
+                    if not header_attrs_set or p_idx == 0:
+                        fifths = int(k.text)
+                m_el = attrs.find("key/mode")
+                if m_el is not None and m_el.text and p_idx == 0:
+                    mode = m_el.text
+                t = attrs.find("time")
+                if t is not None and p_idx == 0:
+                    beats = int(t.find("beats").text)
+                    beat_type = int(t.find("beat-type").text)
+                header_attrs_set = True
 
-        bar_text = " ".join(tokens)
-        barline = "|"
-        for bl in measure.findall("barline"):
-            rep = bl.find("repeat")
-            style = bl.find("bar-style")
-            if rep is not None and rep.get("direction") == "backward":
-                barline = ":|"
-            elif rep is not None and rep.get("direction") == "forward":
-                bar_text = "|: " + bar_text if body_bars else bar_text
-                continue
-            elif style is not None and style.text == "light-heavy":
-                barline = "|]"
-        body_bars.append(bar_text + " " + barline)
+            cur_vid = "1"
+            measure_voices: list[str] = []
+            for el in measure:
+                if el.tag == "forward":
+                    # explicit gap: render as a rest in its voice
+                    v_el = el.find("voice")
+                    vid = (v_el.text.strip() if v_el is not None and v_el.text
+                           else cur_vid)
+                    dur_el = el.find("duration")
+                    if dur_el is not None:
+                        units = Fraction(int(dur_el.text), divisions) / quarter_per_unit
+                        v = ctx(p_idx, vid)
+                        v.items.append(_Item("z", units))
+                        if vid not in measure_voices:
+                            measure_voices.append(vid)
+                    continue
+                if el.tag != "note":
+                    continue  # backup handled implicitly by voice partition
+                note = el
+                v_el = note.find("voice")
+                cur_vid = (v_el.text.strip() if v_el is not None and v_el.text
+                           else cur_vid)
+                v = ctx(p_idx, cur_vid)
+                if cur_vid not in measure_voices:
+                    measure_voices.append(cur_vid)
+                if note.find("notations/ornaments") is not None:
+                    skipped_ornaments = True
+
+                pitch = note.find("pitch")
+                if note.find("grace") is not None:
+                    if pitch is not None:
+                        v.graces.append(_pitch_to_abc(
+                            pitch.find("step").text,
+                            int(float(pitch.find("alter").text))
+                            if pitch.find("alter") is not None else 0,
+                            int(pitch.find("octave").text),
+                            key_alters, v.measure_state,
+                        ))
+                    continue
+                dur_el = note.find("duration")
+                if dur_el is None:
+                    continue
+                units = Fraction(int(dur_el.text), divisions) / quarter_per_unit
+                timemod = None
+                tm = note.find("time-modification")
+                if tm is not None:
+                    timemod = (int(tm.find("actual-notes").text),
+                               int(tm.find("normal-notes").text))
+                if note.find("rest") is not None:
+                    v.graces.clear()
+                    v.items.append(_Item("z", units, timemod))
+                    continue
+                if pitch is None:
+                    continue
+                abc_note = _pitch_to_abc(
+                    pitch.find("step").text,
+                    int(float(pitch.find("alter").text))
+                    if pitch.find("alter") is not None else 0,
+                    int(pitch.find("octave").text),
+                    key_alters, v.measure_state,
+                )
+                tie = any(t.get("type") == "start" for t in note.findall("tie"))
+                if note.find("chord") is not None and v.items \
+                        and v.items[-1].core != "z":
+                    last = v.items[-1]
+                    inner = last.core[1:-1] if last.core.startswith("[") else last.core
+                    last.core = "[" + inner + abc_note + "]"
+                    last.tie = last.tie or tie
+                    continue
+                grace = "{" + "".join(v.graces) + "}" if v.graces else ""
+                v.graces.clear()
+                v.items.append(_Item(abc_note, units, timemod, tie, grace))
+
+            # barline for this measure (applies to every voice of this part)
+            bar_prefix = ""
+            barline = "|"
+            for bl in measure.findall("barline"):
+                rep = bl.find("repeat")
+                style = bl.find("bar-style")
+                if rep is not None and rep.get("direction") == "backward":
+                    barline = ":|"
+                elif rep is not None and rep.get("direction") == "forward":
+                    if m_idx > 0:
+                        bar_prefix = "|: "
+                elif style is not None and style.text == "light-heavy":
+                    barline = "|]"
+
+            for vid in measure_voices or ["1"]:
+                v = ctx(p_idx, vid)
+                v.bars.append(bar_prefix + _render_items(v.items) + " " + barline)
+                v.items = []
+                v.measure_state = {}
+                v.graces.clear()
+            # voices absent from this measure keep alignment with empty bars
+            for (pp, vid), v in voices.items():
+                if pp == p_idx and vid not in measure_voices \
+                        and len(v.bars) == m_idx:
+                    v.bars.append("")
+
+    if skipped_ornaments:
+        warnings.warn(
+            f"{path}: ornaments present in MusicXML were skipped "
+            "(no ABC equivalent emitted)", stacklevel=2,
+        )
 
     header = [f"X:{reference}"]
     if title:
@@ -206,4 +311,12 @@ def musicxml_to_abc(path, reference: int = 1, unit: Fraction = Fraction(1, 8)) -
     header.append(f"M:{beats}/{beat_type}")
     header.append(f"L:{unit.numerator}/{unit.denominator}")
     header.append(f"K:{_key_name(fifths, mode)}")
-    return "\n".join(header) + "\n" + "\n".join(body_bars) + "\n"
+    body: list[str] = []
+    if len(voice_order) <= 1:
+        v = voices[voice_order[0]] if voice_order else _VoiceCtx()
+        body.extend(b for b in v.bars if b)
+    else:
+        for n, key in enumerate(voice_order, start=1):
+            body.append(f"V:{n}")
+            body.extend(b for b in voices[key].bars if b)
+    return "\n".join(header) + "\n" + "\n".join(body) + "\n"

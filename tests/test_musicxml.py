@@ -1,6 +1,7 @@
 """MusicXML -> ABC conversion tests (incl. .mxl and round trip to events)."""
 
 import zipfile
+from fractions import Fraction as F
 
 import pytest
 
@@ -108,3 +109,150 @@ def test_batch_converter(tmp_path):
     ok, bad = convert_directory(str(src), str(out), processes=1)
     assert ok == 3 and bad == 1
     assert sorted(f.name for f in out.glob("*.abc")) == ["t0.abc", "t1.abc", "t2.abc"]
+
+
+# ---- round-2 breadth: multi-voice, tuplets, graces, .mxl ---------------------
+
+def _score(body, fifths=0, beats=4, beat_type=4, divisions=2):
+    return f"""<?xml version="1.0"?>
+<score-partwise version="3.1">
+  <part-list><score-part id="P1"><part-name>A</part-name></score-part></part-list>
+  <part id="P1">
+    <measure number="1">
+      <attributes>
+        <divisions>{divisions}</divisions>
+        <key><fifths>{fifths}</fifths></key>
+        <time><beats>{beats}</beats><beat-type>{beat_type}</beat-type></time>
+      </attributes>
+{body}
+    </measure>
+  </part>
+</score-partwise>"""
+
+
+def _note(step, octave, dur, voice=None, extra=""):
+    v = f"<voice>{voice}</voice>" if voice else ""
+    return (f"<note><pitch><step>{step}</step><octave>{octave}</octave></pitch>"
+            f"<duration>{dur}</duration>{v}{extra}</note>")
+
+
+def test_multivoice_backup_emits_V_lines(tmp_path):
+    """Two voices interleaved with <backup> must come out as two V: lines,
+    both parseable, time-aligned from 0."""
+    body = (
+        _note("C", 4, 4, voice=1) + _note("D", 4, 4, voice=1)
+        + "<backup><duration>8</duration></backup>"
+        + _note("E", 3, 4, voice=2) + _note("F", 3, 4, voice=2)
+    )
+    f = tmp_path / "mv.xml"
+    f.write_text(_score(body))
+    abc = musicxml_to_abc(str(f))
+    assert "V:1" in abc and "V:2" in abc
+    tune = AbcParser().parse(abc)
+    assert tune.n_voices == 2
+    v0 = [n for n in tune.notes if n.voice == 0]
+    v1 = [n for n in tune.notes if n.voice == 1]
+    assert [n.pitch for n in v0] == [60, 62]
+    assert [n.pitch for n in v1] == [52, 53]
+    assert v1[0].start == 0  # parallel voices
+
+
+def test_multipart_keeps_all_parts(tmp_path):
+    two_parts = f"""<?xml version="1.0"?>
+<score-partwise version="3.1">
+  <part-list><score-part id="P1"/><score-part id="P2"/></part-list>
+  <part id="P1"><measure number="1">
+    <attributes><divisions>1</divisions>
+      <key><fifths>0</fifths></key>
+      <time><beats>4</beats><beat-type>4</beat-type></time></attributes>
+    {_note("C", 5, 4)}
+  </measure></part>
+  <part id="P2"><measure number="1">
+    <attributes><divisions>1</divisions></attributes>
+    {_note("C", 3, 4)}
+  </measure></part>
+</score-partwise>"""
+    f = tmp_path / "mp.xml"
+    f.write_text(two_parts)
+    abc = musicxml_to_abc(str(f))
+    tune = AbcParser().parse(abc)
+    assert tune.n_voices == 2
+    assert sorted(n.pitch for n in tune.notes) == [48, 72]
+
+
+def test_tuplet_time_modification_roundtrip(tmp_path):
+    """Triplet eighths (duration already modified in MusicXML) re-emit as a
+    (3:2:3 group whose parsed durations equal the played ones exactly."""
+    tm = ("<time-modification><actual-notes>3</actual-notes>"
+          "<normal-notes>2</normal-notes></time-modification>")
+    body = (
+        "".join(_note(s, 4, 2, extra=tm) for s in "CDE")  # 3 triplet eighths
+        + _note("F", 4, 6)  # plain dotted quarter fills the 4/4 bar
+    )
+    f = tmp_path / "tup.xml"
+    f.write_text(_score(body, divisions=6))
+    abc = musicxml_to_abc(str(f))
+    assert "(3:2:3" in abc
+    tune = AbcParser().parse(abc)
+    durs = [n.duration for n in tune.notes]
+    assert durs == [F(1, 3), F(1, 3), F(1, 3), F(1)]
+    assert tune.notes[3].start == F(1)
+
+
+def test_grace_notes_reemitted_as_abc_graces(tmp_path):
+    body = (
+        "<note><grace/><pitch><step>A</step><octave>4</octave></pitch></note>"
+        + _note("G", 4, 8)
+    )
+    f = tmp_path / "gr.xml"
+    f.write_text(_score(body))
+    abc = musicxml_to_abc(str(f))
+    assert "{A}" in abc
+    tune = AbcParser().parse(abc)
+    # grace steals the first 1/4 of G's 4-quarter span
+    assert [(n.pitch, n.start, n.duration) for n in tune.notes] == [
+        (69, F(0), F(1)), (67, F(1), F(3)),
+    ]
+
+
+def test_ornaments_warn_once(tmp_path):
+    orn = "<notations><ornaments><trill-mark/></ornaments></notations>"
+    body = _note("C", 4, 4, extra=orn) + _note("D", 4, 4, extra=orn)
+    f = tmp_path / "orn.xml"
+    f.write_text(_score(body))
+    with pytest.warns(UserWarning, match="ornaments"):
+        abc = musicxml_to_abc(str(f))
+    assert AbcParser().parse(abc).notes  # still converts
+
+
+def test_forward_becomes_rest(tmp_path):
+    body = (_note("C", 4, 2, voice=1)
+            + "<forward><duration>2</duration><voice>1</voice></forward>"
+            + _note("E", 4, 2, voice=1) + _note("F", 4, 2, voice=1))
+    f = tmp_path / "fw.xml"
+    f.write_text(_score(body))
+    tune = AbcParser().parse(musicxml_to_abc(str(f)))
+    sounded = [n for n in tune.notes if not n.is_rest]
+    assert [(n.pitch, n.start) for n in sounded] == [
+        (60, F(0)), (64, F(2)), (65, F(3)),
+    ]
+
+
+def test_mxl_container_multivoice(tmp_path):
+    import zipfile
+
+    body = (
+        _note("C", 4, 4, voice=1)
+        + "<backup><duration>4</duration></backup>"
+        + _note("E", 3, 4, voice=2)
+        + _note("G", 4, 4, voice=1)
+        + "<backup><duration>4</duration></backup>"
+        + _note("B", 3, 4, voice=2)
+    )
+    f = tmp_path / "c.mxl"
+    with zipfile.ZipFile(f, "w") as z:
+        z.writestr("score.xml", _score(body))
+    abc = musicxml_to_abc(str(f))
+    tune = AbcParser().parse(abc)
+    assert tune.n_voices == 2
+    assert sorted(n.pitch for n in tune.notes) == [52, 59, 60, 67]
