@@ -118,6 +118,72 @@ def run_aesthetics(
     return False
 
 
+def compare_scorers(
+    input_jsonl: str,
+    out_dir: str,
+    batch_size: int = 10,
+) -> dict:
+    """A/B harness: score the SAME wav list with the real ``audio-aes`` CLI
+    and the proxy, then report per-axis deltas and rank agreement.
+
+    Writes ``proxy.jsonl`` (+ ``real.jsonl`` when audio-aes is installed)
+    and ``ab_report.json`` into ``out_dir``. When the real scorer is absent
+    (as in this environment) the report records ``real_available: false`` —
+    the harness is ready to produce calibration numbers the moment
+    ``audio-aes`` lands on PATH. (VERDICT #2; ref scorer invocation:
+    abc_to_midi_wav_and_aesthetics.py:323-355.)
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    proxy_path = os.path.join(out_dir, "proxy.jsonl")
+    run_aesthetics(input_jsonl, proxy_path, batch_size, force_proxy=True)
+    report: dict = {
+        "real_available": shutil.which("audio-aes") is not None,
+        "proxy_jsonl": proxy_path,
+        "axes": {},
+    }
+    if report["real_available"]:
+        real_path = os.path.join(out_dir, "real.jsonl")
+        run_aesthetics(input_jsonl, real_path, batch_size)
+        report["real_jsonl"] = real_path
+        real = _load_axis_rows(real_path)
+        prox = _load_axis_rows(proxy_path)
+        n = min(len(real), len(prox))
+        for axis in AXES:
+            r = np.asarray([row.get(axis, float("nan")) for row in real[:n]])
+            p = np.asarray([row.get(axis, float("nan")) for row in prox[:n]])
+            ok = ~(np.isnan(r) | np.isnan(p))
+            r, p = r[ok], p[ok]
+            entry = {"n": int(ok.sum())}
+            if len(r) >= 2:
+                entry.update(
+                    mean_real=float(r.mean()), mean_proxy=float(p.mean()),
+                    mean_delta=float((p - r).mean()),
+                    pearson=float(np.corrcoef(r, p)[0, 1]),
+                    spearman=float(np.corrcoef(_ranks(r), _ranks(p))[0, 1]),
+                )
+            report["axes"][axis] = entry
+    with open(os.path.join(out_dir, "ab_report.json"), "w") as f:
+        json.dump(report, f, indent=2)
+    return report
+
+
+def _load_axis_rows(jsonl_path: str) -> list[dict]:
+    rows = []
+    with open(jsonl_path) as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                rows.append(json.loads(line))
+    return rows
+
+
+def _ranks(x: np.ndarray) -> np.ndarray:
+    order = np.argsort(x)
+    ranks = np.empty_like(order, dtype=np.float64)
+    ranks[order] = np.arange(len(x))
+    return ranks
+
+
 def aggregate_jsonl_stats(jsonl_path: str, columns: Optional[list[str]] = None) -> dict:
     """mean/se/moe/ci95 per numeric column (ref aggregation :329-349)."""
     import pandas as pd
