@@ -72,7 +72,11 @@ class PipelineConfig:
     abc_to_midi_converter: str = "builtin"  # replaces abc2midi/music21 choice
     gchord: bool = False  # render "G7" chord-symbol accompaniment (abc2midi)
     midi_to_wav_converter: str = "tpu_synth"  # replaces FluidSynth/Timidity
-    sound_font: str = "builtin_additive"
+    # "builtin_sample_bank" (embedded multi-sample piano, default — A/B
+    # winner, docs/PERF.md) or "builtin_additive" (round-1 harmonic voice);
+    # replaces the reference's soundfont choice (midi_to_wav_and_aesthetics
+    # .py:105-110)
+    sound_font: str = "builtin_sample_bank"
     sample_rate: int = 16_000
     reference_midi_files_dir: Optional[str] = None
     n_conditioned_measures: int = 0
@@ -235,8 +239,11 @@ class EvalPipeline:
                         n_failed += 1
                 if not chunk:
                     continue
+                voice = ("additive" if "additive" in c.sound_font
+                         else "sample_bank")
                 try:
-                    waves = synthesize_midi_batch(midis, c.sample_rate)
+                    waves = synthesize_midi_batch(midis, c.sample_rate,
+                                                  voice=voice)
                 except Exception as e:
                     print(f"Error rendering batch at {lo}: {e}")
                     n_failed += len(chunk)

@@ -73,32 +73,66 @@ def midi_to_events(midi: midi_io.MidiFile, sample_rate: int = SAMPLE_RATE) -> np
     return np.asarray(events, np.float32)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2))
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
 def render_events(events: jax.Array, total_samples: int,
-                  sample_rate: int = SAMPLE_RATE) -> jax.Array:
-    """Render [N, 4] note events into a [total_samples] float32 waveform."""
+                  sample_rate: int = SAMPLE_RATE,
+                  voice: str = "sample_bank") -> jax.Array:
+    """Render [N, 4] note events into a [total_samples] float32 waveform.
+
+    ``voice``: ``"sample_bank"`` (default; pitch-shifted gather from the
+    embedded multi-sample piano bank, see synth/piano_bank.py) or
+    ``"additive"`` (the round-1 harmonic-stack voice). The default was
+    chosen by a measured A/B through the metrics pipeline (docs/PERF.md).
+    """
     max_note = int(MAX_NOTE_SECONDS * sample_rate)
     t = jnp.arange(max_note, dtype=jnp.float32) / sample_rate  # [L]
 
-    def render_note(ev):
-        pitch, start, dur_samples, vel = ev[0], ev[1], ev[2], ev[3]
-        dur = dur_samples / sample_rate
-        freq = 440.0 * 2.0 ** ((pitch - 69.0) / 12.0)
-        # piano-ish envelope: 5 ms attack, exponential decay scaled by pitch,
-        # release after note-off
-        attack = jnp.minimum(t / 0.005, 1.0)
-        decay_rate = 0.5 + freq / 2000.0  # higher notes decay faster
-        decay = jnp.exp(-decay_rate * t)
-        release = jnp.exp(-jnp.maximum(t - dur, 0.0) / 0.05)
-        env = attack * decay * release
-        env = env * (t < dur + 0.25)  # hard stop after release tail
-        h = jnp.arange(1, N_HARMONICS + 1, dtype=jnp.float32)  # [H]
-        inharm = 1.0 + 0.0004 * h * h  # slight stiffness inharmonicity
-        f_h = freq * h * inharm  # [H]
-        amp = h ** -1.7 * (f_h < sample_rate / 2)  # Nyquist guard
-        phases = 2.0 * jnp.pi * f_h[None, :] * t[:, None]  # [L, H]
-        wave = jnp.sin(phases) @ amp  # [L]
-        return (vel * env * wave).astype(jnp.float32)
+    if voice == "sample_bank":
+        from ai_music_generation_tpu.synth.piano_bank import get_bank
+
+        bank_np, bank_pitches_np = get_bank(sample_rate)
+        bank = jnp.asarray(bank_np)  # [K, Lb] — an XLA constant (~3 MB)
+        bank_pitch = jnp.asarray(bank_pitches_np)
+        bank_len = bank_np.shape[1]
+
+        def render_note(ev):
+            pitch, start, dur_samples, vel = ev[0], ev[1], ev[2], ev[3]
+            dur = dur_samples / sample_rate
+            k = jnp.argmin(jnp.abs(bank_pitch - pitch))
+            rate = 2.0 ** ((pitch - bank_pitch[k]) / 12.0)
+            row = jnp.take(bank, k, axis=0)  # [Lb]
+            pos = jnp.arange(max_note, dtype=jnp.float32) * rate
+            i0 = jnp.floor(pos).astype(jnp.int32)
+            frac = pos - i0
+            valid = i0 < bank_len - 1
+            i0 = jnp.clip(i0, 0, bank_len - 2)
+            seg = row[i0] * (1.0 - frac) + row[i0 + 1] * frac
+            # piano has no sustain: let the sample decay, damp at note-off
+            release = jnp.exp(-jnp.maximum(t - dur, 0.0) / 0.08)
+            seg = seg * valid * release * (t < dur + 0.35)
+            return (vel * seg).astype(jnp.float32)
+
+    else:
+
+        def render_note(ev):
+            pitch, start, dur_samples, vel = ev[0], ev[1], ev[2], ev[3]
+            dur = dur_samples / sample_rate
+            freq = 440.0 * 2.0 ** ((pitch - 69.0) / 12.0)
+            # piano-ish envelope: 5 ms attack, exponential decay scaled by
+            # pitch, release after note-off
+            attack = jnp.minimum(t / 0.005, 1.0)
+            decay_rate = 0.5 + freq / 2000.0  # higher notes decay faster
+            decay = jnp.exp(-decay_rate * t)
+            release = jnp.exp(-jnp.maximum(t - dur, 0.0) / 0.05)
+            env = attack * decay * release
+            env = env * (t < dur + 0.25)  # hard stop after release tail
+            h = jnp.arange(1, N_HARMONICS + 1, dtype=jnp.float32)  # [H]
+            inharm = 1.0 + 0.0004 * h * h  # slight stiffness inharmonicity
+            f_h = freq * h * inharm  # [H]
+            amp = h ** -1.7 * (f_h < sample_rate / 2)  # Nyquist guard
+            phases = 2.0 * jnp.pi * f_h[None, :] * t[:, None]  # [L, H]
+            wave = jnp.sin(phases) @ amp  # [L]
+            return (vel * env * wave).astype(jnp.float32)
 
     def body(buf, ev):
         seg = render_note(ev)
@@ -152,19 +186,23 @@ def _pad_events(events: np.ndarray) -> np.ndarray:
     return np.concatenate([events, pad], axis=0)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2))
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
 def render_events_batch(events: jax.Array, total_samples: int,
-                        sample_rate: int = SAMPLE_RATE) -> jax.Array:
+                        sample_rate: int = SAMPLE_RATE,
+                        voice: str = "sample_bank") -> jax.Array:
     """Render a BATCH of padded event tensors [N, E, 4] -> [N, total_samples].
 
     vmap of :func:`render_events`: all tunes' note-scans run as one batched
     program, amortizing per-call dispatch for directory-scale rendering."""
-    return jax.vmap(lambda ev: render_events(ev, total_samples, sample_rate))(events)
+    return jax.vmap(
+        lambda ev: render_events(ev, total_samples, sample_rate, voice)
+    )(events)
 
 
 def synthesize_midi_batch(
     midis: list, sample_rate: int = SAMPLE_RATE,
     max_seconds: float = 120.0, trim: bool = True,
+    voice: str = "sample_bank",
 ) -> list:
     """Render many MidiFiles in one device call (canonical shapes).
 
@@ -183,7 +221,7 @@ def synthesize_midi_batch(
         if len(ev):
             batch[i, : len(ev)] = ev
     waves = np.asarray(jax.device_get(
-        render_events_batch(jnp.asarray(batch), total, sample_rate)
+        render_events_batch(jnp.asarray(batch), total, sample_rate, voice)
     ))
     out = []
     for i, wave in enumerate(waves):
@@ -200,7 +238,8 @@ def synthesize_midi_batch(
 
 
 def synthesize_midi(midi: midi_io.MidiFile, sample_rate: int = SAMPLE_RATE,
-                    max_seconds: float = 120.0, trim: bool = True) -> np.ndarray:
+                    max_seconds: float = 120.0, trim: bool = True,
+                    voice: str = "sample_bank") -> np.ndarray:
     """Host convenience: MidiFile -> trimmed float32 waveform (numpy).
 
     Shapes are bucketed (notes: powers of 2; length: 16 s buckets) so a
@@ -217,7 +256,7 @@ def synthesize_midi(midi: midi_io.MidiFile, sample_rate: int = SAMPLE_RATE,
     while seconds < need:
         seconds *= 2
     total = int(min(seconds, max_seconds) * sample_rate)
-    wave = render_events(jnp.asarray(_pad_events(events)), total, sample_rate)
+    wave = render_events(jnp.asarray(_pad_events(events)), total, sample_rate, voice)
     if trim:
         end = int(jax.device_get(trim_trailing_silence(wave)))
         wave = wave[:min(end, int(need * sample_rate))]

@@ -47,7 +47,7 @@ def test_full_pipeline(abc_dir, tmp_path):
     assert 0 <= agg["inner"]["mean"]["melody"] <= 1
     # wavs rendered, aesthetics scored (proxy)
     adir = os.path.join(out, "audiobox_aesthetics", "builtin", "tpu_synth",
-                        "builtin_additive")
+                        "builtin_sample_bank")
     aest = [json.loads(l) for l in open(os.path.join(adir, "aesthetics.jsonl"))]
     assert len(aest) == 3
     assert all(set(a) >= {"CE", "CU", "PC", "PQ"} for a in aest)

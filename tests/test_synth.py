@@ -81,3 +81,62 @@ def test_synthesize_abc_end_to_end(tmp_path):
 def test_empty_midi():
     empty = midi_io.MidiFile(480, [], [], [], [])
     assert synthesize_midi(empty).shape == (0,)
+
+
+# ---- sample-bank voice (round-2: the FluidSynth/SF2 parity path) ------------
+
+def test_piano_bank_build_and_determinism():
+    from ai_music_generation_tpu.synth.piano_bank import get_bank, bank_pitches
+
+    samples, pitches = get_bank(16_000)
+    assert samples.shape[0] == len(bank_pitches())
+    assert samples.dtype == np.float32
+    # every sample is normalized, non-trivial, and decaying
+    assert np.all(np.abs(samples).max(axis=1) > 0.85)
+    head = np.abs(samples[:, : 16_000]).mean(axis=1)
+    tail = np.abs(samples[:, -16_000:]).mean(axis=1)
+    assert np.all(tail < head)  # decay
+    # process-level cache: same object, bit-identical content
+    samples2, _ = get_bank(16_000)
+    assert samples2 is samples
+
+
+def test_sample_bank_render_contains_fundamental():
+    """A 440 Hz note rendered by the sampled voice must put its spectral
+    peak region at the fundamental (pitch-shift gather correctness)."""
+    from ai_music_generation_tpu.synth.render import render_events
+
+    sr = 16_000
+    ev = jnp.asarray([[69.0, 0.0, sr * 1.0, 0.9]], jnp.float32)
+    wave = np.asarray(render_events(ev, sr, sr, "sample_bank"))
+    assert np.max(np.abs(wave)) > 0.1
+    spec = np.abs(np.fft.rfft(wave * np.hanning(len(wave))))
+    freqs = np.fft.rfftfreq(len(wave), 1 / sr)
+    # strongest bin within 3% of 440 (inharmonicity shifts partials slightly)
+    peak_f = freqs[int(np.argmax(spec))]
+    assert abs(peak_f - 440.0) / 440.0 < 0.03, peak_f
+
+
+def test_sample_bank_note_off_damps():
+    from ai_music_generation_tpu.synth.render import render_events
+
+    sr = 16_000
+    # short note: 0.2 s; by 0.8 s the damped tail must be far below peak
+    ev = jnp.asarray([[60.0, 0.0, sr * 0.2, 0.9]], jnp.float32)
+    wave = np.asarray(render_events(ev, sr * 2, sr, "sample_bank"))
+    peak = np.abs(wave[: int(0.3 * sr)]).max()
+    late = np.abs(wave[int(0.8 * sr):]).max()
+    assert late < 0.05 * peak
+
+
+def test_voice_selection_end_to_end(tmp_path):
+    """Both voices flow through synthesize_midi; outputs differ (timbres)."""
+    from ai_music_generation_tpu.abcnotation.to_midi import abc_to_midi
+    from ai_music_generation_tpu.synth.render import synthesize_midi
+
+    midi = abc_to_midi("X:1\nL:1/8\nM:4/4\nQ:1/4=160\nK:C\nCEGc e2c2|\n")
+    w_add = synthesize_midi(midi, voice="additive")
+    w_smp = synthesize_midi(midi, voice="sample_bank")
+    assert len(w_add) > 0 and len(w_smp) > 0
+    n = min(len(w_add), len(w_smp))
+    assert not np.allclose(w_add[:n], w_smp[:n])
