@@ -10,6 +10,8 @@ from ai_music_generation_tpu.ops.decode_attention import (
     decode_attention_reference,
 )
 
+pytestmark = pytest.mark.slow  # compile-heavy (see pyproject)
+
 
 @pytest.mark.parametrize("length", [1, 63, 64, 100, 256])
 def test_kernel_matches_reference(length):

@@ -10,6 +10,8 @@ from ai_music_generation_tpu.ops.decode_attention_int8 import (
     decode_attention_int8_reference,
 )
 
+pytestmark = pytest.mark.slow  # compile-heavy (see pyproject)
+
 
 def make_inputs(B=4, H=2, S=256, D=64, seed=0):
     HD = H * D

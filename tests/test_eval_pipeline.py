@@ -14,6 +14,8 @@ from ai_music_generation_tpu.cli.random_baselines import generate
 from ai_music_generation_tpu.eval.aesthetics import proxy_score_wave
 from ai_music_generation_tpu.eval.pipeline import EvalPipeline, PipelineConfig
 
+pytestmark = pytest.mark.slow  # compile-heavy (see pyproject)
+
 
 @pytest.fixture(scope="module")
 def abc_dir(tmp_path_factory):

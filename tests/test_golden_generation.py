@@ -8,6 +8,8 @@ loop that alters output will fail here. Regenerate deliberately with:
     python -m tests.test_golden_generation
 """
 
+import pytest
+
 import hashlib
 
 import jax
@@ -16,6 +18,8 @@ import numpy as np
 
 from ai_music_generation_tpu.decode.generate import Generator
 from ai_music_generation_tpu.models.gpt import GPT, GPTConfig
+
+pytestmark = pytest.mark.slow  # compile-heavy (see pyproject)
 
 CFG = GPTConfig(block_size=32, vocab_size=64, n_layer=2, n_head=2, n_embd=32,
                 dropout=0.0, dtype=jnp.float32)

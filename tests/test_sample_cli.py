@@ -16,6 +16,8 @@ from ai_music_generation_tpu.data.memmap import write_bin, write_meta
 from ai_music_generation_tpu.tokenizers.simple import CharTokenizer, WhitespaceTokenizer
 from ai_music_generation_tpu.train.trainer import DEFAULTS, Trainer
 
+pytestmark = pytest.mark.slow  # compile-heavy (see pyproject)
+
 
 @pytest.fixture(scope="module")
 def trained(tmp_path_factory):

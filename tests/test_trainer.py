@@ -10,6 +10,8 @@ from ai_music_generation_tpu.data.memmap import BinDataset, write_bin, write_met
 from ai_music_generation_tpu.tokenizers.simple import CharTokenizer
 from ai_music_generation_tpu.train.trainer import DEFAULTS, Trainer
 
+pytestmark = pytest.mark.slow  # compile-heavy (see pyproject)
+
 
 @pytest.fixture(scope="module")
 def tiny_dataset(tmp_path_factory):

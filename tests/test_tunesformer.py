@@ -15,6 +15,8 @@ from ai_music_generation_tpu.decode.tunes_generate import (
 from ai_music_generation_tpu.models.tunesformer import TunesFormer, TunesFormerConfig
 from ai_music_generation_tpu.tokenizers.patchilizer import PATCH_SIZE, Patchilizer
 
+pytestmark = pytest.mark.slow  # compile-heavy (see pyproject)
+
 TINY_CFG = TunesFormerConfig(
     patch_length=16, patch_size=16, patch_layers=2, char_layers=2,
     n_embd=32, n_head=2, dropout=0.0, dtype=jnp.float32,

@@ -8,6 +8,8 @@ import pytest
 
 from ai_music_generation_tpu.cli.tunesformer_train import main as train_main
 
+pytestmark = pytest.mark.slow  # compile-heavy (see pyproject)
+
 
 @pytest.fixture(scope="module")
 def tiny_data(tmp_path_factory):
