@@ -53,12 +53,14 @@ DEFAULTS = dict(
     data_root="data",
     batch_size=64,  # TPU-native: batched decode width
     dtype="bfloat16",
+    kv_quantized=False,  # int8 KV cache (halves decode HBM traffic)
 )
 
 IRISHMAN_BAR_REGEX = re.compile(r"(:\||::|\s\||\|\])")
 
 
-def load_model(out_dir: str, dtype: str = "bfloat16", init_from: str = "resume"):
+def load_model(out_dir: str, dtype: str = "bfloat16", init_from: str = "resume",
+               kv_quantized: bool = False):
     """Load the best checkpoint (or a HF GPT-2, ref sample.py:55-71)."""
     import dataclasses
 
@@ -72,7 +74,8 @@ def load_model(out_dir: str, dtype: str = "bfloat16", init_from: str = "resume")
         config = dataclasses.replace(config, dtype=jdtype)
         return GPT(config), params, {"model_args": {}, "config": {}}
     state, meta = ckpt_lib.load_checkpoint(out_dir, ckpt_lib.BEST)
-    config = GPTConfig(dropout=0.0, dtype=jdtype, **meta["model_args"])
+    config = GPTConfig(dropout=0.0, dtype=jdtype, kv_quantized=kv_quantized,
+                       **meta["model_args"])
     model = GPT(config)
     params = state["params"]
     return model, params, meta
@@ -87,12 +90,16 @@ def build_codec(meta_ckpt: dict, data_root: str, tokens_format: str):
             f"meta.pkl not found for dataset {dataset!r} under {data_root!r}"
         )
     stoi, itos = meta["stoi"], meta["itos"]
+    # vectorized decode: a numpy lookup table + C-level join. Per-token
+    # Python dict lookups dominated protocol-scale sampling (measured: the
+    # 4096x500 real-path run was host-bound at 32k tok/s before this).
+    lut = np.array([itos[i] for i in range(len(itos))], dtype=object)
+    joiner = "" if tokens_format == "char" else " "
+    decode = lambda l: joiner.join(lut[np.asarray(l, np.int64)].tolist())
     if tokens_format == "char":
         encode = lambda s: [stoi[c] for c in s]
-        decode = lambda l: "".join(itos[int(i)] for i in l)
     else:
         encode = lambda s: [stoi[c] for c in s.split()]
-        decode = lambda l: " ".join(itos[int(i)] for i in l)
     return encode, decode
 
 
@@ -156,7 +163,9 @@ def run_sampling(c: dict, write: bool = True) -> list[tuple[object, str]]:
 
     from ai_music_generation_tpu.decode.generate import Generator
 
-    model, params, ckpt_meta = load_model(c["out_dir"], c["dtype"], c["init_from"])
+    model, params, ckpt_meta = load_model(
+        c["out_dir"], c["dtype"], c["init_from"], c.get("kv_quantized", False)
+    )
     if c["init_from"].startswith("gpt2"):
         # GPT-2 BPE fallback (ref: sample.py:96-100)
         import tiktoken

@@ -73,16 +73,19 @@ def main(argv=None):
             x, y = ds.sample(c["seed"], it, (1, c["batch_size"]), c["block_size"])
             return jnp.asarray(x), jnp.asarray(y)
     else:
-        x_fix = jax.random.randint(
-            rng, (1, c["batch_size"], c["block_size"]), 0, c["vocab_size"]
-        )
-        y_fix = jax.random.randint(
-            jax.random.fold_in(rng, 1),
-            (1, c["batch_size"], c["block_size"]), 0, c["vocab_size"],
-        )
-
+        # batches MUST vary per iteration: the axon relay caches results by
+        # input hash, so identical-input loops report impossible times
+        # (.claude/skills/verify/SKILL.md)
         def get_batch(it):
-            return x_fix, y_fix
+            r = jax.random.fold_in(rng, it)
+            x = jax.random.randint(
+                r, (1, c["batch_size"], c["block_size"]), 0, c["vocab_size"]
+            )
+            y = jax.random.randint(
+                jax.random.fold_in(r, 1),
+                (1, c["batch_size"], c["block_size"]), 0, c["vocab_size"],
+            )
+            return x, y
 
     params = jax.jit(model.init)(rng, jnp.zeros((1, c["block_size"]), jnp.int32))
     state = TrainState.create(params, tx)
@@ -94,13 +97,16 @@ def main(argv=None):
     state, metrics = step(state, x, y, rng)  # compile
     jax.block_until_ready(metrics["loss"])
 
+    it_base = 1  # distinct iteration ids across loops (relay-cache defeat)
+
     def timed_loop(n):
-        nonlocal state
+        nonlocal state, it_base
         t0 = time.time()
-        for it in range(n):
+        for it in range(it_base, it_base + n):
             x, y = get_batch(it)
             state, metrics = step(state, x, y, jax.random.fold_in(rng, it))
         jax.block_until_ready(metrics["loss"])
+        it_base += n
         return (time.time() - t0) / n, float(metrics["loss"])
 
     timed_loop(c["burn_in"])

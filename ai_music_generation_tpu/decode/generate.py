@@ -79,6 +79,21 @@ class Generator:
         # refresh budget for windowed decode beyond block_size
         self.refresh = refresh or max(1, self.block_size // 2)
 
+    # jit treats `self` as a static argument: key it by VALUE so two
+    # Generators with the same settings share one compiled program.
+    # (Measured: protocol-scale cli/sample.py runs silently recompiled the
+    # whole decode program per invocation before this — docs/PERF.md.)
+    def _jit_key(self):
+        return (self.model, self.max_new_tokens, self.temperature,
+                self.top_k, self.refresh)
+
+    def __eq__(self, other):
+        return (type(other) is Generator and
+                self._jit_key() == other._jit_key())
+
+    def __hash__(self):
+        return hash(self._jit_key())
+
     # -- jitted core -------------------------------------------------------
 
     @functools.partial(jax.jit, static_argnums=(0, 4))

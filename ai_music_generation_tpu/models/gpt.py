@@ -392,12 +392,20 @@ class GPT(nn.Module):
 
 
 def cross_entropy_ignore_index(logits: Array, targets: Array, ignore_index: int = -1) -> Array:
-    """Mean token cross-entropy skipping ``ignore_index`` targets (fp32 accumulation)."""
+    """Mean token cross-entropy skipping ``ignore_index`` targets (fp32 accumulation).
+
+    Computed as ``logsumexp(logits) - logits[target]`` — identical math to
+    gathering from ``log_softmax`` but without materializing the full
+    [B, T, V] log-probability tensor (at GPT-2's 50304 vocab that tensor is
+    the single largest activation; skipping it is a measured MFU win, see
+    docs/PERF.md round-2 notes).
+    """
     logits = logits.astype(jnp.float32)
     mask = targets != ignore_index
     safe_targets = jnp.where(mask, targets, 0)
-    logp = jax.nn.log_softmax(logits, axis=-1)
-    nll = -jnp.take_along_axis(logp, safe_targets[..., None], axis=-1)[..., 0]
+    lse = jax.scipy.special.logsumexp(logits, axis=-1)
+    tgt = jnp.take_along_axis(logits, safe_targets[..., None], axis=-1)[..., 0]
+    nll = lse - tgt
     total = jnp.sum(nll * mask)
     count = jnp.maximum(jnp.sum(mask), 1)
     return total / count

@@ -118,3 +118,18 @@ def test_int8_kv_cache_decode(model_and_params):
     # some tokens, but the prompt region must be identical
     np.testing.assert_array_equal(out_q[:, :4], out_f[:, :4])
     assert out_q.shape == out_f.shape
+
+
+def test_generator_jit_cache_is_value_keyed():
+    """Two Generators with identical settings must be equal and hash-equal,
+    so jit reuses one compiled decode program across cli/sample.py calls
+    (regression: identity-keyed self caused a silent recompile per call,
+    measured 3x slower protocol sampling)."""
+    from ai_music_generation_tpu.models.gpt import GPT, GPTConfig
+
+    cfg = GPTConfig(block_size=32, vocab_size=16, n_layer=1, n_head=1, n_embd=16)
+    a = Generator(GPT(cfg), max_new_tokens=8, temperature=0.8, top_k=4)
+    b = Generator(GPT(cfg), max_new_tokens=8, temperature=0.8, top_k=4)
+    c = Generator(GPT(cfg), max_new_tokens=9, temperature=0.8, top_k=4)
+    assert a == b and hash(a) == hash(b)
+    assert a != c
