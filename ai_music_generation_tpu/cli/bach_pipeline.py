@@ -16,6 +16,9 @@ Subcommands:
                         reference's generate_bach.py is unrunnable (syntax
                         error + write-mode reads, SURVEY.md §2.4); this is a
                         working implementation of its design intent
+- ``synthesize-corpus`` rule-based SATB stand-in corpus (data/chorales.py)
+                        for environments without the music21 Bach corpus;
+                        feeds ``ground-truth`` and the rest of the pipeline
 """
 
 from __future__ import annotations
@@ -236,6 +239,16 @@ def cmd_generate(a):
     print(f"generated {a.num_pieces} chorales -> {a.out_dir}")
 
 
+def cmd_synthesize_corpus(a):
+    from ai_music_generation_tpu.data.chorales import synthesize_corpus
+
+    written = synthesize_corpus(
+        a.out_dir, num_pieces=a.num_pieces, seed=a.seed,
+        include_blacklisted=a.include_blacklisted,
+    )
+    print(f"synthesized {len(written)} chorales -> {a.out_dir}")
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -269,6 +282,13 @@ def main(argv=None):
     p.add_argument("--max_measures", type=int, default=16)
     p.add_argument("--seed", type=int, default=0)
     p.set_defaults(fn=cmd_generate)
+
+    p = sub.add_parser("synthesize-corpus")
+    p.add_argument("--out_dir", required=True)
+    p.add_argument("--num_pieces", type=int, default=100)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--include_blacklisted", type=int, default=3)
+    p.set_defaults(fn=cmd_synthesize_corpus)
 
     a = ap.parse_args(argv)
     return a.fn(a)

