@@ -190,3 +190,37 @@ def test_prepare_cli_replay_path(tmp_path, capsys):
     assert "Vocabulary size: 24" in printed
     assert "train has 51 tokens" in printed
     assert "val has 24 tokens" in printed
+
+
+def test_synthesized_bach_corpus_goldens(tmp_path, capsys):
+    """Frozen end-to-end goldens for the in-repo chorale corpus: the
+    seed-42, 40-piece corpus must prepare to EXACTLY this vocab and these
+    token counts (mirrors the reference's golden-comment oracles,
+    ref: nanoGPT/data/bach/prepare.py trailing comments). Any codec,
+    splitter, or synthesizer drift trips this."""
+    import numpy as np
+
+    from ai_music_generation_tpu.cli.bach_pipeline import main as bach_main
+    from ai_music_generation_tpu.cli.midi_to_text import convert_directory
+    from ai_music_generation_tpu.cli.prepare import main as prep
+    from ai_music_generation_tpu.codec.encoding_settings import EncodingSetting
+    from ai_music_generation_tpu.data.chorales import synthesize_corpus
+
+    synthesize_corpus(str(tmp_path / "raw"), num_pieces=40, seed=42)
+    bach_main(["ground-truth", str(tmp_path / "raw"),
+               f"--out_dir={tmp_path / 'gt'}"])
+    bach_main(["split", str(tmp_path / "gt"), f"--out_dir={tmp_path / 'split'}"])
+    s = EncodingSetting(only_SATB_parts=True)
+    convert_directory(str(tmp_path / "split/train"), str(tmp_path / "t/train"),
+                      s, processes=1)
+    convert_directory(str(tmp_path / "split/validation"), str(tmp_path / "t/val"),
+                      s, processes=1)
+    prep(["midi", "--train_dir", str(tmp_path / "t/train"),
+          "--valid_dir", str(tmp_path / "t/val"),
+          "--out_dir", str(tmp_path / "data")])
+    printed = capsys.readouterr().out
+    assert "Vocabulary size: 76" in printed
+    assert "train has 22,443 tokens" in printed
+    assert "val has 2,257 tokens" in printed
+    train = np.fromfile(tmp_path / "data" / "train.bin", dtype=np.uint16)
+    assert list(train[:8]) == [0, 2, 7, 16, 73, 19, 62, 8]
