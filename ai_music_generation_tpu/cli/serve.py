@@ -1,0 +1,59 @@
+"""Generation server CLI: continuous-batching decode over a checkpoint.
+
+The reference has no serving path (generation is batch scripts only,
+ref: nanoGPT/sample.py); this is the production-serving extension of the
+same checkpoint + meta contract the sampler uses.
+
+    python -m ai_music_generation_tpu.cli.serve --out_dir=out-bach-512-context \\
+        --port=8000 --n_slots=64
+
+then:
+
+    curl -s localhost:8000/generate -d '{"prompt": "$ /0 o0 p60 d12", "max_new_tokens": 200}'
+"""
+
+from __future__ import annotations
+
+import sys
+
+from ai_music_generation_tpu.cli.sample import build_codec, load_model
+from ai_music_generation_tpu.serve.engine import GenerationServer
+from ai_music_generation_tpu.serve.http import EngineRunner, serve
+from ai_music_generation_tpu.utils.configurator import apply_overrides
+
+DEFAULTS = dict(
+    out_dir="out",
+    init_from="resume",
+    data_root="data",
+    tokens_format="midi",
+    host="127.0.0.1",
+    port=8000,
+    n_slots=64,
+    ticks_per_call=32,
+    dtype="bfloat16",
+    kv_quantized=False,
+)
+
+
+def main(argv=None):
+    argv = sys.argv[1:] if argv is None else argv
+    c = apply_overrides(dict(DEFAULTS), argv)
+    model, params, ckpt_meta = load_model(
+        c["out_dir"], c["dtype"], c["init_from"], c["kv_quantized"])
+    encode, decode = build_codec(ckpt_meta, c["data_root"], c["tokens_format"])
+    engine = GenerationServer(
+        model, params, n_slots=c["n_slots"], ticks_per_call=c["ticks_per_call"])
+    runner = EngineRunner(engine)
+    httpd = serve(runner, encode, decode, c["host"], c["port"])
+    print(f"serving {c['out_dir']} on {c['host']}:{httpd.server_address[1]} "
+          f"({c['n_slots']} slots)")
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        runner.shutdown()
+
+
+if __name__ == "__main__":
+    main()

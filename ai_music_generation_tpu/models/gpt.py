@@ -69,8 +69,12 @@ class KVCache:
     (ops/decode_attention.py) views the same memory as [B, S, H*D] (a free
     reshape) so its position-chunk DMA slices stay tile-aligned.
 
-    ``length`` is the number of valid positions already written (a shared
-    scalar — decode is lockstep across the batch).
+    ``length`` is the number of valid positions already written. A shared
+    scalar means lockstep decode across the batch (the batch-sampler path);
+    a [batch] VECTOR gives every row its own write position and causal
+    horizon — the continuous-batching serving path (serve/engine.py), where
+    slots sit at different sequence positions. Vector mode writes each
+    row's new K/V slab with a vmapped dynamic-update at that row's length.
 
     With ``quantized=True`` the buffers are int8 with per-(position, head)
     fp scales (``k_scale``/``v_scale`` [B, S, H]): HBM cache traffic — the
@@ -87,7 +91,8 @@ class KVCache:
 
     @classmethod
     def create(cls, config: GPTConfig, batch: int, max_len: Optional[int] = None,
-               dtype: Any = None, quantized: Optional[bool] = None) -> "KVCache":
+               dtype: Any = None, quantized: Optional[bool] = None,
+               per_row: bool = False) -> "KVCache":
         max_len = max_len or config.block_size
         quantized = config.kv_quantized if quantized is None else quantized
         dtype = jnp.int8 if quantized else (dtype or config.dtype)
@@ -99,7 +104,7 @@ class KVCache:
         )
         return cls(
             k=mk(), v=mk(),
-            length=jnp.zeros((), jnp.int32),
+            length=jnp.zeros((batch,) if per_row else (), jnp.int32),
             k_scale=mks() if quantized else None,
             v_scale=mks() if quantized else None,
         )
@@ -159,6 +164,55 @@ class CausalSelfAttention(nn.Module):
             ck_scale = layer_cache[2] if len(layer_cache) > 2 else None
             cv_scale = layer_cache[3] if len(layer_cache) > 2 else None
             S = ck.shape[1]
+            per_row = cache_len.ndim == 1  # vector: per-slot positions
+            if per_row:
+                # write row i's [T, H, D] slab at its own offset cache_len[i]
+                def row_write(buf, new, start):
+                    return jax.lax.dynamic_update_slice(
+                        buf, new.astype(buf.dtype), (start, 0, 0))
+
+                def row_write_scale(buf, new, start):
+                    return jax.lax.dynamic_update_slice(
+                        buf, new.astype(buf.dtype), (start, 0))
+
+                if ck_scale is not None:
+                    def quantize(x):
+                        s_ = jnp.maximum(jnp.max(jnp.abs(x), axis=-1), 1e-6) / 127.0
+                        q = jnp.clip(jnp.round(x / s_[..., None]), -127, 127)
+                        return q.astype(jnp.int8), s_.astype(jnp.bfloat16)
+
+                    kq, ks = quantize(k.astype(jnp.float32))
+                    vq, vs = quantize(v.astype(jnp.float32))
+                    ck = jax.vmap(row_write)(ck, kq, cache_len)
+                    cv = jax.vmap(row_write)(cv, vq, cache_len)
+                    ck_scale = jax.vmap(row_write_scale)(ck_scale, ks, cache_len)
+                    cv_scale = jax.vmap(row_write_scale)(cv_scale, vs, cache_len)
+                    new_cache = (ck, cv, ck_scale, cv_scale)
+                    ck = ck.astype(cfg.dtype) * ck_scale[..., None].astype(cfg.dtype)
+                    cv = cv.astype(cfg.dtype) * cv_scale[..., None].astype(cfg.dtype)
+                else:
+                    ck = jax.vmap(row_write)(ck, k, cache_len)
+                    cv = jax.vmap(row_write)(cv, v, cache_len)
+                    new_cache = (ck, cv)
+                # row i's query t sits at position cache_len[i] + t
+                q_pos = cache_len[:, None] + jnp.arange(T)[None, :]  # [B, T]
+                k_pos = jnp.arange(S)  # [S]
+                mask = k_pos[None, None, :] <= q_pos[:, :, None]  # [B, T, S]
+                scale = jnp.asarray(1.0 / jnp.sqrt(D), cfg.dtype)
+                att = jnp.einsum("bthd,bshd->bhts", q, ck) * scale
+                att = jnp.where(
+                    mask[:, None, :, :], att, jnp.asarray(-jnp.inf, att.dtype))
+                att = jax.nn.softmax(att.astype(jnp.float32), axis=-1).astype(cfg.dtype)
+                att = nn.Dropout(cfg.dropout)(att, deterministic=deterministic)
+                y = jnp.einsum("bhts,bshd->bthd", att, cv).reshape(B, T, C)
+                y = nn.Dense(
+                    C, use_bias=cfg.bias, dtype=cfg.dtype,
+                    param_dtype=cfg.param_dtype,
+                    kernel_init=_init_normal(0.02 / math.sqrt(2 * cfg.n_layer)),
+                    name="c_proj",
+                )(y)
+                y = nn.Dropout(cfg.dropout)(y, deterministic=deterministic)
+                return y, new_cache
             if ck_scale is not None:
                 # int8 cache: quantize the new slab per (position, head)
                 def quantize(x):
@@ -324,6 +378,7 @@ class GPT(nn.Module):
         targets: Optional[Array] = None,
         deterministic: bool = True,
         cache: Optional[KVCache] = None,
+        return_all_logits: bool = False,
     ):
         cfg = self.config
         B, T = idx.shape
@@ -339,11 +394,13 @@ class GPT(nn.Module):
             embedding_init=_init_normal(0.02), name="wpe",
         )
 
-        if cache is not None:
-            pos = cache.length + jnp.arange(T)
+        if cache is not None and cache.length.ndim == 1:
+            # per-row positions (serving): row i's tokens sit at length[i]+t
+            pos = cache.length[:, None] + jnp.arange(T)[None, :]  # [B, T]
+            x = wte(idx) + wpe(pos)
         else:
-            pos = jnp.arange(T)
-        x = wte(idx) + wpe(pos)[None, :, :]
+            pos = cache.length + jnp.arange(T) if cache is not None else jnp.arange(T)
+            x = wte(idx) + wpe(pos)[None, :, :]
         x = nn.Dropout(cfg.dropout)(x, deterministic=deterministic)
 
         new_k: list[Array] = []
@@ -386,6 +443,10 @@ class GPT(nn.Module):
             loss = cross_entropy_ignore_index(logits, targets)
             return logits, loss, new_cache
 
+        if return_all_logits:
+            # serving prefill on right-padded prompts reads the logits at
+            # each request's true last prompt position, not the pad end
+            return wte.attend(x), None, new_cache
         # inference fast path: last position only
         logits = wte.attend(x[:, -1:, :])
         return logits, None, new_cache

@@ -1,0 +1,145 @@
+"""Minimal stdlib HTTP front-end for the continuous-batching engine.
+
+No web framework (nothing beyond the stdlib is assumed in the image):
+``ThreadingHTTPServer`` handles client connections; a single engine thread
+owns the TPU program and drives :meth:`GenerationServer.step` whenever work
+is queued. Handler threads block on per-request events.
+
+Endpoints:
+- ``POST /generate`` — JSON ``{"prompt": "<text>"}`` (tokenized with the
+  checkpoint's codec) or ``{"tokens": [..]}``; optional ``max_new_tokens``,
+  ``temperature``, ``top_k``, ``seed``, ``stop_token``. Returns
+  ``{"id", "tokens", "text"}`` when generation finishes.
+- ``GET /health`` — ``{"slots", "active", "queued"}``.
+
+The engine's determinism contract means a request's output depends only on
+its own fields (prompt, seed, sampling params) — never on concurrent
+traffic — so responses are reproducible under load.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Callable, Optional
+
+from ai_music_generation_tpu.serve.engine import GenerationServer, Request
+
+
+class EngineRunner:
+    """Owns the engine on one thread; hands out completion events."""
+
+    def __init__(self, engine: GenerationServer):
+        self.engine = engine
+        self._lock = threading.Lock()
+        self._wake = threading.Event()
+        self._events: dict[int, threading.Event] = {}
+        self._results: dict[int, Request] = {}
+        self._stop = False
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def submit(self, prompt_tokens, **kw) -> int:
+        with self._lock:
+            rid = self.engine.submit(prompt_tokens, **kw)
+            self._events[rid] = threading.Event()
+        self._wake.set()
+        return rid
+
+    def wait(self, rid: int, timeout: Optional[float] = None) -> Optional[Request]:
+        ev = self._events[rid]
+        if not ev.wait(timeout):
+            return None
+        with self._lock:
+            self._events.pop(rid, None)
+            return self._results.pop(rid)
+
+    def stats(self) -> dict:
+        e = self.engine
+        return {
+            "slots": e.n_slots,
+            "active": sum(r is not None for r in e._slots),
+            "queued": len(e._queue),
+        }
+
+    def shutdown(self):
+        self._stop = True
+        self._wake.set()
+        self._thread.join(timeout=30)
+
+    def _loop(self):
+        while not self._stop:
+            if not self.engine.busy:
+                self._wake.wait(timeout=0.5)
+                self._wake.clear()
+                continue
+            with self._lock:
+                finished = self.engine.step()
+                for req in finished:
+                    self._results[req.id] = req
+                    ev = self._events.get(req.id)
+                    if ev is not None:
+                        ev.set()
+
+
+def make_handler(runner: EngineRunner,
+                 encode: Callable[[str], list],
+                 decode: Callable[[list], str]):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet by default
+            pass
+
+        def _json(self, code: int, obj: dict):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/health":
+                self._json(200, runner.stats())
+            else:
+                self._json(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            if self.path != "/generate":
+                self._json(404, {"error": "unknown path"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", "0"))
+                payload = json.loads(self.rfile.read(n) or b"{}")
+                if "tokens" in payload:
+                    prompt = [int(t) for t in payload["tokens"]]
+                else:
+                    prompt = list(encode(payload["prompt"]))
+                rid = runner.submit(
+                    prompt,
+                    max_new_tokens=int(payload.get("max_new_tokens", 500)),
+                    temperature=float(payload.get("temperature", 0.8)),
+                    top_k=int(payload.get("top_k", 200)),
+                    seed=int(payload.get("seed", 1337)),
+                    stop_token=int(payload.get("stop_token", -1)),
+                )
+                req = runner.wait(rid, timeout=float(payload.get("timeout", 600)))
+                if req is None:
+                    self._json(504, {"error": "generation timed out", "id": rid})
+                    return
+                self._json(200, {
+                    "id": req.id,
+                    "tokens": req.generated,
+                    "text": decode(req.generated),
+                })
+            except Exception as e:  # noqa: BLE001 — serve errors as JSON
+                self._json(400, {"error": str(e)})
+
+    return Handler
+
+
+def serve(runner: EngineRunner, encode, decode, host: str = "127.0.0.1",
+          port: int = 8000) -> ThreadingHTTPServer:
+    """Build (and return) the HTTP server; caller runs ``serve_forever``."""
+    handler = make_handler(runner, encode, decode)
+    return ThreadingHTTPServer((host, port), handler)

@@ -1,0 +1,157 @@
+"""Serving path: per-row KV cache mode, continuous-batching engine, HTTP."""
+
+import json
+import threading
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ai_music_generation_tpu.decode.generate import Generator
+from ai_music_generation_tpu.models.gpt import GPT, GPTConfig, KVCache
+from ai_music_generation_tpu.serve.engine import GenerationServer
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = GPTConfig(block_size=64, vocab_size=50, n_layer=2, n_head=2,
+                    n_embd=32, dropout=0.0, dtype=jnp.float32)
+    model = GPT(cfg)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32))
+    return cfg, model, params
+
+
+@pytest.mark.parametrize("quantized", [False, True])
+def test_vector_cache_matches_scalar_and_batch1(tiny, quantized):
+    """Per-row cache lengths: uniform == lockstep scalar; staggered rows ==
+    independent batch-1 decodes (exact, both bf16 and int8 cache modes)."""
+    cfg0, _, _ = tiny
+    import dataclasses
+    cfg = dataclasses.replace(cfg0, kv_quantized=quantized)
+    model = GPT(cfg)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32))
+    B, T = 3, 10
+    toks = jax.random.randint(jax.random.PRNGKey(1), (B, T), 0, cfg.vocab_size)
+
+    cache_s = KVCache.create(cfg, B)
+    cache_v = KVCache.create(cfg, B, per_row=True)
+    for t in range(T):
+        ls, _, cache_s = model.apply(params, toks[:, t:t + 1], cache=cache_s)
+        lv, _, cache_v = model.apply(params, toks[:, t:t + 1], cache=cache_v)
+        assert jnp.max(jnp.abs(ls - lv)) == 0.0
+
+    # staggered: row i idles for i ticks (engine-style pinned length)
+    cache_v = KVCache.create(cfg, B, per_row=True)
+    row_logits = {i: [] for i in range(B)}
+    cursor = [0] * B
+    for tick in range(T + B):
+        cur = jnp.array([int(toks[i, min(cursor[i], T - 1)]) for i in range(B)],
+                        jnp.int32)
+        active = jnp.array([tick >= i and cursor[i] < T for i in range(B)])
+        lg, _, nc = model.apply(params, cur[:, None], cache=cache_v)
+        cache_v = KVCache(nc.k, nc.v,
+                          jnp.where(active, nc.length, cache_v.length),
+                          nc.k_scale, nc.v_scale)
+        for i in range(B):
+            if bool(active[i]):
+                row_logits[i].append(lg[i, 0])
+                cursor[i] += 1
+    for i in range(B):
+        c1 = KVCache.create(cfg, 1)
+        for t in range(T):
+            lg, _, c1 = model.apply(params, toks[i:i + 1, t:t + 1], cache=c1)
+            assert jnp.max(jnp.abs(lg[0, 0] - row_logits[i][t])) == 0.0
+
+
+def test_engine_mixed_requests_and_refresh(tiny):
+    _, model, params = tiny
+    srv = GenerationServer(model, params, n_slots=4, ticks_per_call=8)
+    r_short = srv.submit([1, 2, 3], max_new_tokens=20, seed=11)
+    # 100 tokens at block 64 forces at least one window refresh
+    r_long = srv.submit([5, 6], max_new_tokens=100, seed=22)
+    r_greedy = srv.submit([7] * 30, max_new_tokens=10, seed=33, temperature=0.0)
+    by_id = {r.id: r for r in srv.run_until_idle()}
+    assert len(by_id[r_short].generated) == 20
+    assert len(by_id[r_long].generated) == 100
+    assert len(by_id[r_greedy].generated) == 10
+
+    # greedy is RNG-free: must match the lockstep batch Generator exactly
+    gen = Generator(model, max_new_tokens=10, temperature=0.0, top_k=None)
+    ref = jax.device_get(
+        gen.generate(params, jnp.array([[7] * 30], jnp.int32)))[0, 30:]
+    assert by_id[r_greedy].generated == list(ref)
+
+
+def test_engine_batch_composition_independence(tiny):
+    """A request's tokens depend only on its own fields — rerunning it alone
+    reproduces the output it had amid concurrent traffic."""
+    _, model, params = tiny
+    srv = GenerationServer(model, params, n_slots=4, ticks_per_call=8)
+    rid = srv.submit([1, 2, 3], max_new_tokens=20, seed=11)
+    srv.submit([9, 9], max_new_tokens=37, seed=44, temperature=1.3)
+    srv.submit([4] * 12, max_new_tokens=55, seed=45)
+    crowded = {r.id: r for r in srv.run_until_idle()}[rid]
+
+    srv2 = GenerationServer(model, params, n_slots=4, ticks_per_call=8)
+    rid2 = srv2.submit([1, 2, 3], max_new_tokens=20, seed=11)
+    alone = {r.id: r for r in srv2.run_until_idle()}[rid2]
+    assert crowded.generated == alone.generated
+
+
+def test_engine_stop_token_and_queueing(tiny):
+    _, model, params = tiny
+    # more requests than slots: queueing + slot reuse
+    srv = GenerationServer(model, params, n_slots=2, ticks_per_call=8)
+    rids = [srv.submit([1 + i], max_new_tokens=12, seed=i) for i in range(5)]
+    done = {r.id: r for r in srv.run_until_idle()}
+    assert sorted(done) == sorted(rids)
+    assert all(len(done[r].generated) == 12 for r in rids)
+
+    srv2 = GenerationServer(model, params, n_slots=2, ticks_per_call=8)
+    rs = srv2.submit([1], max_new_tokens=200, seed=5, temperature=2.0,
+                     top_k=50, stop_token=0)
+    req = {r.id: r for r in srv2.run_until_idle()}[rs]
+    if len(req.generated) < 200:
+        assert req.generated[-1] == 0
+        assert 0 not in req.generated[:-1]
+
+
+def test_http_server_generate_and_health(tiny):
+    from ai_music_generation_tpu.serve.http import EngineRunner, serve
+
+    _, model, params = tiny
+    runner = EngineRunner(GenerationServer(model, params, n_slots=2,
+                                           ticks_per_call=8))
+    encode = lambda s: [ord(c) % 50 for c in s]
+    decode = lambda toks: "".join(chr(65 + (t % 26)) for t in toks)
+    httpd = serve(runner, encode, decode, port=0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        def post(payload):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/generate",
+                data=json.dumps(payload).encode(),
+                headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(req, timeout=120) as r:
+                return json.loads(r.read())
+
+        out1 = post({"tokens": [1, 2, 3], "max_new_tokens": 15, "seed": 3})
+        assert len(out1["tokens"]) == 15
+        assert isinstance(out1["text"], str) and len(out1["text"]) == 15
+        out2 = post({"tokens": [1, 2, 3], "max_new_tokens": 15, "seed": 3})
+        assert out2["tokens"] == out1["tokens"]  # reproducible under reuse
+
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/health", timeout=30) as r:
+            health = json.loads(r.read())
+        assert health["slots"] == 2
+
+        # text prompt goes through the codec
+        out3 = post({"prompt": "abc", "max_new_tokens": 5, "seed": 1})
+        assert len(out3["tokens"]) == 5
+    finally:
+        httpd.shutdown()
+        runner.shutdown()
