@@ -155,3 +155,34 @@ def test_http_server_generate_and_health(tiny):
     finally:
         httpd.shutdown()
         runner.shutdown()
+
+
+def test_engine_sharded_over_mesh(tiny, mesh8):
+    """DP serving: slot state sharded over the mesh data axis, params
+    replicated (or TP-sharded) — same bytes as the single-device engine."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ai_music_generation_tpu.parallel import mesh as pmesh
+
+    _, model, params = tiny
+
+    def run(shard: bool):
+        srv = GenerationServer(model, params, n_slots=8, ticks_per_call=8)
+        if shard:
+            slot_sh = jax.tree.map(
+                lambda x: NamedSharding(
+                    mesh8,
+                    P(pmesh.DATA_AXIS, *([None] * (x.ndim - 1)))
+                    if x.ndim >= 1 and x.shape[0] == 8 else P()),
+                srv.state)
+            srv.state = jax.device_put(srv.state, slot_sh)
+            srv.params = jax.device_put(
+                params, pmesh.shardings_for_tree(mesh8, params))
+        a = srv.submit([1, 2, 3], max_new_tokens=24, seed=11)
+        b = srv.submit([5] * 9, max_new_tokens=40, seed=22, temperature=1.2)
+        return {r.id: r.generated for r in srv.run_until_idle()}, (a, b)
+
+    plain, ids = run(False)
+    sharded, ids2 = run(True)
+    assert plain[ids[0]] == sharded[ids2[0]]
+    assert plain[ids[1]] == sharded[ids2[1]]
