@@ -30,6 +30,7 @@ DEFAULTS = dict(
     port=8000,
     n_slots=64,
     ticks_per_call=32,
+    admit_group=64,
     dtype="bfloat16",
     kv_quantized=False,
 )
@@ -42,7 +43,8 @@ def main(argv=None):
         c["out_dir"], c["dtype"], c["init_from"], c["kv_quantized"])
     encode, decode = build_codec(ckpt_meta, c["data_root"], c["tokens_format"])
     engine = GenerationServer(
-        model, params, n_slots=c["n_slots"], ticks_per_call=c["ticks_per_call"])
+        model, params, n_slots=c["n_slots"],
+        ticks_per_call=c["ticks_per_call"], admit_group=c["admit_group"])
     runner = EngineRunner(engine)
     httpd = serve(runner, encode, decode, c["host"], c["port"])
     print(f"serving {c['out_dir']} on {c['host']}:{httpd.server_address[1]} "

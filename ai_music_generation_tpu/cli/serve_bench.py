@@ -1,0 +1,109 @@
+"""Serving-throughput benchmark for the continuous-batching engine.
+
+Measures aggregate decode throughput (generated tokens / wall second) of
+``serve.engine.GenerationServer`` under a realistic open-loop load: many
+requests with mixed prompt lengths and generation lengths, admitted as
+slots free up. This is the serving analogue of ``bench.py``'s batch decode
+number — the reference has no serving path at all (its closest shape is
+the fixed-batch sampler, ref: nanoGPT/sample.py:146-169), so the comparison
+target is our own lockstep batch-decode roofline.
+
+Usage::
+
+    python -m ai_music_generation_tpu.cli.serve_bench \
+        --n_slots=2048 --requests=4096 --max_new=256
+
+Prints one JSON line with tokens/sec plus the phase breakdown.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ai_music_generation_tpu.models.gpt import GPT, GPTConfig
+from ai_music_generation_tpu.serve.engine import GenerationServer
+
+
+def main(argv=None) -> dict:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--n_slots", type=int, default=2048)
+    ap.add_argument("--ticks_per_call", type=int, default=64)
+    ap.add_argument("--admit_group", type=int, default=64)
+    ap.add_argument("--requests", type=int, default=4096)
+    ap.add_argument("--max_new", type=int, default=256)
+    ap.add_argument("--block_size", type=int, default=256)
+    ap.add_argument("--vocab_size", type=int, default=128)
+    ap.add_argument("--n_layer", type=int, default=6)
+    ap.add_argument("--n_head", type=int, default=6)
+    ap.add_argument("--n_embd", type=int, default=384)
+    ap.add_argument("--kv_quantized", action="store_true",
+                    help="int8 KV cache (halves decode HBM traffic)")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    cfg = GPTConfig(
+        block_size=args.block_size, vocab_size=args.vocab_size,
+        n_layer=args.n_layer, n_head=args.n_head, n_embd=args.n_embd,
+        dropout=0.0, kv_quantized=args.kv_quantized,
+    )
+    model = GPT(cfg)
+    params = model.init(
+        jax.random.PRNGKey(args.seed),
+        jnp.zeros((1, args.block_size), jnp.int32))
+
+    def run_load(load_seed: int) -> tuple[list, float]:
+        """Fresh server, full load, full drain; returns (finished, wall)."""
+        srv = GenerationServer(
+            model, params, n_slots=args.n_slots,
+            ticks_per_call=args.ticks_per_call,
+            admit_group=args.admit_group)
+        # mixed open-loop load: prompt lengths 4..48, generation lengths
+        # 0.5x..1x max_new, all submitted upfront (admission happens as
+        # slots free, exercising the wave-admit path repeatedly)
+        gen = np.random.default_rng(load_seed)
+        for i in range(args.requests):
+            plen = int(gen.integers(4, 49))
+            prompt = gen.integers(1, cfg.vocab_size, size=plen).tolist()
+            srv.submit(
+                prompt,
+                max_new_tokens=int(
+                    gen.integers(args.max_new // 2, args.max_new + 1)),
+                temperature=0.8, top_k=64, seed=i)
+        t0 = time.perf_counter()
+        finished = list(srv.run_until_idle())
+        return finished, time.perf_counter() - t0
+
+    # pass 1 compiles every (wave, bucket) program; pass 2 is timed hot.
+    # DIFFERENT load seed per pass: the axon relay caches identical-input
+    # program calls and would report impossible speeds on an exact replay
+    # (docs/PERF.md "Environment caveats").
+    _, cold_wall = run_load(args.seed + 1)
+    finished, wall = run_load(args.seed)
+    assert len(finished) == args.requests, (len(finished), args.requests)
+
+    gen_tokens = sum(len(r.generated) for r in finished)
+    result = {
+        "metric": "serve_decode_throughput",
+        "value": round(gen_tokens / wall, 1),
+        "unit": "tok/s",
+        "requests": len(finished),
+        "gen_tokens": gen_tokens,
+        "wall_s": round(wall, 2),
+        "cold_wall_s": round(cold_wall, 2),
+        "n_slots": args.n_slots,
+        "ticks_per_call": args.ticks_per_call,
+        "admit_group": args.admit_group,
+        "kv_quantized": args.kv_quantized,
+    }
+    print(json.dumps(result))
+    return result
+
+
+if __name__ == "__main__":
+    main()

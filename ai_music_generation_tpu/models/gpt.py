@@ -71,10 +71,27 @@ class KVCache:
 
     ``length`` is the number of valid positions already written. A shared
     scalar means lockstep decode across the batch (the batch-sampler path);
-    a [batch] VECTOR gives every row its own write position and causal
+    a [batch] VECTOR gives every row its own logical position and causal
     horizon — the continuous-batching serving path (serve/engine.py), where
-    slots sit at different sequence positions. Vector mode writes each
-    row's new K/V slab with a vmapped dynamic-update at that row's length.
+    slots sit at different sequence positions.
+
+    Vector mode is a RING buffer with a shared scalar write ``cursor``:
+    every decode tick writes all rows' new K/V as ONE contiguous
+    [B, 1, H, D] slab at buffer column ``cursor`` (identical HBM traffic to
+    the scalar path), and row i's valid keys are the columns within
+    ``(cursor - j) mod S <= length[i]`` — a [B, S] comparison instead of a
+    per-row scatter. Measured on v5e at batch 1024: a vmapped
+    dynamic-update-slice (scatter) write made the decode tick ~25x slower
+    than lockstep (101 ms vs 4 ms — scatter lowering serializes row
+    updates); the ring write restores slab semantics. Consequences:
+    - rows must advance in wall-clock lockstep (every apply() call writes
+      every row; freeze a finished row by pinning length — its stale
+      columns fall out of every live window as the cursor moves on);
+    - a row's history is the last ``length[i]`` columns behind the cursor,
+      so admission writes a request's prefilled K/V rolled to end at the
+      current cursor (serve/engine.py ``_insert``);
+    - ``length[i]`` must stay < S at tick start (the engine's windowed
+      refresh guarantees it).
 
     With ``quantized=True`` the buffers are int8 with per-(position, head)
     fp scales (``k_scale``/``v_scale`` [B, S, H]): HBM cache traffic — the
@@ -85,9 +102,10 @@ class KVCache:
 
     k: tuple[Array, ...]
     v: tuple[Array, ...]
-    length: Array  # scalar int32
+    length: Array  # scalar int32 (lockstep) or [batch] int32 (ring mode)
     k_scale: Optional[tuple[Array, ...]] = None
     v_scale: Optional[tuple[Array, ...]] = None
+    cursor: Optional[Array] = None  # scalar int32 ring write column (vector mode)
 
     @classmethod
     def create(cls, config: GPTConfig, batch: int, max_len: Optional[int] = None,
@@ -107,10 +125,12 @@ class KVCache:
             length=jnp.zeros((batch,) if per_row else (), jnp.int32),
             k_scale=mks() if quantized else None,
             v_scale=mks() if quantized else None,
+            cursor=jnp.zeros((), jnp.int32) if per_row else None,
         )
 
     def tree_flatten(self):
-        return (self.k, self.v, self.length, self.k_scale, self.v_scale), None
+        return (self.k, self.v, self.length, self.k_scale, self.v_scale,
+                self.cursor), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -140,6 +160,7 @@ class CausalSelfAttention(nn.Module):
         deterministic: bool = True,
         layer_cache: Optional[tuple[Array, Array]] = None,
         cache_len: Optional[Array] = None,
+        cursor: Optional[Array] = None,
     ):
         cfg = self.config
         B, T, C = x.shape
@@ -164,17 +185,13 @@ class CausalSelfAttention(nn.Module):
             ck_scale = layer_cache[2] if len(layer_cache) > 2 else None
             cv_scale = layer_cache[3] if len(layer_cache) > 2 else None
             S = ck.shape[1]
-            per_row = cache_len.ndim == 1  # vector: per-slot positions
+            per_row = cache_len.ndim == 1  # ring mode: per-slot positions
             if per_row:
-                # write row i's [T, H, D] slab at its own offset cache_len[i]
-                def row_write(buf, new, start):
-                    return jax.lax.dynamic_update_slice(
-                        buf, new.astype(buf.dtype), (start, 0, 0))
-
-                def row_write_scale(buf, new, start):
-                    return jax.lax.dynamic_update_slice(
-                        buf, new.astype(buf.dtype), (start, 0))
-
+                # ring write: ALL rows' new K/V land at buffer column
+                # ``cursor`` as one contiguous slab (see KVCache docstring
+                # for why a per-row scatter is a 25x regression here)
+                assert T == 1, "ring-mode (vector cache_len) decode is T=1"
+                assert cursor is not None, "vector cache_len requires a cursor"
                 if ck_scale is not None:
                     def quantize(x):
                         s_ = jnp.maximum(jnp.max(jnp.abs(x), axis=-1), 1e-6) / 127.0
@@ -183,25 +200,29 @@ class CausalSelfAttention(nn.Module):
 
                     kq, ks = quantize(k.astype(jnp.float32))
                     vq, vs = quantize(v.astype(jnp.float32))
-                    ck = jax.vmap(row_write)(ck, kq, cache_len)
-                    cv = jax.vmap(row_write)(cv, vq, cache_len)
-                    ck_scale = jax.vmap(row_write_scale)(ck_scale, ks, cache_len)
-                    cv_scale = jax.vmap(row_write_scale)(cv_scale, vs, cache_len)
+                    ck = jax.lax.dynamic_update_slice(ck, kq, (0, cursor, 0, 0))
+                    cv = jax.lax.dynamic_update_slice(cv, vq, (0, cursor, 0, 0))
+                    ck_scale = jax.lax.dynamic_update_slice(
+                        ck_scale, ks, (0, cursor, 0))
+                    cv_scale = jax.lax.dynamic_update_slice(
+                        cv_scale, vs, (0, cursor, 0))
                     new_cache = (ck, cv, ck_scale, cv_scale)
                     ck = ck.astype(cfg.dtype) * ck_scale[..., None].astype(cfg.dtype)
                     cv = cv.astype(cfg.dtype) * cv_scale[..., None].astype(cfg.dtype)
                 else:
-                    ck = jax.vmap(row_write)(ck, k, cache_len)
-                    cv = jax.vmap(row_write)(cv, v, cache_len)
+                    ck = jax.lax.dynamic_update_slice(
+                        ck, k.astype(ck.dtype), (0, cursor, 0, 0))
+                    cv = jax.lax.dynamic_update_slice(
+                        cv, v.astype(cv.dtype), (0, cursor, 0, 0))
                     new_cache = (ck, cv)
-                # row i's query t sits at position cache_len[i] + t
-                q_pos = cache_len[:, None] + jnp.arange(T)[None, :]  # [B, T]
-                k_pos = jnp.arange(S)  # [S]
-                mask = k_pos[None, None, :] <= q_pos[:, :, None]  # [B, T, S]
+                # row i's valid keys: the just-written column (offset 0) plus
+                # its last cache_len[i] ring columns behind the cursor
+                offset = jnp.mod(cursor - jnp.arange(S), S)  # [S]
+                mask = offset[None, :] <= cache_len[:, None]  # [B, S]
                 scale = jnp.asarray(1.0 / jnp.sqrt(D), cfg.dtype)
                 att = jnp.einsum("bthd,bshd->bhts", q, ck) * scale
                 att = jnp.where(
-                    mask[:, None, :, :], att, jnp.asarray(-jnp.inf, att.dtype))
+                    mask[:, None, None, :], att, jnp.asarray(-jnp.inf, att.dtype))
                 att = jax.nn.softmax(att.astype(jnp.float32), axis=-1).astype(cfg.dtype)
                 att = nn.Dropout(cfg.dropout)(att, deterministic=deterministic)
                 y = jnp.einsum("bhts,bshd->bthd", att, cv).reshape(B, T, C)
@@ -342,14 +363,15 @@ class Block(nn.Module):
     layer_idx: int = 0
 
     @nn.compact
-    def __call__(self, x, deterministic=True, layer_cache=None, cache_len=None):
+    def __call__(self, x, deterministic=True, layer_cache=None, cache_len=None,
+                 cursor=None):
         cfg = self.config
         ln = lambda name: nn.LayerNorm(
             use_bias=cfg.bias, dtype=cfg.dtype, param_dtype=cfg.param_dtype,
             epsilon=1e-5, name=name,
         )
         attn_out, new_cache = CausalSelfAttention(cfg, self.layer_idx, name="attn")(
-            ln("ln_1")(x), deterministic, layer_cache, cache_len
+            ln("ln_1")(x), deterministic, layer_cache, cache_len, cursor
         )
         x = x + attn_out
         x = x + MLP(cfg, name="mlp")(ln("ln_2")(x), deterministic)
@@ -417,7 +439,9 @@ class GPT(nn.Module):
             else:
                 layer_cache = (cache.k[i], cache.v[i])
             cache_len = None if cache is None else cache.length
-            x, lc = Block(cfg, i, name=f"h_{i}")(x, deterministic, layer_cache, cache_len)
+            x, lc = Block(cfg, i, name=f"h_{i}")(
+                x, deterministic, layer_cache, cache_len,
+                None if cache is None else cache.cursor)
             if lc is not None:
                 new_k.append(lc[0])
                 new_v.append(lc[1])
@@ -436,6 +460,8 @@ class GPT(nn.Module):
                 tuple(new_k), tuple(new_v), cache.length + T,
                 tuple(new_ks) if new_ks else None,
                 tuple(new_vs) if new_vs else None,
+                None if cache.cursor is None
+                else jnp.mod(cache.cursor + T, new_k[0].shape[1]),
             )
 
         if targets is not None:

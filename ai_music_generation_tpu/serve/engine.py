@@ -86,15 +86,22 @@ class Request:
 
 def _per_slot_sample(logits, keys, temperature, top_k):
     """Per-row temperature + top-k categorical (vector analogue of
-    decode/generate.py::sample_logits; ref: nanoGPT/model.py:318-327)."""
-    B, V = logits.shape
+    decode/generate.py::sample_logits; ref: nanoGPT/model.py:318-327).
+
+    Per-row ``top_k`` means ``lax.top_k`` (static k) doesn't apply; instead
+    sort values descending once and gather each row's k-th value as its
+    mask threshold. Values-only sort — an earlier argsort + rank-scatter
+    formulation put a [B, V] scatter in every decode tick, and scatters
+    serialize on TPU (measured in the scan-tick cost at batch 2048).
+    Tie behavior matches the lockstep sampler: all logits >= the k-th
+    value survive."""
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     scaled = logits / jnp.maximum(temperature, 1e-6)[:, None]
-    order = jnp.argsort(-scaled, axis=-1)  # [B, V] descending
-    ranks = jnp.zeros((B, V), jnp.int32).at[
-        jnp.arange(B)[:, None], order
-    ].set(jnp.arange(V, dtype=jnp.int32)[None, :])
-    masked = jnp.where(ranks < top_k[:, None], scaled, -jnp.inf)
+    vals_desc = -jnp.sort(-scaled, axis=-1)  # [B, V]
+    kth = jnp.take_along_axis(
+        vals_desc, jnp.clip(top_k[:, None] - 1, 0, scaled.shape[-1] - 1),
+        axis=-1)  # [B, 1]
+    masked = jnp.where(scaled < kth, -jnp.inf, scaled)
     sampled = jax.vmap(jax.random.categorical)(keys, masked).astype(jnp.int32)
     return jnp.where(temperature <= 0.0, greedy, sampled)
 
@@ -120,6 +127,7 @@ class GenerationServer:
         n_slots: int = 64,
         ticks_per_call: int = 32,
         refresh: Optional[int] = None,
+        admit_group: int = 64,
     ):
         cfg = model.config
         self.model = model
@@ -133,6 +141,7 @@ class GenerationServer:
                 f"{self.refresh} (a slot must survive one scan without "
                 "overflowing its cache window)")
         self.ticks_per_call = ticks_per_call
+        self.admit_group = admit_group
         self.window = self.block_size - self.refresh
 
         self._queue: deque[Request] = deque()
@@ -169,11 +178,13 @@ class GenerationServer:
             tok = jnp.where(state.active, tok, 0)
             logits, _, new_cache = self.model.apply(
                 params, tok[:, None], cache=state.cache)
-            # freeze inactive rows: length pinned, logits kept
+            # freeze inactive rows: length pinned, logits kept (their stale
+            # ring columns drift out of the window — they are dead anyway)
             length = jnp.where(state.active, new_cache.length,
                                state.cache.length)
             cache = KVCache(new_cache.k, new_cache.v, length,
-                            new_cache.k_scale, new_cache.v_scale)
+                            new_cache.k_scale, new_cache.v_scale,
+                            new_cache.cursor)
             last_logits = jnp.where(
                 state.active[:, None], logits[:, 0].astype(jnp.float32),
                 state.last_logits)
@@ -191,36 +202,52 @@ class GenerationServer:
         return state, toks, emitted, done
 
     @functools.partial(jax.jit, static_argnums=0, donate_argnums=2)
-    def _insert(self, params, state: ServeState, slot, ctx, plen,
-                max_new, temperature, top_k, stop_token, seed, g0):
-        """Admit into ``slot``: batch-1 prefill of ``ctx`` (padded [1, Pc]),
-        K/V rows inserted at the slot index, metadata set."""
+    def _insert_many(self, params, state: ServeState, slots, ctx, plens,
+                     max_new, temperature, top_k, stop_token, seed, g0,
+                     valid):
+        """Admit up to G=len(slots) requests in ONE device call: batch-G
+        prefill of ``ctx`` (padded [G, Pc]), each request's K/V rows rolled
+        so its prompt ends at the ring cursor, then scattered to the slot
+        indices (padding entries carry slot index == n_slots and are
+        dropped). One call per admission wave instead of one per request —
+        under the axon tunnel, per-call dispatch latency dominated serving
+        throughput (measured: 2048 serial single-slot admits cost ~50 s)."""
         cfg = self.model.config
-        pre = KVCache.create(cfg, 1, max_len=self.block_size)
+        G = ctx.shape[0]
+        pre = KVCache.create(cfg, G, max_len=self.block_size)
         logits, _, pre = self.model.apply(
             params, ctx, cache=pre, return_all_logits=True)
-        last = logits[0, plen - 1].astype(jnp.float32)
+        last = logits[jnp.arange(G), plens - 1].astype(jnp.float32)
 
-        ins = lambda buf, new: jax.lax.dynamic_update_slice(
-            buf, new, (slot,) + (0,) * (buf.ndim - 1))
         cache = state.cache
+        # prefill wrote prompt token p at column p; the ring window expects
+        # it at (cursor - plen + p) mod S
+        shifts = jnp.mod(cache.cursor - plens, self.block_size)
+        slots_safe = jnp.where(valid, slots, self.n_slots)  # drop padding
+
+        def ins(buf, new):
+            rolled = jax.vmap(lambda r, s: jnp.roll(r, s, axis=0))(new, shifts)
+            return buf.at[slots_safe].set(rolled.astype(buf.dtype),
+                                          mode="drop")
+
         new_k = tuple(ins(b, p) for b, p in zip(cache.k, pre.k))
         new_v = tuple(ins(b, p) for b, p in zip(cache.v, pre.v))
         new_ks = new_vs = None
         if cache.k_scale is not None:
             new_ks = tuple(ins(b, p) for b, p in zip(cache.k_scale, pre.k_scale))
             new_vs = tuple(ins(b, p) for b, p in zip(cache.v_scale, pre.v_scale))
+        set_ = lambda arr, val: arr.at[slots_safe].set(val, mode="drop")
         return state.replace(
-            cache=KVCache(new_k, new_v, cache.length.at[slot].set(plen),
-                          new_ks, new_vs),
-            last_logits=state.last_logits.at[slot].set(last),
-            gen=state.gen.at[slot].set(g0),
-            max_new=state.max_new.at[slot].set(max_new),
-            temperature=state.temperature.at[slot].set(temperature),
-            top_k=state.top_k.at[slot].set(top_k),
-            stop_token=state.stop_token.at[slot].set(stop_token),
-            seed=state.seed.at[slot].set(seed),
-            active=state.active.at[slot].set(True),
+            cache=KVCache(new_k, new_v, set_(cache.length, plens),
+                          new_ks, new_vs, cache.cursor),
+            last_logits=set_(state.last_logits, last),
+            gen=set_(state.gen, g0),
+            max_new=set_(state.max_new, max_new),
+            temperature=set_(state.temperature, temperature),
+            top_k=set_(state.top_k, top_k),
+            stop_token=set_(state.stop_token, stop_token),
+            seed=set_(state.seed, seed),
+            active=set_(state.active, jnp.ones((G,), bool)),
         )
 
     # -- host orchestration --------------------------------------------------
@@ -246,38 +273,71 @@ class GenerationServer:
             p *= 2
         return min(p, self.block_size)
 
-    def _admit(self, slot: int, req: Request, context: list[int], g0: int):
-        ctx = context[-self.window:]  # crop to the decode window
-        plen = len(ctx)
-        pc = self._bucket(plen)
-        padded = np.zeros((1, pc), np.int32)
-        padded[0, :plen] = ctx
-        self.state = self._insert(
-            self.params, self.state, jnp.int32(slot), jnp.asarray(padded),
-            jnp.int32(plen), jnp.int32(req.max_new_tokens),
-            jnp.float32(req.temperature), jnp.int32(req.top_k),
-            jnp.int32(req.stop_token), jnp.uint32(req.seed), jnp.int32(g0))
-        self._slots[slot] = req
+    def _admit_wave(self, admits: list[tuple[int, Request, list[int], int]]):
+        """Admit (slot, req, context, g0) entries in jitted chunks of
+        ``admit_group`` (padded; one compile per (group, prompt-bucket)
+        pair). Bigger groups amortize per-call dispatch latency (the
+        dominant admit cost under the axon tunnel) at the price of more
+        prefill padding waste."""
+        group = self.admit_group
+        for start in range(0, len(admits), group):
+            chunk = admits[start:start + group]
+            # two padded sizes only (compile economy): small waves use G=8
+            G = 8 if len(chunk) <= 8 else group
+            ctxs = [c[2][-self.window:] for c in chunk]
+            pc = self._bucket(max(len(c) for c in ctxs))
+            padded = np.zeros((G, pc), np.int32)
+            slots = np.full((G,), self.n_slots, np.int32)
+            plens = np.ones((G,), np.int32)
+            max_new = np.zeros((G,), np.int32)
+            temp = np.ones((G,), np.float32)
+            topk = np.ones((G,), np.int32)
+            stop = np.full((G,), -1, np.int32)
+            seed = np.zeros((G,), np.uint32)
+            g0 = np.zeros((G,), np.int32)
+            valid = np.zeros((G,), bool)
+            for i, ((slot, req, _, g0_i), ctx) in enumerate(zip(chunk, ctxs)):
+                padded[i, :len(ctx)] = ctx
+                slots[i] = slot
+                plens[i] = len(ctx)
+                max_new[i] = req.max_new_tokens
+                temp[i] = req.temperature
+                topk[i] = req.top_k
+                stop[i] = req.stop_token
+                seed[i] = req.seed
+                g0[i] = g0_i
+                valid[i] = True
+                self._slots[slot] = req
+            self.state = self._insert_many(
+                self.params, self.state, jnp.asarray(slots),
+                jnp.asarray(padded), jnp.asarray(plens), jnp.asarray(max_new),
+                jnp.asarray(temp), jnp.asarray(topk), jnp.asarray(stop),
+                jnp.asarray(seed), jnp.asarray(g0), jnp.asarray(valid))
 
     def step(self) -> list[Request]:
         """Admit queued requests, run one scan, return finished requests."""
+        admits: list[tuple[int, Request, list[int], int]] = []
         # 1. fill free slots
         for slot in range(self.n_slots):
             if self._slots[slot] is None and self._queue:
                 req = self._queue.popleft()
-                self._admit(slot, req, req.prompt, g0=0)
+                admits.append((slot, req, req.prompt, 0))
+                self._slots[slot] = req  # reserve; _admit_wave re-sets it
 
-        if not any(r is not None for r in self._slots):
+        if not admits and not any(r is not None for r in self._slots):
             return self._drain_finished()
 
         # 2. proactive window refresh: a slot must fit ticks_per_call more
         #    writes before its cache hits block_size
+        reserved = {slot for slot, *_ in admits}
         lengths = np.asarray(jax.device_get(self.state.cache.length))
         for slot, req in enumerate(self._slots):
-            if req is not None and (
+            if req is not None and slot not in reserved and (
                 lengths[slot] + self.ticks_per_call > self.block_size
             ):
-                self._admit(slot, req, req.tokens, g0=len(req.generated))
+                admits.append((slot, req, req.tokens, len(req.generated)))
+        if admits:
+            self._admit_wave(admits)
 
         # 3. decode
         self.state, toks, emitted, done = self._scan(self.params, self.state)
@@ -285,17 +345,20 @@ class GenerationServer:
         emitted = np.asarray(jax.device_get(emitted))
         done = np.asarray(jax.device_get(done))
 
-        # 4. demultiplex
-        for k in range(self.ticks_per_call):
-            for slot, req in enumerate(self._slots):
-                if req is None or req.done:
-                    continue
-                if emitted[k, slot]:
-                    req.generated.append(int(toks[k, slot]))
-                if done[k, slot]:
-                    req.done = True
+        # 4. demultiplex (vectorized per slot: one numpy mask op per slot
+        #    instead of a K x B python loop — measured demux cost at
+        #    4096 slots x 64 ticks dominated the host side otherwise)
+        done_tick = np.where(done.any(axis=0), done.argmax(axis=0),
+                             self.ticks_per_call)
         for slot, req in enumerate(self._slots):
-            if req is not None and req.done:
+            if req is None or req.done:
+                continue
+            upto = done_tick[slot] + 1  # include the finishing token's tick
+            col = emitted[:upto, slot]
+            if col.any():
+                req.generated.extend(toks[:upto, slot][col].tolist())
+            if done_tick[slot] < self.ticks_per_call:
+                req.done = True
                 self._finished.append(req)
                 self._slots[slot] = None
         return self._drain_finished()

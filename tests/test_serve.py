@@ -41,27 +41,19 @@ def test_vector_cache_matches_scalar_and_batch1(tiny, quantized):
         lv, _, cache_v = model.apply(params, toks[:, t:t + 1], cache=cache_v)
         assert jnp.max(jnp.abs(ls - lv)) == 0.0
 
-    # staggered: row i idles for i ticks (engine-style pinned length)
-    cache_v = KVCache.create(cfg, B, per_row=True)
-    row_logits = {i: [] for i in range(B)}
-    cursor = [0] * B
-    for tick in range(T + B):
-        cur = jnp.array([int(toks[i, min(cursor[i], T - 1)]) for i in range(B)],
-                        jnp.int32)
-        active = jnp.array([tick >= i and cursor[i] < T for i in range(B)])
-        lg, _, nc = model.apply(params, cur[:, None], cache=cache_v)
-        cache_v = KVCache(nc.k, nc.v,
-                          jnp.where(active, nc.length, cache_v.length),
-                          nc.k_scale, nc.v_scale)
-        for i in range(B):
-            if bool(active[i]):
-                row_logits[i].append(lg[i, 0])
-                cursor[i] += 1
-    for i in range(B):
-        c1 = KVCache.create(cfg, 1)
-        for t in range(T):
-            lg, _, c1 = model.apply(params, toks[i:i + 1, t:t + 1], cache=c1)
-            assert jnp.max(jnp.abs(lg[0, 0] - row_logits[i][t])) == 0.0
+    # staggered positions go through the engine's ring admissions: greedy
+    # requests with different prompt lengths, admitted into a shared server,
+    # must each bit-match an independent lockstep Generator run
+    srv = GenerationServer(model, params, n_slots=B, ticks_per_call=4)
+    prompts = [list(map(int, toks[i, : 3 + 2 * i])) for i in range(B)]
+    rids = [srv.submit(p, max_new_tokens=12, temperature=0.0, seed=0)
+            for p in prompts]
+    done = {r.id: r for r in srv.run_until_idle()}
+    gen = Generator(model, max_new_tokens=12, temperature=0.0, top_k=None)
+    for rid, p in zip(rids, prompts):
+        ref = jax.device_get(
+            gen.generate(params, jnp.array([p], jnp.int32)))[0, len(p):]
+        assert done[rid].generated == list(ref)
 
 
 def test_engine_mixed_requests_and_refresh(tiny):
@@ -97,6 +89,23 @@ def test_engine_batch_composition_independence(tiny):
     rid2 = srv2.submit([1, 2, 3], max_new_tokens=20, seed=11)
     alone = {r.id: r for r in srv2.run_until_idle()}[rid2]
     assert crowded.generated == alone.generated
+
+
+def test_engine_multi_chunk_admission(tiny):
+    """An admit wave larger than ``admit_group`` splits into chunks; results
+    must not depend on the chunking (same bytes as one-wave admission)."""
+    _, model, params = tiny
+    prompts = [[1 + i, 2 + i, 3] for i in range(12)]
+
+    def run(admit_group):
+        srv = GenerationServer(model, params, n_slots=12, ticks_per_call=4,
+                               admit_group=admit_group)
+        rids = [srv.submit(p, max_new_tokens=9, seed=i)
+                for i, p in enumerate(prompts)]
+        done = {r.id: r for r in srv.run_until_idle()}
+        return [done[r].generated for r in rids]
+
+    assert run(8) == run(64)
 
 
 def test_engine_stop_token_and_queueing(tiny):
