@@ -57,8 +57,9 @@ def main(argv=None) -> dict:
         jax.random.PRNGKey(args.seed),
         jnp.zeros((1, args.block_size), jnp.int32))
 
-    def run_load(load_seed: int) -> tuple[list, float]:
-        """Fresh server, full load, full drain; returns (finished, wall)."""
+    def run_load(load_seed: int) -> tuple[list, float, dict]:
+        """Fresh server, full load, full drain; returns (finished, wall,
+        engine phase stats)."""
         srv = GenerationServer(
             model, params, n_slots=args.n_slots,
             ticks_per_call=args.ticks_per_call,
@@ -77,14 +78,14 @@ def main(argv=None) -> dict:
                 temperature=0.8, top_k=64, seed=i)
         t0 = time.perf_counter()
         finished = list(srv.run_until_idle())
-        return finished, time.perf_counter() - t0
+        return finished, time.perf_counter() - t0, dict(srv.stats)
 
     # pass 1 compiles every (wave, bucket) program; pass 2 is timed hot.
     # DIFFERENT load seed per pass: the axon relay caches identical-input
     # program calls and would report impossible speeds on an exact replay
     # (docs/PERF.md "Environment caveats").
-    _, cold_wall = run_load(args.seed + 1)
-    finished, wall = run_load(args.seed)
+    _, cold_wall, _ = run_load(args.seed + 1)
+    finished, wall, stats = run_load(args.seed)
     assert len(finished) == args.requests, (len(finished), args.requests)
 
     gen_tokens = sum(len(r.generated) for r in finished)
@@ -100,6 +101,8 @@ def main(argv=None) -> dict:
         "ticks_per_call": args.ticks_per_call,
         "admit_group": args.admit_group,
         "kv_quantized": args.kv_quantized,
+        "phases": {k: (round(v, 2) if isinstance(v, float) else v)
+                   for k, v in stats.items()},
     }
     print(json.dumps(result))
     return result

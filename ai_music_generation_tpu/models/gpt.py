@@ -207,8 +207,6 @@ class CausalSelfAttention(nn.Module):
                     cv_scale = jax.lax.dynamic_update_slice(
                         cv_scale, vs, (0, cursor, 0))
                     new_cache = (ck, cv, ck_scale, cv_scale)
-                    ck = ck.astype(cfg.dtype) * ck_scale[..., None].astype(cfg.dtype)
-                    cv = cv.astype(cfg.dtype) * cv_scale[..., None].astype(cfg.dtype)
                 else:
                     ck = jax.lax.dynamic_update_slice(
                         ck, k.astype(ck.dtype), (0, cursor, 0, 0))
@@ -220,12 +218,21 @@ class CausalSelfAttention(nn.Module):
                 offset = jnp.mod(cursor - jnp.arange(S), S)  # [S]
                 mask = offset[None, :] <= cache_len[:, None]  # [B, S]
                 scale = jnp.asarray(1.0 / jnp.sqrt(D), cfg.dtype)
-                att = jnp.einsum("bthd,bshd->bhts", q, ck) * scale
+                # int8: the per-(position, head) scales are factored OUT of
+                # the einsums onto the small [B, H, T, S] attention tensor
+                # (q·(k_q*ks) == (q·k_q)*ks exactly) — the int8 buffers feed
+                # the dots directly and the dequantized [B, S, H, D] copy is
+                # never materialized in HBM
+                att = jnp.einsum("bthd,bshd->bhts", q, ck.astype(cfg.dtype)) * scale
+                if ck_scale is not None:
+                    att = att * jnp.swapaxes(ck_scale, 1, 2)[:, :, None, :].astype(cfg.dtype)
                 att = jnp.where(
                     mask[:, None, None, :], att, jnp.asarray(-jnp.inf, att.dtype))
                 att = jax.nn.softmax(att.astype(jnp.float32), axis=-1).astype(cfg.dtype)
                 att = nn.Dropout(cfg.dropout)(att, deterministic=deterministic)
-                y = jnp.einsum("bhts,bshd->bthd", att, cv).reshape(B, T, C)
+                if cv_scale is not None:
+                    att = att * jnp.swapaxes(cv_scale, 1, 2)[:, :, None, :].astype(cfg.dtype)
+                y = jnp.einsum("bhts,bshd->bthd", att, cv.astype(cfg.dtype)).reshape(B, T, C)
                 y = nn.Dense(
                     C, use_bias=cfg.bias, dtype=cfg.dtype,
                     param_dtype=cfg.param_dtype,
@@ -248,9 +255,6 @@ class CausalSelfAttention(nn.Module):
                 ck_scale = jax.lax.dynamic_update_slice(ck_scale, ks, (0, cache_len, 0))
                 cv_scale = jax.lax.dynamic_update_slice(cv_scale, vs, (0, cache_len, 0))
                 new_cache = (ck, cv, ck_scale, cv_scale)
-                # dequantized views feed the einsums (fused by XLA)
-                ck = ck.astype(cfg.dtype) * ck_scale[..., None].astype(cfg.dtype)
-                cv = cv.astype(cfg.dtype) * cv_scale[..., None].astype(cfg.dtype)
             else:
                 # contiguous [B, T, H, D] slab write at position cache_len
                 ck = jax.lax.dynamic_update_slice(
@@ -280,11 +284,16 @@ class CausalSelfAttention(nn.Module):
             k_pos = jnp.arange(S)[None, :]  # [1, S]
             mask = k_pos <= q_pos  # [T, S]
             scale = jnp.asarray(1.0 / jnp.sqrt(D), cfg.dtype)
-            att = jnp.einsum("bthd,bshd->bhts", q, ck) * scale
+            # int8: scales factored onto [B, H, T, S] (see ring branch above)
+            att = jnp.einsum("bthd,bshd->bhts", q, ck.astype(cfg.dtype)) * scale
+            if ck_scale is not None:
+                att = att * jnp.swapaxes(ck_scale, 1, 2)[:, :, None, :].astype(cfg.dtype)
             att = jnp.where(mask[None, None, :, :], att, jnp.asarray(-jnp.inf, att.dtype))
             att = jax.nn.softmax(att.astype(jnp.float32), axis=-1).astype(cfg.dtype)
             att = nn.Dropout(cfg.dropout)(att, deterministic=deterministic)
-            y = jnp.einsum("bhts,bshd->bthd", att, cv).reshape(B, T, C)
+            if cv_scale is not None:
+                att = att * jnp.swapaxes(cv_scale, 1, 2)[:, :, None, :].astype(cfg.dtype)
+            y = jnp.einsum("bhts,bshd->bthd", att, cv.astype(cfg.dtype)).reshape(B, T, C)
         elif (
             cfg.attn_impl == "flash"
             and jax.default_backend() == "tpu"

@@ -148,6 +148,12 @@ class GenerationServer:
         self._slots: list[Optional[Request]] = [None] * n_slots
         self._ids = itertools.count()
         self._finished: deque[Request] = deque()
+        # wall-clock accounting per step phase (observability; serve_bench
+        # prints it — the axon tunnel's dispatch/transfer latencies dominate
+        # in ways device-side reasoning alone cannot explain)
+        self.stats = {"steps": 0, "admit_waves": 0, "admit_s": 0.0,
+                      "scan_s": 0.0, "fetch_s": 0.0, "sync_s": 0.0,
+                      "demux_s": 0.0}
 
         V = cfg.vocab_size
         self.state = ServeState(
@@ -202,18 +208,29 @@ class GenerationServer:
         return state, toks, emitted, done
 
     @functools.partial(jax.jit, static_argnums=0, donate_argnums=2)
-    def _insert_many(self, params, state: ServeState, slots, ctx, plens,
-                     max_new, temperature, top_k, stop_token, seed, g0,
-                     valid):
-        """Admit up to G=len(slots) requests in ONE device call: batch-G
-        prefill of ``ctx`` (padded [G, Pc]), each request's K/V rows rolled
-        so its prompt ends at the ring cursor, then scattered to the slot
-        indices (padding entries carry slot index == n_slots and are
-        dropped). One call per admission wave instead of one per request —
-        under the axon tunnel, per-call dispatch latency dominated serving
-        throughput (measured: 2048 serial single-slot admits cost ~50 s)."""
+    def _insert_many(self, params, state: ServeState, packed):
+        """Admit up to G requests in ONE device call with ONE host→device
+        transfer: ``packed`` is [G, Pc + 9] int32 — each row is the padded
+        prompt followed by (slot, plen, max_new, top_k, stop_token, g0,
+        valid, seed:u32-bits, temperature:f32-bits). Batch-G prefill of the
+        prompts, each request's K/V rows rolled so its prompt ends at the
+        ring cursor, then scattered to the slot indices (padding entries
+        carry slot index == n_slots and are dropped). One call AND one
+        upload per admission wave — under the axon tunnel both per-call
+        dispatch (~25 ms) and per-array upload (~30 ms × 11 arrays)
+        dominated serving throughput when done per request / per field."""
         cfg = self.model.config
-        G = ctx.shape[0]
+        G = packed.shape[0]
+        ctx = packed[:, :-9]
+        slots = packed[:, -9]
+        plens = packed[:, -8]
+        max_new = packed[:, -7]
+        top_k = packed[:, -6]
+        stop_token = packed[:, -5]
+        g0 = packed[:, -4]
+        valid = packed[:, -3].astype(bool)
+        seed = jax.lax.bitcast_convert_type(packed[:, -2], jnp.uint32)
+        temperature = jax.lax.bitcast_convert_type(packed[:, -1], jnp.float32)
         pre = KVCache.create(cfg, G, max_len=self.block_size)
         logits, _, pre = self.model.apply(
             params, ctx, cache=pre, return_all_logits=True)
@@ -281,41 +298,39 @@ class GenerationServer:
         prefill padding waste."""
         group = self.admit_group
         for start in range(0, len(admits), group):
+            self.stats["admit_waves"] += 1
             chunk = admits[start:start + group]
             # two padded sizes only (compile economy): small waves use G=8
             G = 8 if len(chunk) <= 8 else group
             ctxs = [c[2][-self.window:] for c in chunk]
             pc = self._bucket(max(len(c) for c in ctxs))
-            padded = np.zeros((G, pc), np.int32)
-            slots = np.full((G,), self.n_slots, np.int32)
-            plens = np.ones((G,), np.int32)
-            max_new = np.zeros((G,), np.int32)
-            temp = np.ones((G,), np.float32)
-            topk = np.ones((G,), np.int32)
-            stop = np.full((G,), -1, np.int32)
-            seed = np.zeros((G,), np.uint32)
-            g0 = np.zeros((G,), np.int32)
-            valid = np.zeros((G,), bool)
+            # one packed [G, pc+9] int32 buffer = ONE host->device upload
+            # (layout documented in _insert_many)
+            packed = np.zeros((G, pc + 9), np.int32)
+            packed[:, -9] = self.n_slots  # padding rows -> dropped
+            packed[:, -8] = 1
+            packed[:, -5] = -1
+            packed[:, -1] = np.float32(1.0).view(np.int32)
             for i, ((slot, req, _, g0_i), ctx) in enumerate(zip(chunk, ctxs)):
-                padded[i, :len(ctx)] = ctx
-                slots[i] = slot
-                plens[i] = len(ctx)
-                max_new[i] = req.max_new_tokens
-                temp[i] = req.temperature
-                topk[i] = req.top_k
-                stop[i] = req.stop_token
-                seed[i] = req.seed
-                g0[i] = g0_i
-                valid[i] = True
+                packed[i, :len(ctx)] = ctx
+                packed[i, -9] = slot
+                packed[i, -8] = len(ctx)
+                packed[i, -7] = req.max_new_tokens
+                packed[i, -6] = req.top_k
+                packed[i, -5] = req.stop_token
+                packed[i, -4] = g0_i
+                packed[i, -3] = 1
+                packed[i, -2] = np.uint32(req.seed).view(np.int32)
+                packed[i, -1] = np.float32(req.temperature).view(np.int32)
                 self._slots[slot] = req
             self.state = self._insert_many(
-                self.params, self.state, jnp.asarray(slots),
-                jnp.asarray(padded), jnp.asarray(plens), jnp.asarray(max_new),
-                jnp.asarray(temp), jnp.asarray(topk), jnp.asarray(stop),
-                jnp.asarray(seed), jnp.asarray(g0), jnp.asarray(valid))
+                self.params, self.state, jnp.asarray(packed))
 
     def step(self) -> list[Request]:
         """Admit queued requests, run one scan, return finished requests."""
+        import time as _time
+
+        self.stats["steps"] += 1
         admits: list[tuple[int, Request, list[int], int]] = []
         # 1. fill free slots
         for slot in range(self.n_slots):
@@ -330,24 +345,33 @@ class GenerationServer:
         # 2. proactive window refresh: a slot must fit ticks_per_call more
         #    writes before its cache hits block_size
         reserved = {slot for slot, *_ in admits}
+        t0 = _time.perf_counter()
         lengths = np.asarray(jax.device_get(self.state.cache.length))
+        self.stats["sync_s"] += _time.perf_counter() - t0
         for slot, req in enumerate(self._slots):
             if req is not None and slot not in reserved and (
                 lengths[slot] + self.ticks_per_call > self.block_size
             ):
                 admits.append((slot, req, req.tokens, len(req.generated)))
         if admits:
+            t0 = _time.perf_counter()
             self._admit_wave(admits)
+            self.stats["admit_s"] += _time.perf_counter() - t0
 
         # 3. decode
+        t0 = _time.perf_counter()
         self.state, toks, emitted, done = self._scan(self.params, self.state)
+        self.stats["scan_s"] += _time.perf_counter() - t0
+        t0 = _time.perf_counter()
         toks = np.asarray(jax.device_get(toks))
         emitted = np.asarray(jax.device_get(emitted))
         done = np.asarray(jax.device_get(done))
+        self.stats["fetch_s"] += _time.perf_counter() - t0
 
         # 4. demultiplex (vectorized per slot: one numpy mask op per slot
         #    instead of a K x B python loop — measured demux cost at
         #    4096 slots x 64 ticks dominated the host side otherwise)
+        t0 = _time.perf_counter()
         done_tick = np.where(done.any(axis=0), done.argmax(axis=0),
                              self.ticks_per_call)
         for slot, req in enumerate(self._slots):
@@ -361,6 +385,7 @@ class GenerationServer:
                 req.done = True
                 self._finished.append(req)
                 self._slots[slot] = None
+        self.stats["demux_s"] += _time.perf_counter() - t0
         return self._drain_finished()
 
     def _drain_finished(self) -> list[Request]:
