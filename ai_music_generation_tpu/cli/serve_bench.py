@@ -57,13 +57,7 @@ def main(argv=None) -> dict:
         jax.random.PRNGKey(args.seed),
         jnp.zeros((1, args.block_size), jnp.int32))
 
-    def run_load(load_seed: int) -> tuple[list, float, dict]:
-        """Fresh server, full load, full drain; returns (finished, wall,
-        engine phase stats)."""
-        srv = GenerationServer(
-            model, params, n_slots=args.n_slots,
-            ticks_per_call=args.ticks_per_call,
-            admit_group=args.admit_group)
+    def submit_load(srv, load_seed: int) -> None:
         # mixed open-loop load: prompt lengths 4..48, generation lengths
         # 0.5x..1x max_new, all submitted upfront (admission happens as
         # slots free, exercising the wave-admit path repeatedly)
@@ -76,16 +70,30 @@ def main(argv=None) -> dict:
                 max_new_tokens=int(
                     gen.integers(args.max_new // 2, args.max_new + 1)),
                 temperature=0.8, top_k=64, seed=i)
-        t0 = time.perf_counter()
-        finished = list(srv.run_until_idle())
-        return finished, time.perf_counter() - t0, dict(srv.stats)
 
-    # pass 1 compiles every (wave, bucket) program; pass 2 is timed hot.
+    # ONE long-lived server (the production shape). Pass 1 compiles every
+    # (wave, bucket) program AND pays the server's first-steps layout
+    # convergence (the first jitted calls on fresh buffers trigger
+    # relay-side layout-conversion work, measured ~9 s at 4096 slots);
+    # pass 2 on the SAME server is the steady state and is timed.
     # DIFFERENT load seed per pass: the axon relay caches identical-input
     # program calls and would report impossible speeds on an exact replay
     # (docs/PERF.md "Environment caveats").
-    _, cold_wall, _ = run_load(args.seed + 1)
-    finished, wall, stats = run_load(args.seed)
+    srv = GenerationServer(
+        model, params, n_slots=args.n_slots,
+        ticks_per_call=args.ticks_per_call, admit_group=args.admit_group)
+    submit_load(srv, args.seed + 1)
+    t0 = time.perf_counter()
+    srv.run_until_idle()
+    cold_wall = time.perf_counter() - t0
+
+    for k in srv.stats:
+        srv.stats[k] = type(srv.stats[k])()
+    submit_load(srv, args.seed)
+    t0 = time.perf_counter()
+    finished = list(srv.run_until_idle())
+    wall = time.perf_counter() - t0
+    stats = dict(srv.stats)
     assert len(finished) == args.requests, (len(finished), args.requests)
 
     gen_tokens = sum(len(r.generated) for r in finished)

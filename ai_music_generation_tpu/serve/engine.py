@@ -297,34 +297,38 @@ class GenerationServer:
         dominant admit cost under the axon tunnel) at the price of more
         prefill padding waste."""
         group = self.admit_group
-        for start in range(0, len(admits), group):
+        all_ctxs = [c[2][-self.window:] for c in admits]
+        # ONE padded prompt bucket and ONE [W*G', pc+9] host->device upload
+        # for the whole admit list; waves then slice the device array (zero
+        # further uploads — the tunnel charges ~30 ms per upload, and
+        # per-wave uploads were the dominant serving cost after the
+        # per-field uploads were packed)
+        pc = self._bucket(max(len(c) for c in all_ctxs))
+        # two padded wave sizes only (compile economy): G=8 or admit_group
+        G = 8 if len(admits) <= 8 else group
+        n_waves = -(-len(admits) // G)
+        packed = np.zeros((n_waves * G, pc + 9), np.int32)
+        packed[:, -9] = self.n_slots  # padding rows -> dropped
+        packed[:, -8] = 1
+        packed[:, -5] = -1
+        packed[:, -1] = np.float32(1.0).view(np.int32)
+        for i, ((slot, req, _, g0_i), ctx) in enumerate(zip(admits, all_ctxs)):
+            packed[i, :len(ctx)] = ctx
+            packed[i, -9] = slot
+            packed[i, -8] = len(ctx)
+            packed[i, -7] = req.max_new_tokens
+            packed[i, -6] = req.top_k
+            packed[i, -5] = req.stop_token
+            packed[i, -4] = g0_i
+            packed[i, -3] = 1
+            packed[i, -2] = np.uint32(req.seed).view(np.int32)
+            packed[i, -1] = np.float32(req.temperature).view(np.int32)
+            self._slots[slot] = req
+        packed_dev = jnp.asarray(packed.reshape(n_waves, G, pc + 9))
+        for w in range(n_waves):
             self.stats["admit_waves"] += 1
-            chunk = admits[start:start + group]
-            # two padded sizes only (compile economy): small waves use G=8
-            G = 8 if len(chunk) <= 8 else group
-            ctxs = [c[2][-self.window:] for c in chunk]
-            pc = self._bucket(max(len(c) for c in ctxs))
-            # one packed [G, pc+9] int32 buffer = ONE host->device upload
-            # (layout documented in _insert_many)
-            packed = np.zeros((G, pc + 9), np.int32)
-            packed[:, -9] = self.n_slots  # padding rows -> dropped
-            packed[:, -8] = 1
-            packed[:, -5] = -1
-            packed[:, -1] = np.float32(1.0).view(np.int32)
-            for i, ((slot, req, _, g0_i), ctx) in enumerate(zip(chunk, ctxs)):
-                packed[i, :len(ctx)] = ctx
-                packed[i, -9] = slot
-                packed[i, -8] = len(ctx)
-                packed[i, -7] = req.max_new_tokens
-                packed[i, -6] = req.top_k
-                packed[i, -5] = req.stop_token
-                packed[i, -4] = g0_i
-                packed[i, -3] = 1
-                packed[i, -2] = np.uint32(req.seed).view(np.int32)
-                packed[i, -1] = np.float32(req.temperature).view(np.int32)
-                self._slots[slot] = req
             self.state = self._insert_many(
-                self.params, self.state, jnp.asarray(packed))
+                self.params, self.state, packed_dev[w])
 
     def step(self) -> list[Request]:
         """Admit queued requests, run one scan, return finished requests."""

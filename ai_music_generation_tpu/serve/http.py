@@ -143,3 +143,60 @@ def serve(runner: EngineRunner, encode, decode, host: str = "127.0.0.1",
     """Build (and return) the HTTP server; caller runs ``serve_forever``."""
     handler = make_handler(runner, encode, decode)
     return ThreadingHTTPServer((host, port), handler)
+
+
+def make_tunes_handler(runner: EngineRunner):
+    """Handler for a TunesServer-backed runner (serve/tunes_engine.py):
+    text-in/text-out, TunesFormer sampling params (ref CLI flags:
+    tunesformer/generate.py:14-37)."""
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):
+            pass
+
+        def _json(self, code: int, obj: dict):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/health":
+                self._json(200, runner.stats())
+            else:
+                self._json(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            if self.path != "/generate":
+                self._json(404, {"error": "unknown path"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", "0"))
+                payload = json.loads(self.rfile.read(n) or b"{}")
+                rid = runner.submit(
+                    payload["prompt"],
+                    max_patch=int(payload.get("max_patch", 128)),
+                    top_p=float(payload.get("top_p", 0.8)),
+                    top_k=int(payload.get("top_k", 8)),
+                    temperature=float(payload.get("temperature", 1.2)),
+                    seed=int(payload.get("seed", 0)),
+                    show_control_code=bool(
+                        payload.get("show_control_code", True)),
+                )
+                req = runner.wait(rid, timeout=float(payload.get("timeout", 600)))
+                if req is None:
+                    self._json(504, {"error": "generation timed out", "id": rid})
+                    return
+                self._json(200, {"id": req.id, "text": req.text})
+            except Exception as e:  # noqa: BLE001 — serve errors as JSON
+                self._json(400, {"error": str(e)})
+
+    return Handler
+
+
+def serve_tunes(runner: EngineRunner, host: str = "127.0.0.1",
+                port: int = 8000) -> ThreadingHTTPServer:
+    """HTTP server over a TunesServer engine."""
+    return ThreadingHTTPServer((host, port), make_tunes_handler(runner))

@@ -1,0 +1,107 @@
+"""TunesFormer serving: continuous-batching bar engine + HTTP front."""
+
+import json
+import threading
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ai_music_generation_tpu.models.tunesformer import TunesFormer, TunesFormerConfig
+from ai_music_generation_tpu.serve.tunes_engine import TunesServer
+
+pytestmark = pytest.mark.slow  # compile-heavy bar program
+
+TINY_CFG = TunesFormerConfig(
+    patch_length=16, patch_size=16, patch_layers=2, char_layers=2,
+    n_embd=32, n_head=2, dropout=0.0, dtype=jnp.float32,
+)
+
+ABC = "S:1\nB:2\nL:1/8\nM:4/4\nK:C\nCDEF GABc|cBAG FEDC|"
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    model = TunesFormer(TINY_CFG)
+    dummy = jnp.zeros((1, 16, 16), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), dummy)
+    return model, params
+
+
+def test_tunes_server_batch_composition_independence(tiny_model):
+    """A request's tune depends only on its own fields — rerunning it alone
+    (different slot population) reproduces the crowded output."""
+    model, params = tiny_model
+    srv = TunesServer(model, params, n_slots=3)
+    rid = srv.submit(ABC, max_patch=10, seed=11)
+    srv.submit("L:1/8\nK:D\nde fg|", max_patch=8, seed=22, temperature=0.9)
+    srv.submit("L:1/4\nK:G\nGA|", max_patch=6, seed=33, top_k=4)
+    crowded = {r.id: r for r in srv.run_until_idle()}[rid]
+
+    srv2 = TunesServer(model, params, n_slots=3)
+    rid2 = srv2.submit(ABC, max_patch=10, seed=11)
+    alone = {r.id: r for r in srv2.run_until_idle()}[rid2]
+    assert crowded.text == alone.text
+    assert crowded.text.startswith(ABC)
+
+
+def test_tunes_server_queueing_and_determinism(tiny_model):
+    """More requests than slots: queueing + slot reuse; same-seed requests
+    are byte-identical, different seeds (almost surely) differ."""
+    model, params = tiny_model
+    srv = TunesServer(model, params, n_slots=2)
+    rids = [srv.submit(ABC, max_patch=8, seed=s) for s in (5, 5, 7, 9, 5)]
+    done = {r.id: r for r in srv.run_until_idle()}
+    assert sorted(done) == sorted(rids)
+    texts = [done[r].text for r in rids]
+    assert texts[0] == texts[1] == texts[4]
+    # max_patch bounds the patch count: text is finite and non-empty
+    assert all(t.startswith(ABC) for t in texts)
+
+
+def test_tunes_server_control_code_filtering(tiny_model):
+    model, params = tiny_model
+    srv = TunesServer(model, params, n_slots=1)
+    rid_show = srv.submit(ABC, max_patch=8, seed=3, show_control_code=True)
+    rid_hide = srv.submit(ABC, max_patch=8, seed=3, show_control_code=False)
+    done = {r.id: r for r in srv.run_until_idle()}
+    assert "S:1" in done[rid_show].text
+    assert not any(line.startswith(("S:", "B:", "E:"))
+                   for line in done[rid_hide].text.splitlines())
+    # filtering is display-only: the generated music is identical
+    strip = lambda t: "".join(
+        line for line in t.splitlines(keepends=True)
+        if line[:2] not in ("S:", "B:", "E:"))
+    assert strip(done[rid_show].text) == done[rid_hide].text
+
+
+def test_tunes_http_server(tiny_model):
+    from ai_music_generation_tpu.serve.http import EngineRunner, serve_tunes
+
+    model, params = tiny_model
+    runner = EngineRunner(TunesServer(model, params, n_slots=2))
+    httpd = serve_tunes(runner, port=0)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        def post(payload):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/generate",
+                data=json.dumps(payload).encode(),
+                headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(req, timeout=300) as r:
+                return json.loads(r.read())
+
+        out1 = post({"prompt": ABC, "max_patch": 8, "seed": 3})
+        assert out1["text"].startswith(ABC)
+        out2 = post({"prompt": ABC, "max_patch": 8, "seed": 3})
+        assert out2["text"] == out1["text"]
+
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/health", timeout=30) as r:
+            health = json.loads(r.read())
+        assert health["slots"] == 2
+    finally:
+        httpd.shutdown()
+        runner.shutdown()
