@@ -57,11 +57,16 @@ class EngineRunner:
 
     def stats(self) -> dict:
         e = self.engine
-        return {
+        out = {
             "slots": e.n_slots,
             "active": sum(r is not None for r in e._slots),
             "queued": len(e._queue),
         }
+        phases = getattr(e, "stats", None)
+        if phases:  # per-phase wall-time accounting (GPT engine)
+            out["phases"] = {k: (round(v, 3) if isinstance(v, float) else v)
+                             for k, v in phases.items()}
+        return out
 
     def shutdown(self):
         self._stop = True
