@@ -205,6 +205,15 @@ class GenerationServer:
 
         state, (toks, emitted, done) = jax.lax.scan(
             tick, state, None, length=self.ticks_per_call)
+        if self.model.config.vocab_size <= 16384:
+            # pack (tok, emitted, done) into ONE uint16 [K, B] download:
+            # the tunnel charges a ~30 ms round trip per device_get plus
+            # ~10-20 MB/s, so 3 arrays (one of them int32) per step cost
+            # more than the decode itself at large slot counts
+            packed = (toks.astype(jnp.uint16)
+                      | (emitted.astype(jnp.uint16) << 14)
+                      | (done.astype(jnp.uint16) << 15))
+            return state, packed, None, None
         return state, toks, emitted, done
 
     @functools.partial(jax.jit, static_argnums=0, donate_argnums=2)
@@ -283,6 +292,21 @@ class GenerationServer:
         )
         self._queue.append(req)
         return req.id
+
+    def cancel(self, rid: int) -> bool:
+        """Cancel a queued or in-flight request; returns True if found.
+        An in-flight slot is freed immediately on the host (its device row
+        keeps ticking masked until readmission overwrites it — rows are
+        isolated, so the garbage it produces is never read)."""
+        for req in self._queue:
+            if req.id == rid:
+                self._queue.remove(req)
+                return True
+        for slot, req in enumerate(self._slots):
+            if req is not None and req.id == rid:
+                self._slots[slot] = None
+                return True
+        return False
 
     def _bucket(self, n: int) -> int:
         p = 8
@@ -367,9 +391,15 @@ class GenerationServer:
         self.state, toks, emitted, done = self._scan(self.params, self.state)
         self.stats["scan_s"] += _time.perf_counter() - t0
         t0 = _time.perf_counter()
-        toks = np.asarray(jax.device_get(toks))
-        emitted = np.asarray(jax.device_get(emitted))
-        done = np.asarray(jax.device_get(done))
+        if emitted is None:  # packed uint16 fast path (one download)
+            packed = np.asarray(jax.device_get(toks))
+            toks = (packed & 0x3FFF).astype(np.int32)
+            emitted = (packed & 0x4000) != 0
+            done = (packed & 0x8000) != 0
+        else:
+            toks = np.asarray(jax.device_get(toks))
+            emitted = np.asarray(jax.device_get(emitted))
+            done = np.asarray(jax.device_get(done))
         self.stats["fetch_s"] += _time.perf_counter() - t0
 
         # 4. demultiplex (vectorized per slot: one numpy mask op per slot

@@ -126,6 +126,27 @@ def test_engine_stop_token_and_queueing(tiny):
         assert 0 not in req.generated[:-1]
 
 
+def test_engine_cancel(tiny):
+    """Cancelling a queued or in-flight request frees capacity and never
+    surfaces the cancelled id; survivors are unaffected (byte-identical to
+    an uncancelled run of the same request)."""
+    _, model, params = tiny
+    srv = GenerationServer(model, params, n_slots=2, ticks_per_call=4)
+    keep = srv.submit([1, 2, 3], max_new_tokens=16, seed=11)
+    running = srv.submit([4, 5], max_new_tokens=40, seed=22)
+    queued = srv.submit([6], max_new_tokens=16, seed=33)
+    srv.step()  # admits keep+running; queued waits
+    assert srv.cancel(queued)
+    assert srv.cancel(running)
+    assert not srv.cancel(9999)
+    done = {r.id: r for r in srv.run_until_idle()}
+    assert set(done) == {keep}
+    srv2 = GenerationServer(model, params, n_slots=2, ticks_per_call=4)
+    rid2 = srv2.submit([1, 2, 3], max_new_tokens=16, seed=11)
+    alone = {r.id: r for r in srv2.run_until_idle()}[rid2]
+    assert done[keep].generated == alone.generated
+
+
 def test_http_server_generate_and_health(tiny):
     from ai_music_generation_tpu.serve.http import EngineRunner, serve
 
