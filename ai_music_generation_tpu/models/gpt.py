@@ -141,6 +141,16 @@ def _init_normal(std: float):
     return nn.initializers.normal(stddev=std)
 
 
+def _quantize_int8(x: Array) -> tuple[Array, Array]:
+    """Symmetric per-(…, head) int8 quantization over the last axis;
+    returns (int8 values, bf16 scales). Shared by the ring-mode and
+    slab-mode cache writes."""
+    x = x.astype(jnp.float32)
+    s_ = jnp.maximum(jnp.max(jnp.abs(x), axis=-1), 1e-6) / 127.0
+    q = jnp.clip(jnp.round(x / s_[..., None]), -127, 127)
+    return q.astype(jnp.int8), s_.astype(jnp.bfloat16)
+
+
 class CausalSelfAttention(nn.Module):
     """Multi-head causal attention (ref behavior: nanoGPT/model.py:29-76).
 
@@ -152,6 +162,20 @@ class CausalSelfAttention(nn.Module):
 
     config: GPTConfig
     layer_idx: int = 0
+
+    def _epilogue(self, y: Array, deterministic: bool) -> Array:
+        """Shared output projection + dropout (all attention variants).
+        Residual projections get the scaled init (ref: nanoGPT/model.py:140-144)."""
+        cfg = self.config
+        y = nn.Dense(
+            cfg.n_embd,
+            use_bias=cfg.bias,
+            dtype=cfg.dtype,
+            param_dtype=cfg.param_dtype,
+            kernel_init=_init_normal(0.02 / math.sqrt(2 * cfg.n_layer)),
+            name="c_proj",
+        )(y)
+        return nn.Dropout(cfg.dropout)(y, deterministic=deterministic)
 
     @nn.compact
     def __call__(
@@ -193,13 +217,8 @@ class CausalSelfAttention(nn.Module):
                 assert T == 1, "ring-mode (vector cache_len) decode is T=1"
                 assert cursor is not None, "vector cache_len requires a cursor"
                 if ck_scale is not None:
-                    def quantize(x):
-                        s_ = jnp.maximum(jnp.max(jnp.abs(x), axis=-1), 1e-6) / 127.0
-                        q = jnp.clip(jnp.round(x / s_[..., None]), -127, 127)
-                        return q.astype(jnp.int8), s_.astype(jnp.bfloat16)
-
-                    kq, ks = quantize(k.astype(jnp.float32))
-                    vq, vs = quantize(v.astype(jnp.float32))
+                    kq, ks = _quantize_int8(k)
+                    vq, vs = _quantize_int8(v)
                     ck = jax.lax.dynamic_update_slice(ck, kq, (0, cursor, 0, 0))
                     cv = jax.lax.dynamic_update_slice(cv, vq, (0, cursor, 0, 0))
                     ck_scale = jax.lax.dynamic_update_slice(
@@ -233,23 +252,11 @@ class CausalSelfAttention(nn.Module):
                 if cv_scale is not None:
                     att = att * jnp.swapaxes(cv_scale, 1, 2)[:, :, None, :].astype(cfg.dtype)
                 y = jnp.einsum("bhts,bshd->bthd", att, cv.astype(cfg.dtype)).reshape(B, T, C)
-                y = nn.Dense(
-                    C, use_bias=cfg.bias, dtype=cfg.dtype,
-                    param_dtype=cfg.param_dtype,
-                    kernel_init=_init_normal(0.02 / math.sqrt(2 * cfg.n_layer)),
-                    name="c_proj",
-                )(y)
-                y = nn.Dropout(cfg.dropout)(y, deterministic=deterministic)
-                return y, new_cache
+                return self._epilogue(y, deterministic), new_cache
             if ck_scale is not None:
                 # int8 cache: quantize the new slab per (position, head)
-                def quantize(x):
-                    s_ = jnp.maximum(jnp.max(jnp.abs(x), axis=-1), 1e-6) / 127.0
-                    q = jnp.clip(jnp.round(x / s_[..., None]), -127, 127)
-                    return q.astype(jnp.int8), s_.astype(jnp.bfloat16)
-
-                kq, ks = quantize(k.astype(jnp.float32))
-                vq, vs = quantize(v.astype(jnp.float32))
+                kq, ks = _quantize_int8(k)
+                vq, vs = _quantize_int8(v)
                 ck = jax.lax.dynamic_update_slice(ck, kq, (0, cache_len, 0, 0))
                 cv = jax.lax.dynamic_update_slice(cv, vq, (0, cache_len, 0, 0))
                 ck_scale = jax.lax.dynamic_update_slice(ck_scale, ks, (0, cache_len, 0))
@@ -271,14 +278,7 @@ class CausalSelfAttention(nn.Module):
                     q.reshape(B, C), ck.reshape(B, S, C), cv.reshape(B, S, C),
                     cache_len + 1, n_head=H,
                 ).reshape(B, 1, C).astype(cfg.dtype)
-                y = nn.Dense(
-                    C, use_bias=cfg.bias, dtype=cfg.dtype,
-                    param_dtype=cfg.param_dtype,
-                    kernel_init=_init_normal(0.02 / math.sqrt(2 * cfg.n_layer)),
-                    name="c_proj",
-                )(y)
-                y = nn.Dropout(cfg.dropout)(y, deterministic=deterministic)
-                return y, new_cache
+                return self._epilogue(y, deterministic), new_cache
             # positions of the T query tokens are cache_len .. cache_len+T-1
             q_pos = cache_len + jnp.arange(T)[:, None]  # [T, 1]
             k_pos = jnp.arange(S)[None, :]  # [1, S]
@@ -324,17 +324,7 @@ class CausalSelfAttention(nn.Module):
             att = nn.Dropout(cfg.dropout)(att, deterministic=deterministic)
             y = jnp.einsum("bhts,bshd->bthd", att, v).reshape(B, T, C)
 
-        y = nn.Dense(
-            C,
-            use_bias=cfg.bias,
-            dtype=cfg.dtype,
-            param_dtype=cfg.param_dtype,
-            # residual projections get the scaled init (ref: nanoGPT/model.py:140-144)
-            kernel_init=_init_normal(0.02 / math.sqrt(2 * cfg.n_layer)),
-            name="c_proj",
-        )(y)
-        y = nn.Dropout(cfg.dropout)(y, deterministic=deterministic)
-        return y, new_cache
+        return self._epilogue(y, deterministic), new_cache
 
 
 class MLP(nn.Module):

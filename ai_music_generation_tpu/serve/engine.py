@@ -67,8 +67,8 @@ class ServeState(struct.PyTreeNode):
     active: Array  # [B] bool
 
 
-@dataclasses.dataclass
-class Request:
+@dataclasses.dataclass(eq=False)  # identity equality: queue removal must
+class Request:                    # never confuse two same-parameter requests
     id: int
     prompt: list[int]
     max_new_tokens: int
@@ -78,6 +78,7 @@ class Request:
     stop_token: int  # -1 = none
     generated: list[int] = dataclasses.field(default_factory=list)
     done: bool = False
+    internal: bool = False  # engine-internal (slot deactivation); never reported
 
     @property
     def tokens(self) -> list[int]:
@@ -148,12 +149,20 @@ class GenerationServer:
         self._slots: list[Optional[Request]] = [None] * n_slots
         self._ids = itertools.count()
         self._finished: deque[Request] = deque()
+        # host-side mirror of cache.length (admission plen + one per active
+        # tick, reconstructed exactly from demux) — avoids a blocking
+        # device_get round trip per step for the refresh check
+        self._lengths = np.zeros(n_slots, np.int64)
+        # cancellation: producer threads only touch these two structures
+        # (atomic dict/set ops under the GIL); the engine thread applies
+        # them at the next step — no shared-deque mutation races
+        self._live: dict[int, Request] = {}
+        self._cancelled: set[int] = set()
         # wall-clock accounting per step phase (observability; serve_bench
         # prints it — the axon tunnel's dispatch/transfer latencies dominate
         # in ways device-side reasoning alone cannot explain)
         self.stats = {"steps": 0, "admit_waves": 0, "admit_s": 0.0,
-                      "scan_s": 0.0, "fetch_s": 0.0, "sync_s": 0.0,
-                      "demux_s": 0.0}
+                      "scan_s": 0.0, "fetch_s": 0.0, "demux_s": 0.0}
 
         V = cfg.vocab_size
         self.state = ServeState(
@@ -290,23 +299,22 @@ class GenerationServer:
             max_new_tokens=int(max_new_tokens), temperature=float(temperature),
             top_k=int(top_k), seed=int(seed), stop_token=int(stop_token),
         )
+        self._live[req.id] = req
         self._queue.append(req)
         return req.id
 
     def cancel(self, rid: int) -> bool:
-        """Cancel a queued or in-flight request; returns True if found.
-        An in-flight slot is freed immediately on the host (its device row
-        keeps ticking masked until readmission overwrites it — rows are
-        isolated, so the garbage it produces is never read)."""
-        for req in self._queue:
-            if req.id == rid:
-                self._queue.remove(req)
-                return True
-        for slot, req in enumerate(self._slots):
-            if req is not None and req.id == rid:
-                self._slots[slot] = None
-                return True
-        return False
+        """Request cancellation of a queued or in-flight request; returns
+        True if the request is live. Safe to call from any thread: only the
+        engine thread mutates the queue/slots, applying pending
+        cancellations at the start of its next step. A cancelled in-flight
+        slot is deactivated on device via an internal zero-length admit, so
+        it stops paying decode compute and its cache length resets."""
+        req = self._live.get(rid)
+        if req is None or req.done:
+            return False
+        self._cancelled.add(rid)
+        return True
 
     def _bucket(self, n: int) -> int:
         p = 8
@@ -348,6 +356,7 @@ class GenerationServer:
             packed[i, -2] = np.uint32(req.seed).view(np.int32)
             packed[i, -1] = np.float32(req.temperature).view(np.int32)
             self._slots[slot] = req
+            self._lengths[slot] = len(ctx)
         packed_dev = jnp.asarray(packed.reshape(n_waves, G, pc + 9))
         for w in range(n_waves):
             self.stats["admit_waves"] += 1
@@ -360,9 +369,32 @@ class GenerationServer:
 
         self.stats["steps"] += 1
         admits: list[tuple[int, Request, list[int], int]] = []
+
+        # 0. apply pending cancellations (engine thread only — see cancel())
+        for rid in list(self._cancelled):
+            self._cancelled.discard(rid)
+            req = self._live.pop(rid, None)
+            if req is None:
+                continue
+            if req in self._queue:
+                self._queue.remove(req)
+                continue
+            for slot, r in enumerate(self._slots):
+                if r is req:
+                    # deactivate the device row: a zero-length internal
+                    # admit finishes on its first tick (gen 1 >= max_new 0),
+                    # resetting length and flipping active off
+                    dummy = Request(id=-1, prompt=[0], max_new_tokens=0,
+                                    temperature=1.0, top_k=1, seed=0,
+                                    stop_token=-1, internal=True)
+                    admits.append((slot, dummy, dummy.prompt, 0))
+                    self._slots[slot] = dummy
+                    break
+
         # 1. fill free slots
+        reserved = {slot for slot, *_ in admits}
         for slot in range(self.n_slots):
-            if self._slots[slot] is None and self._queue:
+            if slot not in reserved and self._slots[slot] is None and self._queue:
                 req = self._queue.popleft()
                 admits.append((slot, req, req.prompt, 0))
                 self._slots[slot] = req  # reserve; _admit_wave re-sets it
@@ -371,14 +403,13 @@ class GenerationServer:
             return self._drain_finished()
 
         # 2. proactive window refresh: a slot must fit ticks_per_call more
-        #    writes before its cache hits block_size
+        #    writes before its cache hits block_size (host-mirrored lengths
+        #    — a device_get here would add a blocking tunnel round trip per
+        #    step)
         reserved = {slot for slot, *_ in admits}
-        t0 = _time.perf_counter()
-        lengths = np.asarray(jax.device_get(self.state.cache.length))
-        self.stats["sync_s"] += _time.perf_counter() - t0
         for slot, req in enumerate(self._slots):
             if req is not None and slot not in reserved and (
-                lengths[slot] + self.ticks_per_call > self.block_size
+                self._lengths[slot] + self.ticks_per_call > self.block_size
             ):
                 admits.append((slot, req, req.tokens, len(req.generated)))
         if admits:
@@ -406,17 +437,25 @@ class GenerationServer:
         #    instead of a K x B python loop — measured demux cost at
         #    4096 slots x 64 ticks dominated the host side otherwise)
         t0 = _time.perf_counter()
-        done_tick = np.where(done.any(axis=0), done.argmax(axis=0),
-                             self.ticks_per_call)
+        K = self.ticks_per_call
+        done_tick = np.where(done.any(axis=0), done.argmax(axis=0), K)
         for slot, req in enumerate(self._slots):
             if req is None or req.done:
+                continue
+            # mirror the device's length update: +1 per tick the row was
+            # active (the finishing tick still writes; see _scan's tick)
+            self._lengths[slot] += int(min(done_tick[slot] + 1, K))
+            if req.internal:  # slot-deactivation dummy: free silently
+                if done_tick[slot] < K:
+                    self._slots[slot] = None
                 continue
             upto = done_tick[slot] + 1  # include the finishing token's tick
             col = emitted[:upto, slot]
             if col.any():
                 req.generated.extend(toks[:upto, slot][col].tolist())
-            if done_tick[slot] < self.ticks_per_call:
+            if done_tick[slot] < K:
                 req.done = True
+                self._live.pop(req.id, None)
                 self._finished.append(req)
                 self._slots[slot] = None
         self.stats["demux_s"] += _time.perf_counter() - t0

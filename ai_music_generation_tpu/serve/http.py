@@ -50,6 +50,16 @@ class EngineRunner:
     def wait(self, rid: int, timeout: Optional[float] = None) -> Optional[Request]:
         ev = self._events[rid]
         if not ev.wait(timeout):
+            # abandon: cancel engine-side and drop any bookkeeping so a
+            # timed-out request can never leak its event/result entries
+            # (the engine may have finished it between wait() expiring and
+            # the lock being taken — discard that result too)
+            with self._lock:
+                self._events.pop(rid, None)
+                self._results.pop(rid, None)
+                cancel = getattr(self.engine, "cancel", None)
+                if cancel is not None:
+                    cancel(rid)
             return None
         with self._lock:
             self._events.pop(rid, None)
@@ -82,10 +92,11 @@ class EngineRunner:
             with self._lock:
                 finished = self.engine.step()
                 for req in finished:
-                    self._results[req.id] = req
                     ev = self._events.get(req.id)
-                    if ev is not None:
-                        ev.set()
+                    if ev is None:
+                        continue  # abandoned (wait() timed out) — drop
+                    self._results[req.id] = req
+                    ev.set()
 
 
 def make_handler(runner: EngineRunner,

@@ -126,6 +126,24 @@ def test_engine_stop_token_and_queueing(tiny):
         assert 0 not in req.generated[:-1]
 
 
+def test_large_vocab_unpacked_path(tiny):
+    """vocab > 16384 disables the uint16 packing: the 3-array download path
+    must produce the same contract (exercised nowhere else — every other
+    fixture uses a small vocab)."""
+    import dataclasses
+    cfg0, _, _ = tiny
+    cfg = dataclasses.replace(cfg0, vocab_size=16390)
+    model = GPT(cfg)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32))
+    srv = GenerationServer(model, params, n_slots=2, ticks_per_call=4)
+    rid = srv.submit([1, 2, 3], max_new_tokens=10, seed=3, temperature=0.0)
+    done = {r.id: r for r in srv.run_until_idle()}
+    gen = Generator(model, max_new_tokens=10, temperature=0.0, top_k=None)
+    ref = jax.device_get(
+        gen.generate(params, jnp.array([[1, 2, 3]], jnp.int32)))[0, 3:]
+    assert done[rid].generated == list(ref)
+
+
 def test_engine_cancel(tiny):
     """Cancelling a queued or in-flight request frees capacity and never
     surfaces the cancelled id; survivors are unaffected (byte-identical to
