@@ -43,10 +43,9 @@ CHORALS_TO_OMIT = [
     "bwv344", "bwv345", "bwv346", "bwv347",
 ]
 
-# ref: voices_ranges.py:1-4 (SATB midi pitch ranges)
-VOICES_RANGES = {
-    "Soprano": (60, 81), "Alto": (53, 74), "Tenor": (48, 69), "Bass": (36, 64),
-}
+# ref: voices_ranges.py:1-4 (SATB midi pitch ranges) — single source of
+# truth lives in data/chorales.py
+from ai_music_generation_tpu.data.chorales import RANGES as VOICES_RANGES
 
 
 def cmd_ground_truth(a):
@@ -229,6 +228,12 @@ def cmd_generate(a):
                     pc = pcs[p_idx % len(pcs)]
                     base = bases[p_idx]
                     pitch = base + ((pc - base) % 12)
+                    # keep the voice inside its declared SATB range (the
+                    # octave placement above base can exceed the ceiling)
+                    hi = VOICES_RANGES[
+                        ("Soprano", "Alto", "Tenor", "Bass")[p_idx]][1]
+                    if pitch > hi:
+                        pitch -= 12
                     measure.notes.append(
                         NoteEl(offset=step * c_idx, quarter_length=step, pitches=(pitch,))
                     )

@@ -62,6 +62,88 @@ def sample_top_p_top_k_temperature(
     return jnp.take_along_axis(sorted_idx, choice[..., None], axis=-1)[..., 0]
 
 
+def filter_control_codes(text: str, show_control_code: bool) -> str:
+    """Hide S:/B:/E: lines from visible output (ref: generate.py:114-126);
+    they still condition the model. Shared by the batch generator and the
+    serving engine."""
+    if show_control_code:
+        return text
+    return "".join(
+        line for line in text.splitlines(keepends=True)
+        if line[:2] not in ("S:", "B:", "E:")
+    )
+
+
+def prepare_patch_state(patchilizer: Patchilizer, prompt: str, L: int, S: int):
+    """Patch-encode a prompt; returns (prompt_patches, carried_chars).
+
+    ``carried`` is the prompt tail past the last patch boundary, which must
+    seed the first generated bar. The decoded patch view is only a string
+    prefix of the prompt when no line/bar was truncated by patch_size or
+    stripped by unidecode; otherwise carrying text would duplicate content
+    already encoded. Shared by the batch generator and the serving engine."""
+    from ai_music_generation_tpu.tokenizers.patchilizer import _ascii
+
+    prompt_patches = patchilizer.encode(
+        prompt, L, S, add_special_patches=True)[:-1]
+    prefix = patchilizer.decode(prompt_patches)
+    norm = _ascii(prompt)
+    carried = norm[len(prefix):] if norm.startswith(prefix) else ""
+    return prompt_patches, carried
+
+
+def bar_scan(model, params, patches, n_patches, init_tokens, init_lens,
+             sample_fn):
+    """One generated bar for each tune in the batch (traced; callers jit).
+
+    patches:      [B, L, S] int32 (zero-padded patch sequences)
+    n_patches:    [B] valid patch counts (>=1)
+    init_tokens:  [B, S] int32 (bos + any carried partial-bar chars)
+    init_lens:    [B] number of valid init tokens (>=1)
+    sample_fn:    (probs [B, 128], j) -> [B] int32 sampled chars — the only
+                  thing that differs between the batch generator (static
+                  params, shared rng) and the serving engine (per-row
+                  params/keys).
+    Returns tokens [B, S] including init prefix and sampled chars, lens [B].
+    """
+    S = patches.shape[2]
+    B = patches.shape[0]
+
+    encoded = model.apply(
+        params, patches, method=model.encode_patches
+    )  # [B, L, C]
+    last = jnp.take_along_axis(
+        encoded, (n_patches - 1)[:, None, None], axis=1
+    )[:, 0, :]  # [B, C]
+
+    def step(carry, j):
+        tokens, lens, finished = carry
+        logits = model.apply(
+            params, last, tokens, method=model.char_logits
+        )  # [B, S, 128]
+        pos = lens  # next position to fill, per tune
+        prev = jnp.clip(pos - 1, 0, S - 1)
+        step_logits = jnp.take_along_axis(
+            logits, prev[:, None, None], axis=1
+        )[:, 0, :]
+        probs = jax.nn.softmax(step_logits.astype(jnp.float32), axis=-1)
+        tok = sample_fn(probs, j).astype(jnp.int32)
+        can_write = (~finished) & (pos < S)
+        write_pos = jnp.clip(pos, 0, S - 1)
+        cur = jnp.take_along_axis(tokens, write_pos[:, None], axis=1)[:, 0]
+        new_val = jnp.where(can_write, tok, cur)
+        tokens = tokens.at[jnp.arange(B), write_pos].set(new_val)
+        lens = jnp.where(can_write, lens + 1, lens)
+        finished = finished | (tok == Patchilizer.eos_token_id) | (lens >= S)
+        return (tokens, lens, finished), None
+
+    finished0 = jnp.zeros((B,), bool)
+    (tokens, lens, _), _ = jax.lax.scan(
+        step, (init_tokens, init_lens, finished0), jnp.arange(S)
+    )
+    return tokens, lens
+
+
 class TunesGenerator:
     """Compiled batched bar-by-bar generator."""
 
@@ -75,53 +157,16 @@ class TunesGenerator:
 
     @functools.partial(jax.jit, static_argnums=0)
     def _bar_step(self, params, patches, n_patches, init_tokens, init_lens, rng):
-        """Generate one bar for each tune in the batch.
-
-        patches:      [B, L, S] int32 (zero-padded patch sequences)
-        n_patches:    [B] valid patch counts (>=1)
-        init_tokens:  [B, S] int32 (bos + any carried partial-bar chars)
-        init_lens:    [B] number of valid init tokens (>=1)
-        returns tokens [B, S] including init prefix and sampled chars.
-        """
-        model, S = self.model, self.cfg.patch_size
-        B = patches.shape[0]
-
-        encoded = model.apply(
-            params, patches, method=model.encode_patches
-        )  # [B, L, C]
-        last = jnp.take_along_axis(
-            encoded, (n_patches - 1)[:, None, None], axis=1
-        )[:, 0, :]  # [B, C]
-
-        def step(carry, j):
-            tokens, lens, finished = carry
-            logits = model.apply(
-                params, last, tokens, method=model.char_logits
-            )  # [B, S, 128]
-            pos = lens  # next position to fill, per tune
-            prev = jnp.clip(pos - 1, 0, S - 1)
-            step_logits = jnp.take_along_axis(
-                logits, prev[:, None, None], axis=1
-            )[:, 0, :]
-            probs = jax.nn.softmax(step_logits.astype(jnp.float32), axis=-1)
-            tok = sample_top_p_top_k_temperature(
+        """bar_scan with this generator's static sampling params + one
+        shared rng folded by char index."""
+        def sample_fn(probs, j):
+            return sample_top_p_top_k_temperature(
                 probs, jax.random.fold_in(rng, j),
                 self.top_p, self.top_k, self.temperature,
-            ).astype(jnp.int32)
-            can_write = (~finished) & (pos < S)
-            write_pos = jnp.clip(pos, 0, S - 1)
-            cur = jnp.take_along_axis(tokens, write_pos[:, None], axis=1)[:, 0]
-            new_val = jnp.where(can_write, tok, cur)
-            tokens = tokens.at[jnp.arange(B), write_pos].set(new_val)
-            lens = jnp.where(can_write, lens + 1, lens)
-            finished = finished | (tok == Patchilizer.eos_token_id) | (lens >= S)
-            return (tokens, lens, finished), None
+            )
 
-        finished0 = jnp.zeros((B,), bool)
-        (tokens, lens, _), _ = jax.lax.scan(
-            step, (init_tokens, init_lens, finished0), jnp.arange(S)
-        )
-        return tokens, lens
+        return bar_scan(self.model, params, patches, n_patches,
+                        init_tokens, init_lens, sample_fn)
 
     def generate_tunes(
         self,
@@ -147,29 +192,14 @@ class TunesGenerator:
         B = num_tunes
         base_rng = jax.random.PRNGKey(0 if seed is None else seed)
 
-        prompt_patches = p.encode(prompt, L, S, add_special_patches=True)[:-1]
-        prefix = p.decode(prompt_patches)
-        # the decoded patch view is only a string prefix of the prompt when
-        # no line/bar was truncated by patch_size or stripped by unidecode;
-        # otherwise carrying text would duplicate content already encoded
-        from ai_music_generation_tpu.tokenizers.patchilizer import _ascii
-
-        norm_prompt = _ascii(prompt)
-        remaining = norm_prompt[len(prefix):] if norm_prompt.startswith(prefix) else ""
+        prompt_patches, remaining = prepare_patch_state(p, prompt, L, S)
 
         patches = np.zeros((B, L, S), np.int32)
         patches[:, : len(prompt_patches)] = np.asarray(prompt_patches, np.int32)
         n_patches = np.full((B,), len(prompt_patches), np.int32)
 
         # visible text per tune (control codes filtered like ref :114-126)
-        def filter_cc(text: str) -> str:
-            if show_control_code:
-                return text
-            return "".join(
-                line for line in text.splitlines(keepends=True)
-                if line[:2] not in ("S:", "B:", "E:")
-            )
-
+        filter_cc = lambda text: filter_control_codes(text, show_control_code)
         tunes = [filter_cc(prompt) for _ in range(B)]
         done = np.zeros((B,), bool)
         carried = [remaining for _ in range(B)]

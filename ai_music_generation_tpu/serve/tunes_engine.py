@@ -41,8 +41,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ai_music_generation_tpu.decode.tunes_generate import (
+    bar_scan,
+    filter_control_codes,
+    prepare_patch_state,
+)
 from ai_music_generation_tpu.models.tunesformer import TunesFormer
-from ai_music_generation_tpu.tokenizers.patchilizer import Patchilizer, _ascii
+from ai_music_generation_tpu.tokenizers.patchilizer import Patchilizer
 
 Array = jax.Array
 
@@ -74,7 +79,7 @@ def sample_ptk_vec(
     return jnp.take_along_axis(sorted_idx, choice[:, None], axis=-1)[:, 0]
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(eq=False)  # identity equality for safe queue removal
 class TuneRequest:
     id: int
     prompt: str
@@ -94,11 +99,8 @@ class _SlotState:
     def __init__(self, req: TuneRequest, patchilizer: Patchilizer,
                  L: int, S: int):
         self.req = req
-        p = patchilizer
-        prompt_patches = p.encode(req.prompt, L, S, add_special_patches=True)[:-1]
-        prefix = p.decode(prompt_patches)
-        norm = _ascii(req.prompt)
-        self.carried = norm[len(prefix):] if norm.startswith(prefix) else ""
+        prompt_patches, self.carried = prepare_patch_state(
+            patchilizer, req.prompt, L, S)
         self.patches = np.zeros((L, S), np.int32)
         self.patches[: len(prompt_patches)] = np.asarray(prompt_patches, np.int32)
         self.n_patches = len(prompt_patches)
@@ -126,6 +128,10 @@ class TunesServer:
         self._slots: list[Optional[_SlotState]] = [None] * n_slots
         self._ids = itertools.count()
         self._finished: deque[TuneRequest] = deque()
+        # cancellation registry (same thread contract as serve/engine.py:
+        # producers touch only these; the engine thread applies them)
+        self._live: dict[int, TuneRequest] = {}
+        self._cancelled: set[int] = set()
 
     # -- jitted bar program --------------------------------------------------
 
@@ -139,41 +145,16 @@ class TunesServer:
         bar counter for RNG folding), top_p/temperature [B] f32,
         top_k [B] i32. Returns (tokens [B, S], lens [B]).
         """
-        model, S = self.model, self.cfg.patch_size
-        B = patches.shape[0]
-
-        encoded = model.apply(params, patches, method=model.encode_patches)
-        last = jnp.take_along_axis(
-            encoded, (n_patches - 1)[:, None, None], axis=1)[:, 0, :]
-
         row_keys = jax.vmap(
             lambda s, i: jax.random.fold_in(jax.random.PRNGKey(s), i)
         )(seeds, bar_idx)
 
-        def step(carry, j):
-            tokens, lens, finished = carry
-            logits = model.apply(params, last, tokens, method=model.char_logits)
-            pos = lens
-            prev = jnp.clip(pos - 1, 0, S - 1)
-            step_logits = jnp.take_along_axis(
-                logits, prev[:, None, None], axis=1)[:, 0, :]
-            probs = jax.nn.softmax(step_logits.astype(jnp.float32), axis=-1)
+        def sample_fn(probs, j):
             keys = jax.vmap(lambda k: jax.random.fold_in(k, j))(row_keys)
-            tok = sample_ptk_vec(probs, keys, top_p, top_k, temperature
-                                 ).astype(jnp.int32)
-            can_write = (~finished) & (pos < S)
-            write_pos = jnp.clip(pos, 0, S - 1)
-            cur = jnp.take_along_axis(tokens, write_pos[:, None], axis=1)[:, 0]
-            new_val = jnp.where(can_write, tok, cur)
-            tokens = tokens.at[jnp.arange(B), write_pos].set(new_val)
-            lens = jnp.where(can_write, lens + 1, lens)
-            finished = finished | (tok == Patchilizer.eos_token_id) | (lens >= S)
-            return (tokens, lens, finished), None
+            return sample_ptk_vec(probs, keys, top_p, top_k, temperature)
 
-        finished0 = jnp.zeros((B,), bool)
-        (tokens, lens, _), _ = jax.lax.scan(
-            step, (init_tokens, init_lens, finished0), jnp.arange(S))
-        return tokens, lens
+        return bar_scan(self.model, params, patches, n_patches,
+                        init_tokens, init_lens, sample_fn)
 
     # -- host orchestration --------------------------------------------------
 
@@ -188,24 +169,42 @@ class TunesServer:
             temperature=float(temperature), seed=int(seed),
             show_control_code=bool(show_control_code),
         )
+        self._live[req.id] = req
         self._queue.append(req)
         return req.id
 
-    def _filter_cc(self, req: TuneRequest, text: str) -> str:
-        if req.show_control_code:
-            return text
-        return "".join(
-            line for line in text.splitlines(keepends=True)
-            if line[:2] not in ("S:", "B:", "E:"))
+    def cancel(self, rid: int) -> bool:
+        """Request cancellation; returns True if the request is live. Safe
+        from any thread — the engine thread applies it at its next step
+        (admission is host-only here, so a cancelled slot is simply freed)."""
+        req = self._live.get(rid)
+        if req is None or req.done:
+            return False
+        self._cancelled.add(rid)
+        return True
 
     def step(self) -> list[TuneRequest]:
         """Admit queued requests (host-only), run one bar, demux."""
         L, S = self.cfg.patch_length, self.cfg.patch_size
+        # apply pending cancellations (engine thread only)
+        for rid in list(self._cancelled):
+            self._cancelled.discard(rid)
+            req = self._live.pop(rid, None)
+            if req is None:
+                continue
+            if req in self._queue:
+                self._queue.remove(req)
+                continue
+            for slot, st in enumerate(self._slots):
+                if st is not None and st.req is req:
+                    self._slots[slot] = None  # host-only state: free now
+                    break
         for slot in range(self.n_slots):
             if self._slots[slot] is None and self._queue:
                 req = self._queue.popleft()
                 st = _SlotState(req, self.patchilizer, L, S)
-                req.text = self._filter_cc(req, req.prompt)
+                req.text = filter_control_codes(req.prompt,
+                                                req.show_control_code)
                 self._slots[slot] = st
         if not any(s is not None for s in self._slots):
             return self._drain_finished()
@@ -272,6 +271,7 @@ class TunesServer:
                         finish = True
             if finish:
                 req.done = True
+                self._live.pop(req.id, None)
                 self._finished.append(req)
                 self._slots[b] = None
         return self._drain_finished()

@@ -76,6 +76,18 @@ def test_tunes_server_control_code_filtering(tiny_model):
     assert strip(done[rid_show].text) == done[rid_hide].text
 
 
+def test_tunes_server_cancel(tiny_model):
+    model, params = tiny_model
+    srv = TunesServer(model, params, n_slots=1)
+    keep = srv.submit(ABC, max_patch=8, seed=3)
+    queued = srv.submit(ABC, max_patch=8, seed=4)
+    finished = list(srv.step())
+    assert srv.cancel(queued)
+    assert not srv.cancel(12345)
+    finished += srv.run_until_idle()
+    assert {r.id for r in finished} == {keep}
+
+
 def test_tunes_http_server(tiny_model):
     from ai_music_generation_tpu.serve.http import EngineRunner, serve_tunes
 
