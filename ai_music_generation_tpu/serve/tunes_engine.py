@@ -132,19 +132,42 @@ class TunesServer:
         # producers touch only these; the engine thread applies them)
         self._live: dict[int, TuneRequest] = {}
         self._cancelled: set[int] = set()
+        # DEVICE-RESIDENT patch state: uploading the full [B, L, S] stack
+        # every bar (the naive approach) moves ~2 MB/step over the tunnel
+        # and dominated the bar step at 128 slots; instead the device array
+        # is updated incrementally — one [B, S] bar-patch write per step
+        # plus full-row writes only at admission.
+        self._dev_patches = jnp.zeros(
+            (n_slots, self.cfg.patch_length, self.cfg.patch_size), jnp.int32)
+        # (slot, patch_row [S] int32, position) produced by the previous
+        # step's demux, applied on device at the start of the next step
+        self._pending: list[tuple[int, np.ndarray, int]] = []
 
     # -- jitted bar program --------------------------------------------------
 
-    @functools.partial(jax.jit, static_argnums=0)
-    def _bar_step(self, params, patches, n_patches, init_tokens, init_lens,
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=2)
+    def _bar_step(self, params, dev, adm_rows, adm_slots, upd_rows, upd_pos,
+                  upd_mask, n_patches, init_tokens, init_lens,
                   seeds, bar_idx, top_p, top_k, temperature):
-        """One bar for every slot; per-row params and RNG.
+        """Sync device patch state, then one bar for every slot — ONE
+        dispatch per step (separate write programs each cost a tunnel
+        round trip, measured ~60 ms/step of the host side at 128 slots).
 
-        patches [B, L, S] i32, n_patches [B] (>=1), init_tokens [B, S],
+        dev [B, L, S] i32 (donated device-resident patch stacks);
+        adm_rows [G, L, S] + adm_slots [G] (== n_slots padding → dropped):
+        full-row replacement for this step's admissions;
+        upd_rows [B, S] + upd_pos [B] + upd_mask [B]: the previous step's
+        new bar patches; n_patches [B] (>=1), init_tokens [B, S],
         init_lens [B] (>=1), seeds [B] u32, bar_idx [B] i32 (per-request
         bar counter for RNG folding), top_p/temperature [B] f32,
-        top_k [B] i32. Returns (tokens [B, S], lens [B]).
+        top_k [B] i32. Returns (dev, tokens [B, S], lens [B]).
         """
+        B = dev.shape[0]
+        dev = dev.at[adm_slots].set(adm_rows, mode="drop")
+        cur = dev[jnp.arange(B), upd_pos]
+        new = jnp.where(upd_mask[:, None], upd_rows, cur)
+        dev = dev.at[jnp.arange(B), upd_pos].set(new)
+
         row_keys = jax.vmap(
             lambda s, i: jax.random.fold_in(jax.random.PRNGKey(s), i)
         )(seeds, bar_idx)
@@ -153,8 +176,9 @@ class TunesServer:
             keys = jax.vmap(lambda k: jax.random.fold_in(k, j))(row_keys)
             return sample_ptk_vec(probs, keys, top_p, top_k, temperature)
 
-        return bar_scan(self.model, params, patches, n_patches,
-                        init_tokens, init_lens, sample_fn)
+        tokens, lens = bar_scan(self.model, params, dev, n_patches,
+                                init_tokens, init_lens, sample_fn)
+        return dev, tokens, lens
 
     # -- host orchestration --------------------------------------------------
 
@@ -199,6 +223,7 @@ class TunesServer:
                 if st is not None and st.req is req:
                     self._slots[slot] = None  # host-only state: free now
                     break
+        admitted: list[tuple[int, np.ndarray]] = []
         for slot in range(self.n_slots):
             if self._slots[slot] is None and self._queue:
                 req = self._queue.popleft()
@@ -206,11 +231,31 @@ class TunesServer:
                 req.text = filter_control_codes(req.prompt,
                                                 req.show_control_code)
                 self._slots[slot] = st
+                admitted.append((slot, st.patches))
+                # stale incremental writes must not clobber the fresh row
+                self._pending = [p for p in self._pending if p[0] != slot]
         if not any(s is not None for s in self._slots):
             return self._drain_finished()
 
         B = self.n_slots
-        patches = np.zeros((B, L, S), np.int32)
+        # device-state sync args: full rows for admitted slots (padded to a
+        # G bucket for compile economy) + the previous step's bar patches —
+        # both applied inside _bar_step (one dispatch)
+        G = 8 if len(admitted) <= 8 else self.n_slots
+        adm_rows = np.zeros((G, L, S), np.int32)
+        adm_slots = np.full((G,), self.n_slots, np.int32)
+        for i, (slot, row) in enumerate(admitted):
+            adm_rows[i] = row
+            adm_slots[i] = slot
+        upd_rows = np.zeros((B, S), np.int32)
+        upd_pos = np.zeros((B,), np.int32)
+        upd_mask = np.zeros((B,), bool)
+        for slot, row, position in self._pending:
+            upd_rows[slot] = row
+            upd_pos[slot] = position
+            upd_mask[slot] = True
+        self._pending.clear()
+
         n_patches = np.ones((B,), np.int32)
         init_tokens = np.zeros((B, S), np.int32)
         init_tokens[:, 0] = Patchilizer.bos_token_id
@@ -223,7 +268,6 @@ class TunesServer:
         for b, st in enumerate(self._slots):
             if st is None:
                 continue
-            patches[b] = st.patches
             n_patches[b] = max(st.n_patches, 1)
             chars = [ord(c) for c in st.carried][: S - 1]
             init_tokens[b, 1 : 1 + len(chars)] = chars
@@ -234,8 +278,11 @@ class TunesServer:
             top_k[b] = st.req.top_k
             temp[b] = st.req.temperature
 
-        tokens, lens = self._bar_step(
-            self.params, jnp.asarray(patches), jnp.asarray(n_patches),
+        self._dev_patches, tokens, lens = self._bar_step(
+            self.params, self._dev_patches, jnp.asarray(adm_rows),
+            jnp.asarray(adm_slots), jnp.asarray(upd_rows),
+            jnp.asarray(upd_pos), jnp.asarray(upd_mask),
+            jnp.asarray(n_patches),
             jnp.asarray(init_tokens), jnp.asarray(init_lens),
             jnp.asarray(seeds), jnp.asarray(bar_idx), jnp.asarray(top_p),
             jnp.asarray(top_k), jnp.asarray(temp))
@@ -265,7 +312,9 @@ class TunesServer:
                     req.text += visible
                     full_bar = st.carried + bar
                     st.carried = ""
-                    st.patches[st.n_patches] = p.bar2patch(full_bar, S)
+                    patch_row = np.asarray(p.bar2patch(full_bar, S), np.int32)
+                    st.patches[st.n_patches] = patch_row  # host mirror
+                    self._pending.append((b, patch_row, st.n_patches))
                     st.n_patches += 1
                     if st.n_patches >= min(req.max_patch, L):
                         finish = True
