@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ai_music_generation_tpu.models.tunesformer import TunesFormer
+from ai_music_generation_tpu.models.tunesformer import CHAR_VOCAB, TunesFormer
 from ai_music_generation_tpu.tokenizers.patchilizer import Patchilizer
 
 Array = jax.Array
@@ -100,12 +100,22 @@ def bar_scan(model, params, patches, n_patches, init_tokens, init_lens,
     n_patches:    [B] valid patch counts (>=1)
     init_tokens:  [B, S] int32 (bos + any carried partial-bar chars)
     init_lens:    [B] number of valid init tokens (>=1)
-    sample_fn:    (probs [B, 128], j) -> [B] int32 sampled chars — the only
-                  thing that differs between the batch generator (static
-                  params, shared rng) and the serving engine (per-row
-                  params/keys).
+    sample_fn:    (probs [B, 128], idx [B]) -> [B] int32 sampled chars,
+                  where ``idx`` is each row's sampled-token count so far
+                  (the RNG fold index) — the only thing that differs
+                  between the batch generator (static params, shared rng)
+                  and the serving engine (per-row params/keys).
     Returns tokens [B, S] including init prefix and sampled chars, lens [B].
+
+    KV-cached position-lockstep decode: positions 0..S-1 advance together
+    through a scalar-length char-core cache; position j's input is the
+    init token while j < init_len[row], else the token just sampled from
+    position j-1's logits. Char-core cost per bar is O(S) tokens — the
+    earlier full-forward-per-char formulation recomputed all S positions
+    per step (O(S^2); measured as the dominant bar-program cost).
     """
+    from ai_music_generation_tpu.models.gpt import KVCache
+
     S = patches.shape[2]
     B = patches.shape[0]
 
@@ -116,31 +126,37 @@ def bar_scan(model, params, patches, n_patches, init_tokens, init_lens,
         encoded, (n_patches - 1)[:, None, None], axis=1
     )[:, 0, :]  # [B, C]
 
-    def step(carry, j):
-        tokens, lens, finished = carry
-        logits = model.apply(
-            params, last, tokens, method=model.char_logits
-        )  # [B, S, 128]
-        pos = lens  # next position to fill, per tune
-        prev = jnp.clip(pos - 1, 0, S - 1)
-        step_logits = jnp.take_along_axis(
-            logits, prev[:, None, None], axis=1
-        )[:, 0, :]
-        probs = jax.nn.softmax(step_logits.astype(jnp.float32), axis=-1)
-        tok = sample_fn(probs, j).astype(jnp.int32)
-        can_write = (~finished) & (pos < S)
-        write_pos = jnp.clip(pos, 0, S - 1)
-        cur = jnp.take_along_axis(tokens, write_pos[:, None], axis=1)[:, 0]
-        new_val = jnp.where(can_write, tok, cur)
-        tokens = tokens.at[jnp.arange(B), write_pos].set(new_val)
-        lens = jnp.where(can_write, lens + 1, lens)
-        finished = finished | (tok == Patchilizer.eos_token_id) | (lens >= S)
-        return (tokens, lens, finished), None
+    char_cfg = model.config.char_core_config()
+    cache = KVCache.create(char_cfg, B, max_len=S, quantized=False)
 
-    finished0 = jnp.zeros((B,), bool)
-    (tokens, lens, _), _ = jax.lax.scan(
-        step, (init_tokens, init_lens, finished0), jnp.arange(S)
-    )
+    def step(carry, j):
+        cache, last_logits, tokens, lens, finished = carry
+        probs = jax.nn.softmax(last_logits.astype(jnp.float32), axis=-1)
+        idx = jnp.maximum(j - init_lens, 0)  # sampled-count fold index
+        sampled = sample_fn(probs, idx).astype(jnp.int32)
+        in_init = j < init_lens
+        can_write = (~finished) & (~in_init)
+        col = jnp.where(in_init, init_tokens[:, j],
+                        jnp.where(can_write, sampled, tokens[:, j]))
+        tokens = tokens.at[:, j].set(col)
+        lens = jnp.where(can_write, lens + 1, lens)
+        finished = finished | (can_write & (sampled == Patchilizer.eos_token_id)) | (lens >= S)
+        logits_j, cache = model.apply(
+            params, last, col, cache, method=model.char_step)
+        return (cache, logits_j.astype(jnp.float32), tokens, lens,
+                finished), None
+
+    carry0 = (cache, jnp.zeros((B, CHAR_VOCAB), jnp.float32),
+              init_tokens, init_lens, jnp.zeros((B,), bool))
+    # unroll=2 is a MISCOMPILE workaround, not a perf knob: on the TPU
+    # (axon) backend this exact body at trip count 32 with unroll=1
+    # produced NaN logits from step 0 (lengths <= 24, any unroll >= 2, and
+    # CPU were all correct — isolated 2026-08 with the 9+3/768 model;
+    # char_step outside scan is bit-correct). Keep the regression test
+    # tests/test_serve_tunes.py::test_bar_scan_finite_at_full_scale green
+    # before touching this.
+    (_, _, tokens, lens, _), _ = jax.lax.scan(
+        step, carry0, jnp.arange(S), unroll=2)
     return tokens, lens
 
 
@@ -158,10 +174,13 @@ class TunesGenerator:
     @functools.partial(jax.jit, static_argnums=0)
     def _bar_step(self, params, patches, n_patches, init_tokens, init_lens, rng):
         """bar_scan with this generator's static sampling params + one
-        shared rng folded by char index."""
-        def sample_fn(probs, j):
+        shared rng folded by sampled-char index. All rows share a prompt
+        here, so the per-row fold indices are uniform — ``idx[0]`` keeps
+        the single-key batched-categorical draw (one key, independent
+        per-row samples) of the original formulation."""
+        def sample_fn(probs, idx):
             return sample_top_p_top_k_temperature(
-                probs, jax.random.fold_in(rng, j),
+                probs, jax.random.fold_in(rng, idx[0]),
                 self.top_p, self.top_k, self.temperature,
             )
 

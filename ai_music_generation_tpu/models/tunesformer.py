@@ -179,6 +179,26 @@ class TunesFormer(nn.Module):
         hidden, _ = self.char_core(embeds, deterministic)
         return self.char_wte.attend(hidden)
 
+    def char_step(
+        self,
+        encoded_patch: Array,  # [N, n_embd]
+        tok: Array,  # [N] int32 — the token AT the cache's current position
+        cache,  # KVCache (scalar length) over the char core, max_len >= S
+        deterministic: bool = True,
+    ):
+        """One cached char-decoder position (incremental ``char_logits``).
+
+        Feeds position ``cache.length``: the encoded patch at position 0
+        (ref: utils.py:146-149), the char embedding otherwise. Returns
+        (logits [N, 128] for this position, updated cache). The bar scan
+        uses this to decode a bar in O(S) char-core tokens instead of the
+        full-forward O(S^2) (decode/tunes_generate.py::bar_scan)."""
+        tok_emb = self.char_wte(tok)[:, None, :]  # [N, 1, C]
+        first = encoded_patch[:, None, :].astype(tok_emb.dtype)
+        embeds = jnp.where(cache.length == 0, first, tok_emb)
+        hidden, cache = self.char_core(embeds, deterministic, cache=cache)
+        return self.char_wte.attend(hidden)[:, 0, :], cache
+
     def __call__(
         self,
         patches: Array,  # [B, P, S] int32, zero-padded rows beyond n_patches

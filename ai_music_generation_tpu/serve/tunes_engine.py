@@ -172,8 +172,8 @@ class TunesServer:
             lambda s, i: jax.random.fold_in(jax.random.PRNGKey(s), i)
         )(seeds, bar_idx)
 
-        def sample_fn(probs, j):
-            keys = jax.vmap(lambda k: jax.random.fold_in(k, j))(row_keys)
+        def sample_fn(probs, idx):
+            keys = jax.vmap(jax.random.fold_in)(row_keys, idx)
             return sample_ptk_vec(probs, keys, top_p, top_k, temperature)
 
         tokens, lens = bar_scan(self.model, params, dev, n_patches,

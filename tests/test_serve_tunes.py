@@ -76,6 +76,51 @@ def test_tunes_server_control_code_filtering(tiny_model):
     assert strip(done[rid_show].text) == done[rid_hide].text
 
 
+def test_bar_scan_finite_at_full_scale():
+    """Full-scale (9+3/768) jitted bar_scan must produce finite logits and
+    varied sampled chars. Guards the scan body whose TPU compilation
+    produced NaN at trip count 32 with unroll=1 (see the unroll=2
+    workaround note in decode/tunes_generate.py::bar_scan)."""
+    import numpy as np
+
+    from ai_music_generation_tpu.decode.tunes_generate import (
+        bar_scan,
+        prepare_patch_state,
+        sample_top_p_top_k_temperature,
+    )
+    from ai_music_generation_tpu.tokenizers.patchilizer import Patchilizer
+
+    cfg = TunesFormerConfig(dropout=0.0, dtype=jnp.bfloat16)
+    model = TunesFormer(cfg)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 128, 32), jnp.int32))
+    p = Patchilizer()
+    L, S = cfg.patch_length, cfg.patch_size
+    pp, _ = prepare_patch_state(p, ABC, L, S)
+    B = 2
+    patches = np.zeros((B, L, S), np.int32)
+    patches[:, : len(pp)] = np.asarray(pp)
+    init_tokens = np.zeros((B, S), np.int32)
+    init_tokens[:, 0] = Patchilizer.bos_token_id
+    init_lens = jnp.ones((B,), jnp.int32)
+    rng = jax.random.PRNGKey(5)
+
+    @jax.jit
+    def run(params):
+        def fn(probs, idx):
+            return sample_top_p_top_k_temperature(
+                probs, jax.random.fold_in(rng, idx[0]), 0.8, 8, 1.2)
+
+        return bar_scan(model, params, jnp.asarray(patches),
+                        jnp.full((B,), len(pp), jnp.int32),
+                        jnp.asarray(init_tokens), init_lens, fn)
+
+    toks, lens = run(params)
+    toks = np.asarray(toks)
+    assert (np.asarray(lens) > 1).all()
+    # sampled chars must vary (the miscompile produced constant zeros)
+    assert len(set(toks[0, 1:16].tolist())) > 2
+
+
 def test_tunes_server_cancel(tiny_model):
     model, params = tiny_model
     srv = TunesServer(model, params, n_slots=1)
