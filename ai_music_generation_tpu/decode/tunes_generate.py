@@ -223,14 +223,23 @@ class TunesGenerator:
         done = np.zeros((B,), bool)
         carried = [remaining for _ in range(B)]
 
-        for bar_idx in range(max_patch):
-            if done.all() or (n_patches >= max_patch).all():
+        # clamp to the model's patch capacity: patches is [B, L, S] and the
+        # append below indexes row n_patches — an unclamped -max_patch flag
+        # larger than L would index out of bounds
+        patch_limit = min(max_patch, L)
+        for bar_idx in range(patch_limit):
+            if done.all() or (n_patches >= patch_limit).all():
                 break
             init_tokens = np.zeros((B, S), np.int32)
             init_lens = np.ones((B,), np.int32)
             init_tokens[:, 0] = Patchilizer.bos_token_id
             for b in range(B):
-                chars = [ord(c) for c in carried[b]][: S - 1]
+                # cap at S-2 so at least one char can still be sampled (a
+                # >= S-1 char un-delimited prompt tail would otherwise set
+                # init_lens == S, trip the lens >= S stop at step 0, and
+                # silently end the tune; bar2patch applies the same
+                # S-bounded truncation to the stored patch)
+                chars = [ord(c) for c in carried[b]][: S - 2]
                 init_tokens[b, 1 : 1 + len(chars)] = chars
                 init_lens[b] = 1 + len(chars)
 
@@ -243,7 +252,7 @@ class TunesGenerator:
             lens = np.asarray(jax.device_get(lens))
 
             for b in range(B):
-                if done[b] or n_patches[b] >= max_patch:
+                if done[b] or n_patches[b] >= patch_limit:
                     done[b] = True
                     continue
                 new_tokens = tokens[b, init_lens[b] : lens[b]]
@@ -254,8 +263,7 @@ class TunesGenerator:
                 if bar == "":
                     done[b] = True
                     continue
-                visible = bar if show_control_code or bar[:2] not in ("S:", "B:", "E:") else ""
-                tunes[b] += visible
+                tunes[b] += filter_control_codes(bar, show_control_code)
                 full_bar = carried[b] + bar
                 carried[b] = ""
                 patch = p.bar2patch(full_bar, S)

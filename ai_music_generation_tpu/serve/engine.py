@@ -96,12 +96,16 @@ def _per_slot_sample(logits, keys, temperature, top_k):
     serialize on TPU (measured in the scan-tick cost at batch 2048).
     Tie behavior matches the lockstep sampler: all logits >= the k-th
     value survive."""
+    V = logits.shape[-1]
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     scaled = logits / jnp.maximum(temperature, 1e-6)[:, None]
     vals_desc = -jnp.sort(-scaled, axis=-1)  # [B, V]
+    # top_k <= 0 disables the filter (kth = the minimum), matching the
+    # tunes engine's convention — clip-to-0 alone would silently mean
+    # "greedy" for a top_k=0 request
+    eff_k = jnp.where(top_k > 0, top_k, V)
     kth = jnp.take_along_axis(
-        vals_desc, jnp.clip(top_k[:, None] - 1, 0, scaled.shape[-1] - 1),
-        axis=-1)  # [B, 1]
+        vals_desc, jnp.clip(eff_k[:, None] - 1, 0, V - 1), axis=-1)  # [B, 1]
     masked = jnp.where(scaled < kth, -jnp.inf, scaled)
     sampled = jax.vmap(jax.random.categorical)(keys, masked).astype(jnp.int32)
     return jnp.where(temperature <= 0.0, greedy, sampled)

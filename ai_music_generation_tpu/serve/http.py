@@ -99,9 +99,12 @@ class EngineRunner:
                     ev.set()
 
 
-def make_handler(runner: EngineRunner,
-                 encode: Callable[[str], list],
-                 decode: Callable[[list], str]):
+def _make_base_handler(runner: EngineRunner, submit_fn, respond_fn):
+    """Shared HTTP scaffold for both engines: /health GET, /generate POST
+    with submit -> wait -> 504-on-timeout -> JSON response. ``submit_fn``
+    maps the request payload to a request id; ``respond_fn`` maps a
+    finished Request to the response dict."""
+
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # quiet by default
             pass
@@ -127,31 +130,42 @@ def make_handler(runner: EngineRunner,
             try:
                 n = int(self.headers.get("Content-Length", "0"))
                 payload = json.loads(self.rfile.read(n) or b"{}")
-                if "tokens" in payload:
-                    prompt = [int(t) for t in payload["tokens"]]
-                else:
-                    prompt = list(encode(payload["prompt"]))
-                rid = runner.submit(
-                    prompt,
-                    max_new_tokens=int(payload.get("max_new_tokens", 500)),
-                    temperature=float(payload.get("temperature", 0.8)),
-                    top_k=int(payload.get("top_k", 200)),
-                    seed=int(payload.get("seed", 1337)),
-                    stop_token=int(payload.get("stop_token", -1)),
-                )
+                rid = submit_fn(payload)
                 req = runner.wait(rid, timeout=float(payload.get("timeout", 600)))
                 if req is None:
                     self._json(504, {"error": "generation timed out", "id": rid})
                     return
-                self._json(200, {
-                    "id": req.id,
-                    "tokens": req.generated,
-                    "text": decode(req.generated),
-                })
+                self._json(200, respond_fn(req))
             except Exception as e:  # noqa: BLE001 — serve errors as JSON
                 self._json(400, {"error": str(e)})
 
     return Handler
+
+
+def make_handler(runner: EngineRunner,
+                 encode: Callable[[str], list],
+                 decode: Callable[[list], str]):
+    """GPT engine handler: token- or text-prompt in, tokens + text out."""
+
+    def submit(payload):
+        if "tokens" in payload:
+            prompt = [int(t) for t in payload["tokens"]]
+        else:
+            prompt = list(encode(payload["prompt"]))
+        return runner.submit(
+            prompt,
+            max_new_tokens=int(payload.get("max_new_tokens", 500)),
+            temperature=float(payload.get("temperature", 0.8)),
+            top_k=int(payload.get("top_k", 200)),
+            seed=int(payload.get("seed", 1337)),
+            stop_token=int(payload.get("stop_token", -1)),
+        )
+
+    def respond(req):
+        return {"id": req.id, "tokens": req.generated,
+                "text": decode(req.generated)}
+
+    return _make_base_handler(runner, submit, respond)
 
 
 def serve(runner: EngineRunner, encode, decode, host: str = "127.0.0.1",
@@ -166,50 +180,19 @@ def make_tunes_handler(runner: EngineRunner):
     text-in/text-out, TunesFormer sampling params (ref CLI flags:
     tunesformer/generate.py:14-37)."""
 
-    class Handler(BaseHTTPRequestHandler):
-        def log_message(self, fmt, *args):
-            pass
+    def submit(payload):
+        return runner.submit(
+            payload["prompt"],
+            max_patch=int(payload.get("max_patch", 128)),
+            top_p=float(payload.get("top_p", 0.8)),
+            top_k=int(payload.get("top_k", 8)),
+            temperature=float(payload.get("temperature", 1.2)),
+            seed=int(payload.get("seed", 0)),
+            show_control_code=bool(payload.get("show_control_code", True)),
+        )
 
-        def _json(self, code: int, obj: dict):
-            body = json.dumps(obj).encode()
-            self.send_response(code)
-            self.send_header("Content-Type", "application/json")
-            self.send_header("Content-Length", str(len(body)))
-            self.end_headers()
-            self.wfile.write(body)
-
-        def do_GET(self):
-            if self.path == "/health":
-                self._json(200, runner.stats())
-            else:
-                self._json(404, {"error": "unknown path"})
-
-        def do_POST(self):
-            if self.path != "/generate":
-                self._json(404, {"error": "unknown path"})
-                return
-            try:
-                n = int(self.headers.get("Content-Length", "0"))
-                payload = json.loads(self.rfile.read(n) or b"{}")
-                rid = runner.submit(
-                    payload["prompt"],
-                    max_patch=int(payload.get("max_patch", 128)),
-                    top_p=float(payload.get("top_p", 0.8)),
-                    top_k=int(payload.get("top_k", 8)),
-                    temperature=float(payload.get("temperature", 1.2)),
-                    seed=int(payload.get("seed", 0)),
-                    show_control_code=bool(
-                        payload.get("show_control_code", True)),
-                )
-                req = runner.wait(rid, timeout=float(payload.get("timeout", 600)))
-                if req is None:
-                    self._json(504, {"error": "generation timed out", "id": rid})
-                    return
-                self._json(200, {"id": req.id, "text": req.text})
-            except Exception as e:  # noqa: BLE001 — serve errors as JSON
-                self._json(400, {"error": str(e)})
-
-    return Handler
+    return _make_base_handler(
+        runner, submit, lambda req: {"id": req.id, "text": req.text})
 
 
 def serve_tunes(runner: EngineRunner, host: str = "127.0.0.1",

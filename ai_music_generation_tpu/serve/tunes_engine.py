@@ -146,23 +146,36 @@ class TunesServer:
     # -- jitted bar program --------------------------------------------------
 
     @functools.partial(jax.jit, static_argnums=0, donate_argnums=2)
-    def _bar_step(self, params, dev, adm_rows, adm_slots, upd_rows, upd_pos,
-                  upd_mask, n_patches, init_tokens, init_lens,
-                  seeds, bar_idx, top_p, top_k, temperature):
+    def _bar_step(self, params, dev, adm_rows, adm_slots, packed):
         """Sync device patch state, then one bar for every slot — ONE
-        dispatch per step (separate write programs each cost a tunnel
-        round trip, measured ~60 ms/step of the host side at 128 slots).
+        dispatch AND one small upload per step (separate write programs /
+        per-field arrays each cost a tunnel round trip; same packing
+        rationale as the GPT engine's _insert_many).
 
         dev [B, L, S] i32 (donated device-resident patch stacks);
         adm_rows [G, L, S] + adm_slots [G] (== n_slots padding → dropped):
         full-row replacement for this step's admissions;
-        upd_rows [B, S] + upd_pos [B] + upd_mask [B]: the previous step's
-        new bar patches; n_patches [B] (>=1), init_tokens [B, S],
-        init_lens [B] (>=1), seeds [B] u32, bar_idx [B] i32 (per-request
-        bar counter for RNG folding), top_p/temperature [B] f32,
-        top_k [B] i32. Returns (dev, tokens [B, S], lens [B]).
+        packed [B, 2S+9] i32: columns [0:S] init_tokens (bos + carried),
+        [S:2S] upd_rows (the previous step's bar patches), then upd_pos,
+        upd_mask, n_patches (>=1), init_lens (>=1), bar_idx (per-request
+        RNG fold), top_k, seed:u32-bits, top_p:f32-bits,
+        temperature:f32-bits. Returns (dev, tokens [B, S], lens [B]).
         """
         B = dev.shape[0]
+        S = dev.shape[2]
+        init_tokens = packed[:, :S]
+        upd_rows = packed[:, S:2 * S]
+        upd_pos = packed[:, 2 * S]
+        upd_mask = packed[:, 2 * S + 1].astype(bool)
+        n_patches = packed[:, 2 * S + 2]
+        init_lens = packed[:, 2 * S + 3]
+        bar_idx = packed[:, 2 * S + 4]
+        top_k = packed[:, 2 * S + 5]
+        seeds = jax.lax.bitcast_convert_type(packed[:, 2 * S + 6], jnp.uint32)
+        top_p = jax.lax.bitcast_convert_type(packed[:, 2 * S + 7], jnp.float32)
+        temperature = jax.lax.bitcast_convert_type(
+            packed[:, 2 * S + 8], jnp.float32)
+
         dev = dev.at[adm_slots].set(adm_rows, mode="drop")
         cur = dev[jnp.arange(B), upd_pos]
         new = jnp.where(upd_mask[:, None], upd_rows, cur)
@@ -247,45 +260,38 @@ class TunesServer:
         for i, (slot, row) in enumerate(admitted):
             adm_rows[i] = row
             adm_slots[i] = slot
-        upd_rows = np.zeros((B, S), np.int32)
-        upd_pos = np.zeros((B,), np.int32)
-        upd_mask = np.zeros((B,), bool)
+        # one [B, 2S+9] int32 upload (layout documented in _bar_step)
+        packed = np.zeros((B, 2 * S + 9), np.int32)
+        packed[:, 0] = Patchilizer.bos_token_id
+        packed[:, 2 * S + 2] = 1  # n_patches >= 1
+        packed[:, 2 * S + 3] = 1  # init_lens >= 1
+        packed[:, 2 * S + 7] = np.float32(1.0).view(np.int32)
+        packed[:, 2 * S + 8] = np.float32(1.0).view(np.int32)
         for slot, row, position in self._pending:
-            upd_rows[slot] = row
-            upd_pos[slot] = position
-            upd_mask[slot] = True
+            packed[slot, S:2 * S] = row
+            packed[slot, 2 * S] = position
+            packed[slot, 2 * S + 1] = 1
         self._pending.clear()
-
-        n_patches = np.ones((B,), np.int32)
-        init_tokens = np.zeros((B, S), np.int32)
-        init_tokens[:, 0] = Patchilizer.bos_token_id
         init_lens = np.ones((B,), np.int32)
-        seeds = np.zeros((B,), np.uint32)
-        bar_idx = np.zeros((B,), np.int32)
-        top_p = np.ones((B,), np.float32)
-        top_k = np.zeros((B,), np.int32)
-        temp = np.ones((B,), np.float32)
         for b, st in enumerate(self._slots):
             if st is None:
                 continue
-            n_patches[b] = max(st.n_patches, 1)
-            chars = [ord(c) for c in st.carried][: S - 1]
-            init_tokens[b, 1 : 1 + len(chars)] = chars
+            packed[b, 2 * S + 2] = max(st.n_patches, 1)
+            # cap at S-2 so at least one char can still be sampled (see the
+            # matching note in decode/tunes_generate.py::generate_tunes)
+            chars = [ord(c) for c in st.carried][: S - 2]
+            packed[b, 1 : 1 + len(chars)] = chars
             init_lens[b] = 1 + len(chars)
-            seeds[b] = np.uint32(st.req.seed)
-            bar_idx[b] = st.bars
-            top_p[b] = st.req.top_p
-            top_k[b] = st.req.top_k
-            temp[b] = st.req.temperature
+            packed[b, 2 * S + 3] = init_lens[b]
+            packed[b, 2 * S + 4] = st.bars
+            packed[b, 2 * S + 5] = st.req.top_k
+            packed[b, 2 * S + 6] = np.uint32(st.req.seed).view(np.int32)
+            packed[b, 2 * S + 7] = np.float32(st.req.top_p).view(np.int32)
+            packed[b, 2 * S + 8] = np.float32(st.req.temperature).view(np.int32)
 
         self._dev_patches, tokens, lens = self._bar_step(
             self.params, self._dev_patches, jnp.asarray(adm_rows),
-            jnp.asarray(adm_slots), jnp.asarray(upd_rows),
-            jnp.asarray(upd_pos), jnp.asarray(upd_mask),
-            jnp.asarray(n_patches),
-            jnp.asarray(init_tokens), jnp.asarray(init_lens),
-            jnp.asarray(seeds), jnp.asarray(bar_idx), jnp.asarray(top_p),
-            jnp.asarray(top_k), jnp.asarray(temp))
+            jnp.asarray(adm_slots), jnp.asarray(packed))
         tokens = np.asarray(jax.device_get(tokens))
         lens = np.asarray(jax.device_get(lens))
 
@@ -306,10 +312,8 @@ class TunesServer:
                 if bar == "":
                     finish = True
                 else:
-                    visible = (
-                        bar if req.show_control_code
-                        or bar[:2] not in ("S:", "B:", "E:") else "")
-                    req.text += visible
+                    req.text += filter_control_codes(
+                        bar, req.show_control_code)
                     full_bar = st.carried + bar
                     st.carried = ""
                     patch_row = np.asarray(p.bar2patch(full_bar, S), np.int32)
