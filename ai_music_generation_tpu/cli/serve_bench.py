@@ -13,7 +13,13 @@ Usage::
     python -m ai_music_generation_tpu.cli.serve_bench \
         --n_slots=2048 --requests=4096 --max_new=256
 
-Prints one JSON line with tokens/sec plus the phase breakdown.
+    python -m ai_music_generation_tpu.cli.serve_bench \
+        --engine=tunes --n_slots=256 --requests=512
+
+Prints one JSON line with tokens/sec (or tunes/min) plus the phase
+breakdown. Both modes follow the warm-long-lived-server protocol
+(docs/SERVING.md): a differently-seeded load compiles and converges
+layouts; the second load on the SAME server is timed.
 """
 
 from __future__ import annotations
@@ -30,8 +36,52 @@ from ai_music_generation_tpu.models.gpt import GPT, GPTConfig
 from ai_music_generation_tpu.serve.engine import GenerationServer
 
 
+def bench_tunes(args) -> dict:
+    """TunesFormer serving throughput (reference-scale 9+3/768 model)."""
+    from ai_music_generation_tpu.models.tunesformer import (
+        TunesFormer,
+        TunesFormerConfig,
+    )
+    from ai_music_generation_tpu.serve.tunes_engine import TunesServer
+
+    cfg = TunesFormerConfig(dropout=0.0, dtype=jnp.bfloat16)
+    model = TunesFormer(cfg)
+    params = model.init(
+        jax.random.PRNGKey(args.seed),
+        jnp.zeros((1, cfg.patch_length, cfg.patch_size), jnp.int32))
+    prompt = "S:2\nB:9\nE:4\nB:9\nL:1/8\nM:3/4\nK:D\n de|"
+
+    srv = TunesServer(model, params, n_slots=args.n_slots)
+    for i in range(args.n_slots):  # warm pass: compiles + layout convergence
+        srv.submit(prompt, max_patch=args.max_patch, seed=10_000 + i)
+    srv.run_until_idle()
+
+    for i in range(args.requests):
+        srv.submit(prompt, max_patch=args.max_patch, seed=i)
+    t0 = time.perf_counter()
+    finished = list(srv.run_until_idle())
+    wall = time.perf_counter() - t0
+    assert len(finished) == args.requests
+    chars = sum(len(r.text) - len(prompt) for r in finished)
+    result = {
+        "metric": "tunesformer_serve_throughput",
+        "value": round(len(finished) / wall * 60, 1),
+        "unit": "tunes/min",
+        "requests": len(finished),
+        "gen_chars": chars,
+        "wall_s": round(wall, 2),
+        "n_slots": args.n_slots,
+        "max_patch": args.max_patch,
+    }
+    print(json.dumps(result))
+    return result
+
+
 def main(argv=None) -> dict:
     ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--engine", choices=["gpt", "tunes"], default="gpt")
+    ap.add_argument("--max_patch", type=int, default=32,
+                    help="tunes engine: patches per tune")
     ap.add_argument("--n_slots", type=int, default=2048)
     ap.add_argument("--ticks_per_call", type=int, default=64)
     ap.add_argument("--admit_group", type=int, default=64)
@@ -46,6 +96,8 @@ def main(argv=None) -> dict:
                     help="int8 KV cache (halves decode HBM traffic)")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args(argv)
+    if args.engine == "tunes":
+        return bench_tunes(args)
 
     cfg = GPTConfig(
         block_size=args.block_size, vocab_size=args.vocab_size,
