@@ -74,6 +74,17 @@ def filter_control_codes(text: str, show_control_code: bool) -> str:
     )
 
 
+def filter_generated_bar(bar: str, show_control_code: bool) -> str:
+    """Hide a *generated* bar iff its first two chars are a control code
+    (ref: generate.py:143-146 checks ``patch[:2]`` on the whole bar, unlike
+    the per-line prompt filter above — a multi-line bar whose first line is
+    ``S:`` is hidden entirely). Shared by the batch generator and the
+    serving engine."""
+    if show_control_code:
+        return bar
+    return "" if bar[:2] in ("S:", "B:", "E:") else bar
+
+
 def prepare_patch_state(patchilizer: Patchilizer, prompt: str, L: int, S: int):
     """Patch-encode a prompt; returns (prompt_patches, carried_chars).
 
@@ -263,7 +274,7 @@ class TunesGenerator:
                 if bar == "":
                     done[b] = True
                     continue
-                tunes[b] += filter_control_codes(bar, show_control_code)
+                tunes[b] += filter_generated_bar(bar, show_control_code)
                 full_bar = carried[b] + bar
                 carried[b] = ""
                 patch = p.bar2patch(full_bar, S)

@@ -59,9 +59,13 @@ class Pipeline:
 
     def run(self, catalog: "DataCatalog") -> None:
         produced = set(catalog.keys())
+
+        def available(i: str) -> bool:
+            return i in produced or i == "parameters" or i.startswith("params:")
+
         pending = list(self.nodes)
         while pending:
-            ready = [n for n in pending if all(i in produced for i in n.inputs)]
+            ready = [n for n in pending if all(available(i) for i in n.inputs)]
             if not ready:
                 missing = {i for n in pending for i in n.inputs} - produced
                 raise RuntimeError(f"pipeline stuck; missing inputs: {sorted(missing)}")
@@ -77,20 +81,47 @@ def pipeline(nodes: Iterable[Node]) -> Pipeline:
 
 
 class DataCatalog:
-    """YAML-described datasets + in-memory entries."""
+    """YAML-described datasets + in-memory entries + ``params:`` lookups.
 
-    def __init__(self, entries: Optional[dict] = None, base_path: str = "."):
+    Parameters follow the kedro contract the reference's shell configures but
+    never uses (ref: settings.py:26-29, conf/base/paramaters.yaml): a node
+    input named ``params:a.b`` resolves to ``parameters["a"]["b"]``.
+    """
+
+    def __init__(
+        self,
+        entries: Optional[dict] = None,
+        base_path: str = ".",
+        parameters: Optional[dict] = None,
+    ):
         self.entries = entries or {}
         self.base_path = base_path
+        self.parameters = parameters or {}
         self._memory: dict[str, Any] = {}
 
     @classmethod
-    def from_yaml(cls, path: str) -> "DataCatalog":
+    def from_yaml(
+        cls, path: str, parameters_path: Optional[str] = None
+    ) -> "DataCatalog":
         entries = _load_simple_yaml(path)
-        return cls(entries, base_path=os.path.dirname(os.path.abspath(path)))
+        base = os.path.dirname(os.path.abspath(path))
+        if parameters_path is None:
+            candidate = os.path.join(base, "parameters.yaml")
+            parameters_path = candidate if os.path.exists(candidate) else None
+        params = _load_simple_yaml(parameters_path) if parameters_path else {}
+        return cls(entries, base_path=base, parameters=params)
 
     def keys(self):
         return set(self.entries) | set(self._memory)
+
+    def _resolve_param(self, name: str):
+        value: Any = self.parameters
+        if name != "parameters":  # bare "parameters" = the whole dict
+            for part in name.removeprefix("params:").split("."):
+                if not isinstance(value, dict) or part not in value:
+                    raise KeyError(f"parameter {name!r} not in parameters.yaml")
+                value = value[part]
+        return value
 
     def _filepath(self, spec: dict) -> str:
         fp = spec.get("filepath", "")
@@ -100,6 +131,8 @@ class DataCatalog:
         return fp
 
     def load(self, name: str):
+        if name == "parameters" or name.startswith("params:"):
+            return self._resolve_param(name)
         if name in self._memory:
             return self._memory[name]
         spec = self.entries.get(name)

@@ -7,6 +7,6 @@ from .nodes import process_data
 
 def create_pipeline() -> Pipeline:
     return Pipeline([
-        node(process_data, inputs="test_run_data", outputs="processed_data",
+        node(process_data, inputs=["test_run_data", "params:data_processing.drop_duplicates"], outputs="processed_data",
              name="process_data_node"),
     ])

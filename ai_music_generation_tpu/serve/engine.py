@@ -298,6 +298,11 @@ class GenerationServer:
         producer thread + one engine thread (deque append/popleft)."""
         if not prompt:
             raise ValueError("prompt must contain at least one token")
+        if max_new_tokens < 1:
+            # the decode scan samples a token before testing gen >= max_new,
+            # so a 0 budget would still emit one token; reject instead. (The
+            # internal cancel dummy builds its Request directly.)
+            raise ValueError("max_new_tokens must be >= 1")
         req = Request(
             id=next(self._ids), prompt=list(map(int, prompt)),
             max_new_tokens=int(max_new_tokens), temperature=float(temperature),

@@ -32,6 +32,7 @@ class EngineRunner:
 
     def __init__(self, engine: GenerationServer):
         self.engine = engine
+        self.error: Optional[str] = None  # set once if the engine thread dies
         self._lock = threading.Lock()
         self._wake = threading.Event()
         self._events: dict[int, threading.Event] = {}
@@ -41,6 +42,8 @@ class EngineRunner:
         self._thread.start()
 
     def submit(self, prompt_tokens, **kw) -> int:
+        if self.error is not None:
+            raise RuntimeError(f"engine thread dead: {self.error}")
         with self._lock:
             rid = self.engine.submit(prompt_tokens, **kw)
             self._events[rid] = threading.Event()
@@ -76,6 +79,8 @@ class EngineRunner:
         if phases:  # per-phase wall-time accounting (GPT engine)
             out["phases"] = {k: (round(v, 3) if isinstance(v, float) else v)
                              for k, v in phases.items()}
+        if self.error is not None:
+            out["engine_error"] = self.error
         return out
 
     def shutdown(self):
@@ -89,14 +94,25 @@ class EngineRunner:
                 self._wake.wait(timeout=0.5)
                 self._wake.clear()
                 continue
-            with self._lock:
-                finished = self.engine.step()
-                for req in finished:
-                    ev = self._events.get(req.id)
-                    if ev is None:
-                        continue  # abandoned (wait() timed out) — drop
-                    self._results[req.id] = req
-                    ev.set()
+            try:
+                with self._lock:
+                    finished = self.engine.step()
+                    for req in finished:
+                        ev = self._events.get(req.id)
+                        if ev is None:
+                            continue  # abandoned (wait() timed out) — drop
+                        self._results[req.id] = req
+                        ev.set()
+            except Exception as exc:  # noqa: BLE001 — engine thread must not
+                # die silently: fail every pending waiter (they return 500
+                # instead of hanging to 504) and mark the engine dead so
+                # /health reports it.
+                self.error = f"{type(exc).__name__}: {exc}"
+                with self._lock:
+                    for rid, ev in list(self._events.items()):
+                        self._results.setdefault(rid, None)  # None = engine error
+                        ev.set()
+                return
 
 
 def _make_base_handler(runner: EngineRunner, submit_fn, respond_fn):
@@ -133,7 +149,12 @@ def _make_base_handler(runner: EngineRunner, submit_fn, respond_fn):
                 rid = submit_fn(payload)
                 req = runner.wait(rid, timeout=float(payload.get("timeout", 600)))
                 if req is None:
-                    self._json(504, {"error": "generation timed out", "id": rid})
+                    if runner.error is not None:
+                        self._json(500, {"error": f"engine thread dead: "
+                                                  f"{runner.error}", "id": rid})
+                    else:
+                        self._json(504, {"error": "generation timed out",
+                                         "id": rid})
                     return
                 self._json(200, respond_fn(req))
             except Exception as e:  # noqa: BLE001 — serve errors as JSON

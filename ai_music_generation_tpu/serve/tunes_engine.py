@@ -44,6 +44,7 @@ import numpy as np
 from ai_music_generation_tpu.decode.tunes_generate import (
     bar_scan,
     filter_control_codes,
+    filter_generated_bar,
     prepare_patch_state,
 )
 from ai_music_generation_tpu.models.tunesformer import TunesFormer
@@ -312,7 +313,7 @@ class TunesServer:
                 if bar == "":
                     finish = True
                 else:
-                    req.text += filter_control_codes(
+                    req.text += filter_generated_bar(
                         bar, req.show_control_code)
                     full_bar = st.carried + bar
                     st.carried = ""

@@ -59,6 +59,9 @@ def test_catalog_yaml_and_cli(tmp_path, monkeypatch):
         "processed_data:\n  type: csv\n"
         "  filepath: data/02_preprocessed/out.csv\n"
     )
+    (root / "conf" / "base" / "parameters.yaml").write_text(
+        "data_processing:\n  drop_duplicates: false\n"
+    )
     monkeypatch.chdir(root)
     from ai_music_generation_tpu.__main__ import main
 
@@ -66,6 +69,32 @@ def test_catalog_yaml_and_cli(tmp_path, monkeypatch):
     out = root / "data" / "02_preprocessed" / "out.csv"
     assert out.exists()
     assert "1,2" in out.read_text()
+
+
+def test_catalog_params_injection(tmp_path, monkeypatch):
+    """parameters.yaml values reach nodes via params: inputs (kedro contract)."""
+    root = tmp_path
+    (root / "conf" / "base").mkdir(parents=True)
+    (root / "data" / "01_raw").mkdir(parents=True)
+    (root / "data" / "01_raw" / "t.csv").write_text("x,y\n1,2\n1,2\n3,4\n")
+    (root / "conf" / "base" / "catalog.yaml").write_text(
+        "test_run_data:\n  type: csv\n  filepath: data/01_raw/t.csv\n"
+    )
+    (root / "conf" / "base" / "parameters.yaml").write_text(
+        "data_processing:\n  drop_duplicates: true\n"
+    )
+    monkeypatch.chdir(root)
+    catalog = DataCatalog.from_yaml(str(root / "conf" / "base" / "catalog.yaml"))
+    assert catalog.load("params:data_processing.drop_duplicates") in (True, "true")
+    assert "data_processing" in catalog.load("parameters")
+    with pytest.raises(KeyError, match="not in parameters.yaml"):
+        catalog.load("params:nope")
+    pipelines = register_pipelines()
+    pipelines["data_processing"].run(catalog)
+    df = catalog.load("processed_data")
+    # drop_duplicates=true: the duplicated row is removed (pyyaml parses the
+    # bool; the fallback string "true" is truthy too)
+    assert len(df) == 2
 
 
 def test_all_experiment_configs_apply_cleanly():

@@ -165,6 +165,40 @@ def test_engine_cancel(tiny):
     assert done[keep].generated == alone.generated
 
 
+def test_submit_rejects_zero_budget(tiny):
+    """max_new_tokens=0 would still emit one token (scan samples before the
+    budget test); submit must reject it up front."""
+    _, model, params = tiny
+    srv = GenerationServer(model, params, n_slots=2, ticks_per_call=4)
+    with pytest.raises(ValueError, match="max_new_tokens"):
+        srv.submit([1, 2], max_new_tokens=0)
+    with pytest.raises(ValueError, match="prompt"):
+        srv.submit([], max_new_tokens=4)
+
+
+def test_runner_engine_crash_fails_waiters(tiny):
+    """A raised exception in engine.step() must fail pending waiters and mark
+    the runner dead (not hang until timeout while /health looks green)."""
+    from ai_music_generation_tpu.serve.http import EngineRunner
+
+    _, model, params = tiny
+    srv = GenerationServer(model, params, n_slots=2, ticks_per_call=4)
+
+    def boom():
+        raise RuntimeError("injected device error")
+
+    srv.step = boom  # type: ignore[assignment]
+    runner = EngineRunner(srv)
+    rid = runner.submit([1, 2, 3], max_new_tokens=8, seed=1)
+    req = runner.wait(rid, timeout=10)
+    assert req is None
+    assert runner.error is not None and "injected device error" in runner.error
+    assert "engine_error" in runner.stats()
+    with pytest.raises(RuntimeError, match="engine thread dead"):
+        runner.submit([1, 2], max_new_tokens=8)
+    runner.shutdown()
+
+
 def test_http_server_generate_and_health(tiny):
     from ai_music_generation_tpu.serve.http import EngineRunner, serve
 
