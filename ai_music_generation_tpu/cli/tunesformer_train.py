@@ -22,7 +22,6 @@ TPU-native differences:
 
 from __future__ import annotations
 
-import functools
 import json
 import os
 import random
@@ -54,6 +53,7 @@ DEFAULTS = dict(
     share_weights=False,
     load_from_checkpoint=False,
     patch_sampling_batch_size=0,  # ref config.py:9; 0 = full context
+    n_model=1,  # tensor-parallel mesh axis (1 = pure DP, the ref's layout)
     seed=42,
     eval_ratio=0.1,
     dtype="bfloat16",
@@ -134,58 +134,31 @@ def main(argv=None):
     opt_state = tx.init(params["params"])
     step_count = 0
 
-    # data-parallel over all devices: replicated params, batch sharded on
-    # the data axis (replaces the reference's nn.DataParallel scatter,
-    # ref train.py:35-36 — and actually batches, which DataParallel didn't).
-    # Falls back to single-device jit when the batch doesn't divide the
-    # device count.
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
+    # sharded steps over a (data, model) mesh: batch on the data axis,
+    # params TP over the model axis per parallel/mesh.py rules (replaces the
+    # reference's nn.DataParallel scatter, ref train.py:35-36 — and actually
+    # batches, which DataParallel didn't). Falls back to single-device jit
+    # when the batch/device counts don't divide.
     from ai_music_generation_tpu.parallel import mesh as pmesh
+    from ai_music_generation_tpu.train.tunes_step import (
+        make_tunesformer_eval_step,
+        make_tunesformer_train_step,
+        shard_tunesformer_step,
+    )
 
     n_dev = jax.device_count()
-    if n_dev > 1 and B % n_dev == 0:
-        mesh = pmesh.make_mesh()
-        batch_sharding = NamedSharding(mesh, P(pmesh.DATA_AXIS))
-        replicated = NamedSharding(mesh, P())
-        train_jit = functools.partial(
-            jax.jit,
-            in_shardings=(replicated, replicated, batch_sharding, replicated,
-                          batch_sharding),
-            out_shardings=(replicated, replicated, replicated),
-        )
-        eval_jit = functools.partial(
-            jax.jit, in_shardings=(replicated, batch_sharding),
-            out_shardings=replicated,
-        )
+    n_model = max(int(c["n_model"]), 1)
+    n_data = n_dev // n_model
+    if n_dev > 1 and n_dev % n_model == 0 and n_data >= 1 and B % n_data == 0:
+        mesh = pmesh.make_mesh(n_data=n_data, n_model=n_model)
+        print(f"mesh: {dict(mesh.shape)}")
+        train_step, eval_step, params, opt_state, _ = shard_tunesformer_step(
+            mesh, model, tx, params, opt_state)
     else:
-        train_jit = jax.jit
-        eval_jit = jax.jit
+        train_step = jax.jit(make_tunesformer_train_step(model, tx))
+        eval_step = jax.jit(make_tunesformer_eval_step(model))
 
     psbs = c["patch_sampling_batch_size"]
-
-    @train_jit
-    def train_step(params, opt_state, batch, rng, patch_indices=None):
-        def loss_fn(p):
-            return model.apply(p, batch, False, patch_indices,
-                               rngs={"dropout": rng})
-
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        updates, new_opt = tx.update(grads["params"], opt_state, params["params"])
-        new_params = {"params": optax.apply_updates(params["params"], updates)}
-        # NaN guard (ref skips nan batches, train.py:95-96)
-        ok = jnp.isfinite(loss)
-        new_params = jax.tree_util.tree_map(
-            lambda n, o: jnp.where(ok, n, o), new_params, params
-        )
-        new_opt = jax.tree_util.tree_map(
-            lambda n, o: jnp.where(ok, n, o), new_opt, opt_state
-        )
-        return new_params, new_opt, loss
-
-    @eval_jit
-    def eval_step(params, batch):
-        return model.apply(params, batch, True)
 
     def batches(arrs, shuffle_rng, pad_to_full=False):
         """Full batches; with pad_to_full the tail wraps around so small

@@ -56,6 +56,11 @@ _GPT_PARAM_RULES: list[tuple[str, P]] = [
     (r".*mlp/c_proj/kernel", P(MODEL_AXIS, None)),
     (r".*wte/embedding", P(MODEL_AXIS, None)),
     (r".*wpe/embedding", P(None, None)),
+    # TunesFormer patch embedding [patch_size*128, n_embd]: column (embd)
+    # sharded so the row gather stays shard-local and the position-sum
+    # produces a model-sharded activation (same layout as c_fc output)
+    (r".*patch_embedding/kernel", P(None, MODEL_AXIS)),
+    (r".*patch_embedding/bias", P(MODEL_AXIS)),
     (r".*", P()),  # layernorms, remaining biases: replicated
 ]
 

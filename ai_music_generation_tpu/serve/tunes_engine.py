@@ -119,7 +119,13 @@ class TunesServer:
             print(req.id, req.text)
     """
 
-    def __init__(self, model: TunesFormer, params, n_slots: int = 16):
+    def __init__(self, model: TunesFormer, params, n_slots: int = 16,
+                 mesh=None):
+        """``mesh``: optional jax.sharding.Mesh — slot state rides the data
+        axis, params take the TP rule layout (parallel/mesh.py), and the
+        jitted bar program inherits those shardings from its inputs. The
+        reference's TunesFormer parallelism is DataParallel scatter
+        (ref: tunesformer/train.py:35-36); this is the serving analogue."""
         self.model = model
         self.params = params
         self.cfg = model.config
@@ -140,6 +146,17 @@ class TunesServer:
         # plus full-row writes only at admission.
         self._dev_patches = jnp.zeros(
             (n_slots, self.cfg.patch_length, self.cfg.patch_size), jnp.int32)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ai_music_generation_tpu.parallel import mesh as pmesh
+
+            if n_slots % mesh.shape[pmesh.DATA_AXIS] == 0:
+                self._dev_patches = jax.device_put(
+                    self._dev_patches,
+                    NamedSharding(mesh, P(pmesh.DATA_AXIS, None, None)))
+            self.params = jax.device_put(
+                params, pmesh.shardings_for_tree(mesh, params))
         # (slot, patch_row [S] int32, position) produced by the previous
         # step's demux, applied on device at the start of the next step
         self._pending: list[tuple[int, np.ndarray, int]] = []
