@@ -85,10 +85,15 @@ def run_aesthetics(
     output_jsonl: str,
     batch_size: int = 10,
     force_proxy: bool = False,
+    weights: Optional[str] = None,
 ) -> bool:
     """Score every {"path": wav} line of input_jsonl into output_jsonl.
 
-    Returns True if the real ``audio-aes`` CLI was used.
+    Scorer precedence (VERDICT #2): the real ``audio-aes`` CLI if on PATH >
+    the in-repo Flax Audiobox predictor (``eval/audiobox.py``) when a torch
+    checkpoint is supplied via ``weights`` or ``$AUDIOBOX_WEIGHTS`` > the
+    DSP proxy. Returns True when a model-based scorer (CLI or JAX port with
+    real weights) was used.
     """
     binary = shutil.which("audio-aes")
     if binary and not force_proxy:
@@ -98,6 +103,14 @@ def run_aesthetics(
                 [binary, input_jsonl, "--batch-size", str(batch_size)],
                 stdout=out, check=False,
             )
+        return True
+
+    weights = weights or os.environ.get("AUDIOBOX_WEIGHTS")
+    if weights and os.path.exists(weights) and not force_proxy:
+        from ai_music_generation_tpu.eval.audiobox import AesPredictor
+
+        AesPredictor(weights=weights, batch=batch_size).score_jsonl(
+            input_jsonl, output_jsonl)
         return True
 
     from ai_music_generation_tpu.synth.wav_io import read_wav

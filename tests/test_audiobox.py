@@ -1,0 +1,196 @@
+"""Audiobox-aesthetics predictor: Flax WavLM vs the canonical HF torch
+implementation, converter mapping, and end-to-end chunked scoring.
+
+The encoder is verified NUMERICALLY against ``transformers.WavLMModel``
+(random weights, exported via state_dict, converted) — the same layout the
+real audiobox checkpoint's encoder uses. (VERDICT #2; ref scorer:
+scripts/common/abc_to_midi_wav_and_aesthetics.py:323-355.)
+"""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ai_music_generation_tpu.eval.audiobox import (
+    AesPredictor,
+    AudioboxAesthetics,
+    AudioboxConfig,
+    convert_torch_state_dict,
+)
+from ai_music_generation_tpu.eval.wavlm import WavLMConfig, WavLMEncoder
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+TINY = dict(
+    hidden_size=64, num_layers=2, num_heads=4, intermediate_size=96,
+    conv_dim=(24, 24, 24), conv_kernel=(10, 3, 3), conv_stride=(5, 2, 2),
+    num_conv_pos_embeddings=16, num_conv_pos_embedding_groups=4,
+    num_buckets=32, max_distance=80,
+)
+
+
+def _hf_model(stable: bool):
+    cfg = transformers.WavLMConfig(
+        hidden_size=TINY["hidden_size"], num_hidden_layers=TINY["num_layers"],
+        num_attention_heads=TINY["num_heads"],
+        intermediate_size=TINY["intermediate_size"],
+        conv_dim=TINY["conv_dim"], conv_kernel=TINY["conv_kernel"],
+        conv_stride=TINY["conv_stride"],
+        num_conv_pos_embeddings=TINY["num_conv_pos_embeddings"],
+        num_conv_pos_embedding_groups=TINY["num_conv_pos_embedding_groups"],
+        num_buckets=TINY["num_buckets"], max_bucket_distance=TINY["max_distance"],
+        do_stable_layer_norm=stable,
+        feat_extract_norm="layer" if stable else "group",
+        hidden_dropout=0.0, attention_dropout=0.0, activation_dropout=0.0,
+        feat_proj_dropout=0.0, layerdrop=0.0, mask_time_prob=0.0,
+        mask_feature_prob=0.0, apply_spec_augment=False,
+    )
+    torch.manual_seed(0)
+    return transformers.WavLMModel(cfg).eval()
+
+
+def _flax_cfg(stable: bool) -> WavLMConfig:
+    return WavLMConfig(
+        do_stable_layer_norm=stable,
+        feat_extract_norm="layer" if stable else "group", **TINY)
+
+
+@pytest.mark.parametrize("stable", [False, True],
+                         ids=["base-postnorm", "large-prenorm"])
+def test_flax_wavlm_matches_hf(stable):
+    hf = _hf_model(stable)
+    wave = np.random.default_rng(1).normal(size=(2, 2000)).astype(np.float32)
+    with torch.no_grad():
+        ref = hf(torch.from_numpy(wave), output_hidden_states=True)
+
+    fcfg = _flax_cfg(stable)
+    enc = WavLMEncoder(fcfg)
+    template = enc.init(jax.random.PRNGKey(0), jnp.asarray(wave[:, :400]))
+    params, loaded, unmapped = convert_torch_state_dict(
+        hf.state_dict(), template)
+    assert unmapped == [], unmapped
+    last, hiddens = enc.apply(params, jnp.asarray(wave))
+
+    np.testing.assert_allclose(
+        np.asarray(last), ref.last_hidden_state.numpy(),
+        rtol=2e-4, atol=2e-5)
+    assert hiddens.shape[0] == len(ref.hidden_states)
+    for i, h in enumerate(ref.hidden_states):
+        np.testing.assert_allclose(
+            np.asarray(hiddens[i]), h.numpy(), rtol=2e-4, atol=2e-5,
+            err_msg=f"hidden state {i}")
+
+
+def test_converter_reports_unmapped_and_shape_errors():
+    fcfg = _flax_cfg(False)
+    model = AudioboxAesthetics(AudioboxConfig(wavlm=fcfg))
+    template = model.init(jax.random.PRNGKey(0),
+                          jnp.zeros((1, 800), jnp.float32))
+    sd = {"totally.unknown.key": np.zeros((3, 3), np.float32)}
+    _, loaded, unmapped = convert_torch_state_dict(sd, template)
+    assert loaded == [] and unmapped == ["totally.unknown.key"]
+
+    bad = {"encoder.layers.0.attention.q_proj.bias":
+           np.zeros((7,), np.float32)}
+    with pytest.raises(ValueError, match="shape"):
+        convert_torch_state_dict(bad, template)
+
+
+def test_head_key_hints_map_mlp_heads():
+    fcfg = _flax_cfg(False)
+    model = AudioboxAesthetics(AudioboxConfig(wavlm=fcfg))
+    template = model.init(jax.random.PRNGKey(0),
+                          jnp.zeros((1, 800), jnp.float32))
+    d, hh = TINY["hidden_size"], 256
+    sd = {
+        "proj_PQ.0.weight": np.full((hh, d), 0.5, np.float32),
+        "proj_PQ.0.bias": np.zeros((hh,), np.float32),
+        "proj_PQ.2.weight": np.ones((1, hh), np.float32),
+        "proj_PQ.2.bias": np.zeros((1,), np.float32),
+    }
+    params, loaded, unmapped = convert_torch_state_dict(sd, template)
+    assert len(loaded) == 4 and unmapped == []
+    np.testing.assert_allclose(
+        np.asarray(params["params"]["head_PQ_0"]["kernel"]), 0.5)
+
+
+def test_predictor_end_to_end_jsonl(tmp_path):
+    """Full compute path with random weights: chunking, batching, masking,
+    JSONL schema — same row shape as the audio-aes CLI output."""
+    from ai_music_generation_tpu.synth.wav_io import write_wav
+
+    cfg = AudioboxConfig(wavlm=_flax_cfg(False))
+    pred = AesPredictor(cfg, batch=2)
+    rng = np.random.default_rng(0)
+    paths = []
+    for i, sec in enumerate((0.7, 1.9)):
+        w = (0.1 * rng.normal(size=int(16000 * sec))).astype(np.float32)
+        p = tmp_path / f"t{i}.wav"
+        write_wav(str(p), w, 16000)
+        paths.append(str(p))
+    inp = tmp_path / "in.jsonl"
+    inp.write_text("".join(json.dumps({"path": p}) + "\n" for p in paths))
+    out = tmp_path / "out.jsonl"
+    pred.score_jsonl(str(inp), str(out))
+    rows = [json.loads(x) for x in out.read_text().splitlines()]
+    assert len(rows) == 2
+    for row in rows:
+        assert set(row) == {"CE", "CU", "PC", "PQ"}
+        assert all(np.isfinite(v) for v in row.values())
+
+    # chunk invariance: a file shorter than one chunk scores identically
+    # whether scored alone or alongside others (mask correctness)
+    wave = (0.05 * rng.normal(size=12345)).astype(np.float32)
+    alone = pred.score_wave(wave)
+    crowd = pred.score_waves([(np.zeros(16000, np.float32), 16000),
+                              (wave, 16000)])[1]
+    for a in alone:
+        np.testing.assert_allclose(alone[a], crowd[a], rtol=1e-5)
+
+
+def test_run_aesthetics_prefers_jax_port_when_weights_exist(
+        tmp_path, monkeypatch):
+    """Scorer precedence: audio-aes CLI > Flax port (weights file) > proxy."""
+    import ai_music_generation_tpu.eval.aesthetics as aes
+    import ai_music_generation_tpu.eval.audiobox as ab
+
+    calls = {}
+
+    class Stub:
+        def __init__(self, config=None, weights=None, batch=8):
+            calls["weights"] = weights
+
+        def score_jsonl(self, inp, out):
+            with open(out, "w") as f:
+                f.write(json.dumps({a: 5.0 for a in AXES_}) + "\n")
+
+    AXES_ = ("CE", "CU", "PC", "PQ")
+    monkeypatch.setattr(ab, "AesPredictor", Stub)
+    monkeypatch.setattr(aes.shutil, "which", lambda _: None)  # no CLI
+    ckpt = tmp_path / "w.pt"
+    ckpt.write_bytes(b"stub")
+    monkeypatch.setenv("AUDIOBOX_WEIGHTS", str(ckpt))
+    inp = tmp_path / "in.jsonl"
+    inp.write_text(json.dumps({"path": "x.wav"}) + "\n")
+    out = tmp_path / "out.jsonl"
+    assert aes.run_aesthetics(str(inp), str(out)) is True
+    assert calls["weights"] == str(ckpt)
+    assert json.loads(out.read_text())["PQ"] == 5.0
+
+    # force_proxy still wins over the weights file
+    monkeypatch.delenv("AUDIOBOX_WEIGHTS")
+    assert aes.run_aesthetics(str(inp), str(out), force_proxy=True) is False
+
+
+def test_resample_path():
+    from ai_music_generation_tpu.eval.audiobox import _to_mono_16k
+
+    w = np.sin(np.linspace(0, 100, 44100)).astype(np.float32)
+    out = _to_mono_16k(w, 44100)
+    assert abs(len(out) - 16000) <= 1
+    stereo = np.stack([w, w], axis=1)
+    np.testing.assert_allclose(_to_mono_16k(stereo, 44100), out, atol=1e-6)
