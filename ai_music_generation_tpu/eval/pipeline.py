@@ -136,17 +136,21 @@ class EvalPipeline:
     def __init__(self, config: PipelineConfig):
         self.c = config
         c = config
+        # directory tag only — a sound_font given as /path/to/font.sf2 must
+        # not reset os.path.join (ref uses the soundfont NAME in the layout,
+        # midi_to_wav_and_aesthetics.py:105-110)
+        font_tag = os.path.basename(c.sound_font.rstrip("/")) or "default"
         self.midi_dir = os.path.join(c.base_output_dir, "midi", c.abc_to_midi_converter)
         self.wav_dir = os.path.join(
             c.base_output_dir, "wav", c.abc_to_midi_converter,
-            c.midi_to_wav_converter, c.sound_font,
+            c.midi_to_wav_converter, font_tag,
         )
         self.structure_dir = os.path.join(
             c.base_output_dir, "metrics", c.abc_to_midi_converter, "structure"
         )
         self.audiobox_dir = os.path.join(
             c.base_output_dir, "audiobox_aesthetics", c.abc_to_midi_converter,
-            c.midi_to_wav_converter, c.sound_font,
+            c.midi_to_wav_converter, font_tag,
         )
         for d in (self.midi_dir, self.wav_dir, self.structure_dir, self.audiobox_dir):
             os.makedirs(d, exist_ok=True)
@@ -239,8 +243,15 @@ class EvalPipeline:
                         n_failed += 1
                 if not chunk:
                     continue
-                voice = ("additive" if "additive" in c.sound_font
-                         else "sample_bank")
+                # soundfont choice (ref midi_to_wav_and_aesthetics.py:105-110):
+                # a path to a .sf2 file renders through synth/sf2.py zones;
+                # "builtin_additive" / "builtin_sample_bank" pick built-ins
+                if c.sound_font.endswith(".sf2"):
+                    voice = f"sf2:{c.sound_font}"
+                elif "additive" in c.sound_font:
+                    voice = "additive"
+                else:
+                    voice = "sample_bank"
                 try:
                     waves = synthesize_midi_batch(midis, c.sample_rate,
                                                   voice=voice)

@@ -73,6 +73,35 @@ def midi_to_events(midi: midi_io.MidiFile, sample_rate: int = SAMPLE_RATE) -> np
     return np.asarray(events, np.float32)
 
 
+def _voice_bank(voice: str, sample_rate: int):
+    """Resolve a sample-bank voice string to render tensors.
+
+    ``"sample_bank"`` -> the embedded piano bank (synth/piano_bank.py) with
+    full key/velocity ranges and the measured 80 ms piano release;
+    ``"sf2:<path>"`` -> zones parsed from a SoundFont file (synth/sf2.py),
+    honoring key/velocity ranges, tuning, loops, envelopes — the TPU
+    equivalent of FluidSynth loading the reference's .sf2
+    (ref: midi_to_wav_and_aesthetics.py:105-110).
+
+    Returns (samples [K, Lb], root_pitch [K], key_ranges [K, 2],
+    vel_ranges [K, 2], release_tau [K], tail_cut [K]).
+    """
+    if voice.startswith("sf2:"):
+        from ai_music_generation_tpu.synth.sf2 import bank_from_sf2
+
+        samples, pitches, keyr, velr, rel = bank_from_sf2(voice[4:], sample_rate)
+        return (samples, pitches, keyr, velr, rel,
+                np.minimum(4.0 * rel, 1.5).astype(np.float32))
+    from ai_music_generation_tpu.synth.piano_bank import get_bank
+
+    bank_np, pitches_np = get_bank(sample_rate)
+    k = len(pitches_np)
+    full = np.tile(np.asarray([[0.0, 127.0]], np.float32), (k, 1))
+    return (bank_np, pitches_np, full, full.copy(),
+            np.full((k,), 0.08, np.float32),
+            np.full((k,), 0.35, np.float32))
+
+
 @functools.partial(jax.jit, static_argnums=(1, 2, 3))
 def render_events(events: jax.Array, total_samples: int,
                   sample_rate: int = SAMPLE_RATE,
@@ -80,25 +109,36 @@ def render_events(events: jax.Array, total_samples: int,
     """Render [N, 4] note events into a [total_samples] float32 waveform.
 
     ``voice``: ``"sample_bank"`` (default; pitch-shifted gather from the
-    embedded multi-sample piano bank, see synth/piano_bank.py) or
+    embedded multi-sample piano bank, see synth/piano_bank.py),
+    ``"sf2:<path>"`` (zones from a SoundFont file, see synth/sf2.py), or
     ``"additive"`` (the round-1 harmonic-stack voice). The default was
     chosen by a measured A/B through the metrics pipeline (docs/PERF.md).
     """
     max_note = int(MAX_NOTE_SECONDS * sample_rate)
     t = jnp.arange(max_note, dtype=jnp.float32) / sample_rate  # [L]
 
-    if voice == "sample_bank":
-        from ai_music_generation_tpu.synth.piano_bank import get_bank
-
-        bank_np, bank_pitches_np = get_bank(sample_rate)
-        bank = jnp.asarray(bank_np)  # [K, Lb] — an XLA constant (~3 MB)
+    if voice != "additive":
+        (bank_np, bank_pitches_np, keyr_np, velr_np, rel_np, cut_np
+         ) = _voice_bank(voice, sample_rate)
+        bank = jnp.asarray(bank_np)  # [K, Lb] — an XLA constant
         bank_pitch = jnp.asarray(bank_pitches_np)
+        key_ranges = jnp.asarray(keyr_np)
+        vel_ranges = jnp.asarray(velr_np)
+        release_tau = jnp.asarray(rel_np)
+        tail_cut = jnp.asarray(cut_np)
         bank_len = bank_np.shape[1]
 
         def render_note(ev):
             pitch, start, dur_samples, vel = ev[0], ev[1], ev[2], ev[3]
             dur = dur_samples / sample_rate
-            k = jnp.argmin(jnp.abs(bank_pitch - pitch))
+            # zone selection: nearest root among zones whose key AND
+            # velocity ranges match; out-of-range zones only as fallback
+            vel127 = vel * 127.0
+            key_miss = (pitch < key_ranges[:, 0]) | (pitch > key_ranges[:, 1])
+            vel_miss = (vel127 < vel_ranges[:, 0]) | (vel127 > vel_ranges[:, 1])
+            score = (jnp.abs(bank_pitch - pitch)
+                     + 1e3 * key_miss + 1e3 * vel_miss)
+            k = jnp.argmin(score)
             rate = 2.0 ** ((pitch - bank_pitch[k]) / 12.0)
             row = jnp.take(bank, k, axis=0)  # [Lb]
             pos = jnp.arange(max_note, dtype=jnp.float32) * rate
@@ -107,9 +147,10 @@ def render_events(events: jax.Array, total_samples: int,
             valid = i0 < bank_len - 1
             i0 = jnp.clip(i0, 0, bank_len - 2)
             seg = row[i0] * (1.0 - frac) + row[i0 + 1] * frac
-            # piano has no sustain: let the sample decay, damp at note-off
-            release = jnp.exp(-jnp.maximum(t - dur, 0.0) / 0.08)
-            seg = seg * valid * release * (t < dur + 0.35)
+            # damp at note-off with the zone's release time-constant
+            tau = release_tau[k]
+            release = jnp.exp(-jnp.maximum(t - dur, 0.0) / tau)
+            seg = seg * valid * release * (t < dur + tail_cut[k])
             return (vel * seg).astype(jnp.float32)
 
     else:
