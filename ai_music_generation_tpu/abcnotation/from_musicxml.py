@@ -8,9 +8,12 @@ lines; ``<backup>`` interleaving handled by voice partitioning), divisions,
 key (fifths) / time attributes, pitched notes and rests with exact
 durations, chords, ties, tuplets (``<time-modification>`` re-emitted as
 ``(p:q:r`` groups), grace notes (re-emitted as ABC ``{...}`` groups),
-``<forward>`` gaps (as rests), and repeat barlines. Ornaments/dynamics are
-skipped with a single warning per file. ``.mxl`` (zipped MusicXML) is
-handled transparently.
+``<forward>`` gaps (as rests), repeat barlines, volta endings
+(``<ending>`` -> ``[1``/``[2``), ``<harmony>`` chord symbols (-> ``"G7"``,
+feeding the gchord engine), mid-tune key/meter changes (-> inline ``[K:]``
+/``[M:]`` fields), and a ``%%score`` staff-layout directive for multi-part
+scores. Ornaments/dynamics are skipped with a single warning per file.
+``.mxl`` (zipped MusicXML) is handled transparently.
 
 Output is ABC text directly consumable by the in-repo ABC parser and the
 control-code curation (data/curation.py).
@@ -103,6 +106,45 @@ class _Item:
     timemod: Optional[tuple[int, int]] = None  # (actual, normal)
     tie: bool = False
     grace: str = ""  # '{ag}' prefix
+    sym: str = ""  # '"G7"' chord-symbol prefix (from <harmony>)
+
+
+# MusicXML <kind> -> ABC chord-symbol suffix, targeting the suffixes the
+# in-repo gchord engine understands (parser.py _CHORD_TYPES).
+_HARMONY_KINDS = {
+    "major": "", "minor": "m", "augmented": "aug", "diminished": "dim",
+    "dominant": "7", "major-seventh": "maj7", "minor-seventh": "m7",
+    "diminished-seventh": "dim7", "half-diminished": "m7b5",
+    "augmented-seventh": "aug7", "major-sixth": "6", "minor-sixth": "m6",
+    "dominant-ninth": "9", "major-ninth": "maj9", "minor-ninth": "m9",
+    "dominant-11th": "11", "suspended-fourth": "sus4",
+    "suspended-second": "sus2", "power": "5", "none": None,
+}
+_ALTER_TO_SYM = {1: "#", -1: "b", 0: ""}
+
+
+def _harmony_to_symbol(h: ET.Element) -> Optional[str]:
+    """<harmony> -> ABC chord symbol text ('G7', 'Dm/F#', ...) or None."""
+    step = h.find("root/root-step")
+    if step is None or not step.text:
+        return None
+    alter = h.find("root/root-alter")
+    acc = _ALTER_TO_SYM.get(
+        int(float(alter.text)) if alter is not None and alter.text else 0, "")
+    kind_el = h.find("kind")
+    kind = (kind_el.text or "").strip() if kind_el is not None else "major"
+    suffix = _HARMONY_KINDS.get(kind, "")
+    if suffix is None:  # kind "none" = explicit no-chord
+        return None
+    sym = step.text.strip() + acc + suffix
+    b_step = h.find("bass/bass-step")
+    if b_step is not None and b_step.text:
+        b_alter = h.find("bass/bass-alter")
+        b_acc = _ALTER_TO_SYM.get(
+            int(float(b_alter.text))
+            if b_alter is not None and b_alter.text else 0, "")
+        sym += "/" + b_step.text.strip() + b_acc
+    return sym
 
 
 @dataclass
@@ -122,7 +164,7 @@ def _render_items(items: list[_Item]) -> str:
     while i < len(items):
         it = items[i]
         if it.timemod is None:
-            tokens.append(it.grace + it.core + _dur_to_abc(it.units)
+            tokens.append(it.sym + it.grace + it.core + _dur_to_abc(it.units)
                           + ("-" if it.tie else ""))
             i += 1
             continue
@@ -134,7 +176,7 @@ def _render_items(items: list[_Item]) -> str:
         for k in range(i, j):
             x = items[k]
             written = x.units * a / b  # undo the modification
-            tokens.append(x.grace + x.core + _dur_to_abc(written)
+            tokens.append(x.sym + x.grace + x.core + _dur_to_abc(written)
                           + ("-" if x.tie else ""))
         i = j
     return " ".join(tokens)
@@ -179,30 +221,52 @@ def musicxml_to_abc(path, reference: int = 1, unit: Fraction = Fraction(1, 8)) -
     for p_idx, part in enumerate(parts):
         divisions = 1
         key_alters: dict[str, int] = {}
+        part_fifths: Optional[int] = None
+        part_mode = "major"
+        part_time: Optional[tuple[int, int]] = None
+        pending_sym: Optional[str] = None
 
         for m_idx, measure in enumerate(part.findall("measure")):
+            inline_prefix = ""  # mid-tune [K:]/[M:] changes for this measure
             attrs = measure.find("attributes")
             if attrs is not None:
                 d = attrs.find("divisions")
                 if d is not None:
                     divisions = int(d.text)
                 k = attrs.find("key/fifths")
-                if k is not None:
-                    key_alters = _signature_alters(int(k.text))
-                    if not header_attrs_set or p_idx == 0:
-                        fifths = int(k.text)
                 m_el = attrs.find("key/mode")
-                if m_el is not None and m_el.text and p_idx == 0:
-                    mode = m_el.text
+                new_mode = (m_el.text if m_el is not None and m_el.text
+                            else part_mode)
+                if k is not None:
+                    new_fifths = int(k.text)
+                    key_alters = _signature_alters(new_fifths)
+                    # header K: the tune's OPENING key (part 0, bar 1);
+                    # later changes become inline [K:] fields
+                    if not header_attrs_set or (p_idx == 0 and m_idx == 0):
+                        fifths, mode = new_fifths, new_mode
+                    if m_idx > 0 and (new_fifths, new_mode) != (
+                            part_fifths, part_mode):
+                        inline_prefix += f"[K:{_key_name(new_fifths, new_mode)}] "
+                    part_fifths, part_mode = new_fifths, new_mode
                 t = attrs.find("time")
-                if t is not None and p_idx == 0:
-                    beats = int(t.find("beats").text)
-                    beat_type = int(t.find("beat-type").text)
+                if t is not None:
+                    new_time = (int(t.find("beats").text),
+                                int(t.find("beat-type").text))
+                    if not header_attrs_set or (p_idx == 0 and m_idx == 0):
+                        beats, beat_type = new_time
+                    if m_idx > 0 and new_time != part_time:
+                        inline_prefix += f"[M:{new_time[0]}/{new_time[1]}] "
+                    part_time = new_time
                 header_attrs_set = True
 
             cur_vid = "1"
             measure_voices: list[str] = []
             for el in measure:
+                if el.tag == "harmony":
+                    # chord symbol: attaches to the NEXT note/rest
+                    # (xml2abc behavior for <harmony> -> "sym")
+                    pending_sym = _harmony_to_symbol(el)
+                    continue
                 if el.tag == "forward":
                     # explicit gap: render as a rest in its voice
                     v_el = el.find("voice")
@@ -250,7 +314,10 @@ def musicxml_to_abc(path, reference: int = 1, unit: Fraction = Fraction(1, 8)) -
                                int(tm.find("normal-notes").text))
                 if note.find("rest") is not None:
                     v.graces.clear()
-                    v.items.append(_Item("z", units, timemod))
+                    v.items.append(_Item(
+                        "z", units, timemod,
+                        sym=f'"{pending_sym}"' if pending_sym else ""))
+                    pending_sym = None
                     continue
                 if pitch is None:
                     continue
@@ -271,7 +338,10 @@ def musicxml_to_abc(path, reference: int = 1, unit: Fraction = Fraction(1, 8)) -
                     continue
                 grace = "{" + "".join(v.graces) + "}" if v.graces else ""
                 v.graces.clear()
-                v.items.append(_Item(abc_note, units, timemod, tie, grace))
+                v.items.append(_Item(
+                    abc_note, units, timemod, tie, grace,
+                    sym=f'"{pending_sym}"' if pending_sym else ""))
+                pending_sym = None
 
             # barline for this measure (applies to every voice of this part)
             bar_prefix = ""
@@ -279,17 +349,24 @@ def musicxml_to_abc(path, reference: int = 1, unit: Fraction = Fraction(1, 8)) -
             for bl in measure.findall("barline"):
                 rep = bl.find("repeat")
                 style = bl.find("bar-style")
+                ending = bl.find("ending")
+                if ending is not None and ending.get("type") == "start":
+                    # volta: '[1 ' / '[2 ' before the measure content
+                    num = (ending.get("number") or "1").split(",")[0].strip()
+                    if num.isdigit():
+                        bar_prefix += f"[{num} "
                 if rep is not None and rep.get("direction") == "backward":
                     barline = ":|"
                 elif rep is not None and rep.get("direction") == "forward":
                     if m_idx > 0:
-                        bar_prefix = "|: "
+                        bar_prefix += "|: "
                 elif style is not None and style.text == "light-heavy":
                     barline = "|]"
 
             for vid in measure_voices or ["1"]:
                 v = ctx(p_idx, vid)
-                v.bars.append(bar_prefix + _render_items(v.items) + " " + barline)
+                v.bars.append(bar_prefix + inline_prefix
+                              + _render_items(v.items) + " " + barline)
                 v.items = []
                 v.measure_state = {}
                 v.graces.clear()
@@ -316,6 +393,15 @@ def musicxml_to_abc(path, reference: int = 1, unit: Fraction = Fraction(1, 8)) -
         v = voices[voice_order[0]] if voice_order else _VoiceCtx()
         body.extend(b for b in v.bars if b)
     else:
+        # %%score layout directive: voices of the same part brace-grouped
+        # on one staff system (xml2abc emits the same directive; the in-repo
+        # parser skips %% lines, parser.py:282)
+        groups: list[str] = []
+        for p_idx in sorted({p for p, _ in voice_order}):
+            vs = [str(i + 1) for i, (pp, _) in enumerate(voice_order)
+                  if pp == p_idx]
+            groups.append("(" + " ".join(vs) + ")" if len(vs) > 1 else vs[0])
+        header.insert(len(header) - 1, "%%score " + " ".join(groups))
         for n, key in enumerate(voice_order, start=1):
             body.append(f"V:{n}")
             body.extend(b for b in voices[key].bars if b)

@@ -256,3 +256,112 @@ def test_mxl_container_multivoice(tmp_path):
     tune = AbcParser().parse(abc)
     assert tune.n_voices == 2
     assert sorted(n.pitch for n in tune.notes) == [52, 59, 60, 67]
+
+
+# ---- round-3 features: voltas, <harmony>, %%score, mid-tune changes ------
+
+
+def _write(tmp_path, xml, name="t.xml"):
+    p = tmp_path / name
+    p.write_text(xml)
+    return str(p)
+
+
+def test_volta_endings(tmp_path):
+    """<ending> start barlines -> ABC '[1'/'[2' voltas; repeat expansion in
+    the in-repo parser plays ending 1 then ending 2 (xml2abc parity)."""
+    xml = """<?xml version="1.0"?>
+<score-partwise><part-list><score-part id="P1"/></part-list>
+<part id="P1">
+<measure number="1">
+ <attributes><divisions>1</divisions><key><fifths>0</fifths></key>
+ <time><beats>2</beats><beat-type>4</beat-type></time></attributes>
+ <note><pitch><step>C</step><octave>4</octave></pitch><duration>2</duration></note>
+</measure>
+<measure number="2">
+ <barline location="left"><ending number="1" type="start"/></barline>
+ <note><pitch><step>D</step><octave>4</octave></pitch><duration>2</duration></note>
+ <barline location="right"><ending number="1" type="stop"/>
+  <repeat direction="backward"/></barline>
+</measure>
+<measure number="3">
+ <barline location="left"><ending number="2" type="start"/></barline>
+ <note><pitch><step>E</step><octave>4</octave></pitch><duration>2</duration></note>
+</measure>
+</part></score-partwise>"""
+    abc = musicxml_to_abc(_write(tmp_path, xml))
+    assert "[1 " in abc and "[2 " in abc and ":|" in abc
+    tune = AbcParser().parse(abc)
+    # expanded: C D C E  (first pass takes ending 1, repeat, then ending 2)
+    pitches = [n.pitch for n in tune.notes]
+    assert pitches == [60, 62, 60, 64], (abc, pitches)
+
+
+def test_harmony_chord_symbols(tmp_path):
+    xml = """<?xml version="1.0"?>
+<score-partwise><part-list><score-part id="P1"/></part-list>
+<part id="P1">
+<measure number="1">
+ <attributes><divisions>1</divisions><key><fifths>0</fifths></key>
+ <time><beats>4</beats><beat-type>4</beat-type></time></attributes>
+ <harmony><root><root-step>G</root-step></root><kind>dominant</kind></harmony>
+ <note><pitch><step>G</step><octave>4</octave></pitch><duration>2</duration></note>
+ <harmony><root><root-step>D</root-step></root><kind>minor</kind>
+  <bass><bass-step>F</bass-step><bass-alter>1</bass-alter></bass></harmony>
+ <note><pitch><step>D</step><octave>4</octave></pitch><duration>2</duration></note>
+</measure>
+</part></score-partwise>"""
+    abc = musicxml_to_abc(_write(tmp_path, xml))
+    assert '"G7"' in abc and '"Dm/F#"' in abc, abc
+    # the symbols feed the gchord engine: parseable + at the right times
+    tune = AbcParser().parse(abc)
+    assert [(float(t), s) for t, s in tune.chord_symbols] == [
+        (0.0, "G7"), (2.0, "Dm/F#")]
+
+
+def test_score_directive_emitted_for_multipart(tmp_path):
+    xml = """<?xml version="1.0"?>
+<score-partwise>
+<part-list><score-part id="P1"/><score-part id="P2"/></part-list>
+<part id="P1"><measure number="1">
+ <attributes><divisions>1</divisions><key><fifths>0</fifths></key>
+ <time><beats>4</beats><beat-type>4</beat-type></time></attributes>
+ <note><voice>1</voice><pitch><step>C</step><octave>5</octave></pitch><duration>4</duration></note>
+ <backup><duration>4</duration></backup>
+ <note><voice>2</voice><pitch><step>E</step><octave>4</octave></pitch><duration>4</duration></note>
+</measure></part>
+<part id="P2"><measure number="1">
+ <note><pitch><step>C</step><octave>3</octave></pitch><duration>4</duration></note>
+</measure></part>
+</score-partwise>"""
+    abc = musicxml_to_abc(_write(tmp_path, xml))
+    assert "%%score (1 2) 3" in abc, abc
+    # parser must still consume the tune (%% lines are skipped)
+    tune = AbcParser().parse(abc)
+    assert tune.n_voices == 3
+
+
+def test_mid_tune_key_and_meter_change(tmp_path):
+    xml = """<?xml version="1.0"?>
+<score-partwise><part-list><score-part id="P1"/></part-list>
+<part id="P1">
+<measure number="1">
+ <attributes><divisions>1</divisions><key><fifths>0</fifths></key>
+ <time><beats>4</beats><beat-type>4</beat-type></time></attributes>
+ <note><pitch><step>F</step><octave>4</octave></pitch><duration>4</duration></note>
+</measure>
+<measure number="2">
+ <attributes><key><fifths>1</fifths></key>
+ <time><beats>3</beats><beat-type>4</beat-type></time></attributes>
+ <note><pitch><step>F</step><octave>4</octave></pitch><duration>3</duration></note>
+</measure>
+</part></score-partwise>"""
+    abc = musicxml_to_abc(_write(tmp_path, xml))
+    assert "[K:G]" in abc and "[M:3/4]" in abc, abc
+    # header keeps the OPENING signatures; changes are inline fields
+    assert "M:4/4" in abc and "K:C" in abc, abc
+    tune = AbcParser().parse(abc)
+    # MusicXML pitch is absolute: bar-2 F (no <alter>) must stay natural
+    # under the new K:G — emitted as '=F'
+    assert [n.pitch for n in tune.notes] == [65, 65], abc
+    assert tune.meter == (3, 4)  # final meter after the inline change
