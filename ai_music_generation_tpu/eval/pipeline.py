@@ -83,6 +83,10 @@ class PipelineConfig:
     render_wav: bool = True
     aesthetics_batch_size: int = 10
     synth_batch: int = 8  # tunes rendered per device call (vmapped synth)
+    # shard the render batch over a data-axis mesh of all devices (the
+    # v5e-8 scaling path for the >=100 tunes/min target, BASELINE.md);
+    # False = single-device (identical waveforms either way)
+    shard_synth: bool = False
     metrics_processes: Optional[int] = None  # Pool size for the metrics stage
 
 
@@ -231,6 +235,14 @@ class EvalPipeline:
             from ai_music_generation_tpu.synth.render import synthesize_midi_batch
             from ai_music_generation_tpu.synth.wav_io import write_wav
 
+            mesh = None
+            if c.shard_synth:
+                import jax as _jax
+
+                if _jax.device_count() > 1:
+                    from ai_music_generation_tpu.parallel.mesh import make_mesh
+
+                    mesh = make_mesh()
             for lo in range(0, len(todo), c.synth_batch):
                 chunk = []
                 midis = []
@@ -254,7 +266,7 @@ class EvalPipeline:
                     voice = "sample_bank"
                 try:
                     waves = synthesize_midi_batch(midis, c.sample_rate,
-                                                  voice=voice)
+                                                  voice=voice, mesh=mesh)
                 except Exception as e:
                     print(f"Error rendering batch at {lo}: {e}")
                     n_failed += len(chunk)

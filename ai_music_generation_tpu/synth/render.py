@@ -243,16 +243,30 @@ def render_events_batch(events: jax.Array, total_samples: int,
 def synthesize_midi_batch(
     midis: list, sample_rate: int = SAMPLE_RATE,
     max_seconds: float = 120.0, trim: bool = True,
-    voice: str = "sample_bank",
+    voice: str = "sample_bank", mesh=None,
 ) -> list:
     """Render many MidiFiles in one device call (canonical shapes).
+
+    ``mesh``: optional ``jax.sharding.Mesh`` — the tune batch is padded to
+    the data-axis size and sharded across it, so the per-tune note scans
+    run SPMD over all devices (the v5e-8 scaling story for the ≥100
+    tunes/min target, BASELINE.md; single-process replacement for the
+    reference's per-file CPU pool, ref: abc_to_midi_wav_and_aesthetics
+    .py:119-132). Waveform results and trimming are identical to the
+    unsharded path.
 
     Returns a list of trimmed float32 waveforms, order-matched to ``midis``.
     """
     all_events = [midi_to_events(m, sample_rate) for m in midis]
     n_pad = max((_event_bucket(len(e)) for e in all_events if len(e)), default=EVENT_PAD)
     total = int(min(CANONICAL_SECONDS, max_seconds) * sample_rate)
-    batch = np.zeros((len(midis), n_pad, 4), np.float32)
+    n_rows = len(midis)
+    if mesh is not None:
+        from ai_music_generation_tpu.parallel import mesh as pmesh
+
+        n_data = mesh.shape[pmesh.DATA_AXIS]
+        n_rows = -(-len(midis) // n_data) * n_data  # pad to data-axis size
+    batch = np.zeros((n_rows, n_pad, 4), np.float32)
     needs = []
     for i, ev in enumerate(all_events):
         needs.append(
@@ -261,9 +275,17 @@ def synthesize_midi_batch(
         )
         if len(ev):
             batch[i, : len(ev)] = ev
+    dev_batch = jnp.asarray(batch)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ai_music_generation_tpu.parallel import mesh as pmesh
+
+        dev_batch = jax.device_put(
+            dev_batch, NamedSharding(mesh, P(pmesh.DATA_AXIS, None, None)))
     waves = np.asarray(jax.device_get(
-        render_events_batch(jnp.asarray(batch), total, sample_rate, voice)
-    ))
+        render_events_batch(dev_batch, total, sample_rate, voice)
+    ))[: len(midis)]
     out = []
     for i, wave in enumerate(waves):
         if needs[i] == 0.0:
