@@ -286,6 +286,63 @@ def _unflatten(flat):
     return tree
 
 
+def config_from_state_dict(sd: dict) -> AudioboxConfig:
+    """Infer the encoder geometry from a (prefix-stripped) state dict.
+
+    Readable from key names/shapes: hidden size, layer count, head count
+    (gru_rel_pos_const), FFN width, conv stack dims/kernels, pos-conv
+    kernel/groups, bucket count, feat_extract_norm ("layer" iff conv layer
+    1+ has a layer_norm). NOT inferable: do_stable_layer_norm (pre vs post
+    norm use identical parameters) — defaults to False (WavLM base);
+    override by constructing AudioboxConfig explicitly for a Large-style
+    checkpoint. Strides/max_distance keep WavLM defaults.
+    """
+    import re as _re
+
+    sd = {_strip_prefix(k): v for k, v in sd.items()}
+    proj = sd["feature_projection.projection.weight"]
+    hidden, conv_last = proj.shape
+    n_layers = 1 + max(
+        int(m.group(1)) for k in sd
+        if (m := _re.match(r"encoder\.layers\.(\d+)\.", k)))
+    heads = sd["encoder.layers.0.attention.gru_rel_pos_const"].shape[1]
+    ffn = sd["encoder.layers.0.feed_forward.intermediate_dense.weight"].shape[0]
+    buckets = sd["encoder.layers.0.attention.rel_attn_embed.weight"].shape[0]
+    conv_dim, conv_kernel = [], []
+    i = 0
+    while f"feature_extractor.conv_layers.{i}.conv.weight" in sd:
+        w = sd[f"feature_extractor.conv_layers.{i}.conv.weight"]
+        conv_dim.append(w.shape[0])
+        conv_kernel.append(w.shape[2])
+        i += 1
+    norm_mode = ("layer"
+                 if "feature_extractor.conv_layers.1.layer_norm.weight" in sd
+                 else "group")
+    stride = tuple(WavLMConfig().conv_stride[:len(conv_dim)])
+    pos_key = next((k for k in (
+        "encoder.pos_conv_embed.conv.parametrizations.weight.original1",
+        "encoder.pos_conv_embed.conv.weight_v",
+        "encoder.pos_conv_embed.conv.weight") if k in sd), None)
+    if pos_key is not None:
+        pw = sd[pos_key]
+        pos_k = pw.shape[2]
+        pos_groups = hidden // pw.shape[1]
+    else:
+        pos_k, pos_groups = 128, 16
+    return AudioboxConfig(wavlm=WavLMConfig(
+        hidden_size=int(hidden), num_layers=int(n_layers),
+        num_heads=int(heads), intermediate_size=int(ffn),
+        conv_dim=tuple(int(c) for c in conv_dim),
+        conv_kernel=tuple(int(k) for k in conv_kernel),
+        conv_stride=stride,
+        conv_bias=f"feature_extractor.conv_layers.0.conv.bias" in sd,
+        feat_extract_norm=norm_mode,
+        num_conv_pos_embeddings=int(pos_k),
+        num_conv_pos_embedding_groups=int(pos_groups),
+        num_buckets=int(buckets),
+    ))
+
+
 def load_torch_checkpoint(path: str) -> dict:
     """torch.load a checkpoint file and unwrap common containers."""
     import torch
@@ -311,6 +368,11 @@ class AesPredictor:
 
     def __init__(self, config: Optional[AudioboxConfig] = None,
                  weights=None, batch: int = 8):
+        sd = None
+        if isinstance(weights, str):
+            sd = load_torch_checkpoint(weights)
+            if config is None:  # geometry auto-detected from the checkpoint
+                config = config_from_state_dict(sd)
         self.config = config or AudioboxConfig()
         self.model = AudioboxAesthetics(self.config)
         self.batch = batch
@@ -319,8 +381,7 @@ class AesPredictor:
         params = jax.jit(self.model.init)(
             jax.random.PRNGKey(0), dummy, jnp.full((1,), self.chunk_len))
         self.unmapped: list = []
-        if isinstance(weights, str):
-            sd = load_torch_checkpoint(weights)
+        if sd is not None:
             params, _, self.unmapped = convert_torch_state_dict(sd, params)
         elif isinstance(weights, dict):
             params = weights

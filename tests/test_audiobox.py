@@ -186,6 +186,28 @@ def test_run_aesthetics_prefers_jax_port_when_weights_exist(
     assert aes.run_aesthetics(str(inp), str(out), force_proxy=True) is False
 
 
+def test_config_autodetect_from_state_dict():
+    """Checkpoint geometry (hidden/layers/heads/ffn/convs/buckets/norm mode)
+    is inferred from shapes, so a real torch file needs no manual config."""
+    from ai_music_generation_tpu.eval.audiobox import config_from_state_dict
+
+    for stable in (False, True):
+        hf = _hf_model(stable)
+        cfg = config_from_state_dict(
+            {k: v.numpy() for k, v in hf.state_dict().items()}).wavlm
+        assert cfg.hidden_size == TINY["hidden_size"]
+        assert cfg.num_layers == TINY["num_layers"]
+        assert cfg.num_heads == TINY["num_heads"]
+        assert cfg.intermediate_size == TINY["intermediate_size"]
+        assert cfg.conv_dim == TINY["conv_dim"]
+        assert cfg.conv_kernel == TINY["conv_kernel"]
+        assert cfg.num_buckets == TINY["num_buckets"]
+        assert cfg.num_conv_pos_embeddings == TINY["num_conv_pos_embeddings"]
+        assert cfg.num_conv_pos_embedding_groups == TINY[
+            "num_conv_pos_embedding_groups"]
+        assert cfg.feat_extract_norm == ("layer" if stable else "group")
+
+
 def test_resample_path():
     from ai_music_generation_tpu.eval.audiobox import _to_mono_16k
 
