@@ -247,6 +247,11 @@ def musicxml_to_abc(path, reference: int = 1, unit: Fraction = Fraction(1, 8)) -
                     if m_idx > 0 and (new_fifths, new_mode) != (
                             part_fifths, part_mode):
                         inline_prefix += f"[K:{_key_name(new_fifths, new_mode)}] "
+                    elif m_idx == 0 and (new_fifths, new_mode) != (fifths, mode):
+                        # a part OPENING in a different key than the header
+                        # (e.g. transposing instrument) needs its own [K:],
+                        # else its signature accidentals are lost on parse
+                        inline_prefix += f"[K:{_key_name(new_fifths, new_mode)}] "
                     part_fifths, part_mode = new_fifths, new_mode
                 t = attrs.find("time")
                 if t is not None:
@@ -255,6 +260,8 @@ def musicxml_to_abc(path, reference: int = 1, unit: Fraction = Fraction(1, 8)) -
                     if not header_attrs_set or (p_idx == 0 and m_idx == 0):
                         beats, beat_type = new_time
                     if m_idx > 0 and new_time != part_time:
+                        inline_prefix += f"[M:{new_time[0]}/{new_time[1]}] "
+                    elif m_idx == 0 and new_time != (beats, beat_type):
                         inline_prefix += f"[M:{new_time[0]}/{new_time[1]}] "
                     part_time = new_time
                 header_attrs_set = True

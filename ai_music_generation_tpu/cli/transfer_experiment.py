@@ -86,6 +86,11 @@ def main(argv=None):
     a = ap.parse_args(argv)
 
     w = a.work_dir
+    if os.path.isdir(w):
+        # every subdirectory is derived from the flags; a re-run with
+        # different --n_melodies/--seed must not mix stale corpus, split,
+        # or checkpoint files into the new experiment
+        shutil.rmtree(w)
     from ai_music_generation_tpu.cli.bach_pipeline import main as bach_main
     from ai_music_generation_tpu.cli.train import main as train_main
     from ai_music_generation_tpu.data.prepare import prepare_midi_texts

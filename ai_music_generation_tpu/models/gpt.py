@@ -48,6 +48,9 @@ class GPTConfig:
     param_dtype: Any = jnp.float32
     attn_impl: str = "xla"  # "xla" | "pallas" | "flash"
     kv_quantized: bool = False  # int8 KV cache (halves decode HBM traffic)
+    remat: bool = False  # rematerialize each Block in the backward pass:
+    # ~+1/3 FLOPs for O(layers) less saved-activation HBM — the standard
+    # jax.checkpoint trade for models that don't fit 16 GB at full batch
 
     @property
     def head_dim(self) -> int:
@@ -429,6 +432,11 @@ class GPT(nn.Module):
         new_ks: list[Array] = []
         new_vs: list[Array] = []
         quantized = cache is not None and cache.k_scale is not None
+        # remat only makes sense on the training path (no cache to thread)
+        block_cls = (
+            nn.remat(Block, static_argnums=(2, 3, 4, 5))
+            if cfg.remat and cache is None else Block
+        )
         for i in range(cfg.n_layer):
             if cache is None:
                 layer_cache = None
@@ -438,7 +446,7 @@ class GPT(nn.Module):
             else:
                 layer_cache = (cache.k[i], cache.v[i])
             cache_len = None if cache is None else cache.length
-            x, lc = Block(cfg, i, name=f"h_{i}")(
+            x, lc = block_cls(cfg, i, name=f"h_{i}")(
                 x, deterministic, layer_cache, cache_len,
                 None if cache is None else cache.cursor)
             if lc is not None:

@@ -198,8 +198,28 @@ def _load_simple_yaml(path: str) -> dict:
                 entries[current] = {}
             elif current is not None and ":" in line:
                 k, v = line.strip().split(":", 1)
-                entries[current][k.strip()] = v.strip().strip("\"'")
+                entries[current][k.strip()] = _coerce_scalar(v.strip())
     return entries
+
+
+def _coerce_scalar(v: str):
+    """YAML scalar typing for the pyyaml-less fallback — without this,
+    ``drop_duplicates: false`` reaches nodes as the truthy string 'false'."""
+    if v[:1] in "\"'":
+        return v.strip("\"'")
+    low = v.lower()
+    if low in ("true", "yes", "on"):
+        return True
+    if low in ("false", "no", "off"):
+        return False
+    if low in ("null", "~", ""):
+        return None
+    for cast in (int, float):
+        try:
+            return cast(v)
+        except ValueError:
+            pass
+    return v
 
 
 def register_pipelines() -> dict[str, Pipeline]:

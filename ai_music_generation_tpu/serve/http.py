@@ -42,9 +42,13 @@ class EngineRunner:
         self._thread.start()
 
     def submit(self, prompt_tokens, **kw) -> int:
-        if self.error is not None:
-            raise RuntimeError(f"engine thread dead: {self.error}")
         with self._lock:
+            # checked under the lock (and set under it in _loop): a submit
+            # racing the crash handler either registers before the handler
+            # fails all pending events, or sees error set and fails fast —
+            # never an orphaned event that waits out the full client timeout
+            if self.error is not None:
+                raise RuntimeError(f"engine thread dead: {self.error}")
             rid = self.engine.submit(prompt_tokens, **kw)
             self._events[rid] = threading.Event()
         self._wake.set()
@@ -107,8 +111,8 @@ class EngineRunner:
                 # die silently: fail every pending waiter (they return 500
                 # instead of hanging to 504) and mark the engine dead so
                 # /health reports it.
-                self.error = f"{type(exc).__name__}: {exc}"
                 with self._lock:
+                    self.error = f"{type(exc).__name__}: {exc}"
                     for rid, ev in list(self._events.items()):
                         self._results.setdefault(rid, None)  # None = engine error
                         ev.set()

@@ -56,24 +56,33 @@ def make_train_step(
     def train_step(state: TrainState, x, y, rng):
         accum = x.shape[0]
 
-        def micro(carry, inp):
-            g_acc, l_acc = carry
-            xb, yb, i = inp
-            step_rng = jax.random.fold_in(rng, i)
-            loss, grads = grad_fn(state.params, xb, yb, step_rng)
-            g_acc = jax.tree_util.tree_map(jnp.add, g_acc, grads)
-            return (g_acc, l_acc + loss), None
+        if accum == 1:
+            # Fast path: the scan below zero-inits and adds a full
+            # param-sized fp32 tree (~1 GB of HBM traffic at 124M) that a
+            # single micro-step never needs. Numerics are identical: the
+            # scan body would use fold_in(rng, 0) and scale by 1.0.
+            loss, grads = grad_fn(
+                state.params, x[0], y[0], jax.random.fold_in(rng, 0)
+            )
+        else:
+            def micro(carry, inp):
+                g_acc, l_acc = carry
+                xb, yb, i = inp
+                step_rng = jax.random.fold_in(rng, i)
+                loss, grads = grad_fn(state.params, xb, yb, step_rng)
+                g_acc = jax.tree_util.tree_map(jnp.add, g_acc, grads)
+                return (g_acc, l_acc + loss), None
 
-        zero_grads = jax.tree_util.tree_map(
-            lambda p: jnp.zeros(p.shape, jnp.float32), state.params
-        )
-        (grads, loss_sum), _ = jax.lax.scan(
-            micro, (zero_grads, jnp.zeros((), jnp.float32)),
-            (x, y, jnp.arange(accum)),
-        )
-        scale = 1.0 / accum
-        grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
-        loss = loss_sum * scale
+            zero_grads = jax.tree_util.tree_map(
+                lambda p: jnp.zeros(p.shape, jnp.float32), state.params
+            )
+            (grads, loss_sum), _ = jax.lax.scan(
+                micro, (zero_grads, jnp.zeros((), jnp.float32)),
+                (x, y, jnp.arange(accum)),
+            )
+            scale = 1.0 / accum
+            grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
+            loss = loss_sum * scale
 
         grad_norm = optax.global_norm(grads["params"])
         updates, new_opt_state = tx.update(

@@ -158,7 +158,7 @@ def test_abc_fuzz_durations_positive_and_sorted():
         for n in tune.notes:
             assert n.duration > 0, (case, n)
             assert n.start >= 0, (case, n)
-            assert n.start >= last.get(n.voice, Fraction(0)) or True
+            assert n.start >= last.get(n.voice, Fraction(0)), (case, n)
             last[n.voice] = n.start
 
 
