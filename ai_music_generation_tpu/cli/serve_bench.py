@@ -94,7 +94,12 @@ def main(argv=None) -> dict:
     ap.add_argument("--n_embd", type=int, default=384)
     ap.add_argument("--kv_quantized", action="store_true",
                     help="int8 KV cache (halves decode HBM traffic)")
-    ap.add_argument("--seed", type=int, default=0)
+    # default is salted per process: the relay result-caches identical
+    # program+input replays across processes, so a fixed-seed re-run of the
+    # same load reports cache-hit times (verify skill, round-3 additions);
+    # pass an explicit --seed only to reproduce a specific load shape
+    ap.add_argument("--seed", type=int,
+                    default=int(time.time()) & 0x7FFFFF)
     args = ap.parse_args(argv)
     if args.engine == "tunes":
         return bench_tunes(args)

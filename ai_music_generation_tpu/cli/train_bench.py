@@ -95,7 +95,7 @@ def main(argv=None):
 
     x, y = get_batch(0)
     state, metrics = step(state, x, y, rng)  # compile
-    jax.block_until_ready(metrics["loss"])
+    float(metrics["loss"])  # value fetch: the only true barrier (see below)
 
     it_base = 1  # distinct iteration ids across loops (relay-cache defeat)
 
@@ -105,9 +105,15 @@ def main(argv=None):
         for it in range(it_base, it_base + n):
             x, y = get_batch(it)
             state, metrics = step(state, x, y, jax.random.fold_in(rng, it))
-        jax.block_until_ready(metrics["loss"])
+        # fetch the VALUE as the completion barrier: the axon relay acks
+        # block_until_ready before device completion (observed 13x early,
+        # 2026-08-17 — verify skill), but a value computed by the queued
+        # work cannot be returned early, and the single device stream runs
+        # dispatches in order. For exact per-op time use --profile and the
+        # trace (docs/experiments/mfu_sweep.py::device_ms_per_module).
+        loss = float(metrics["loss"])
         it_base += n
-        return (time.time() - t0) / n, float(metrics["loss"])
+        return (time.time() - t0) / n, loss
 
     timed_loop(c["burn_in"])
     if c["profile"]:

@@ -44,18 +44,29 @@ def main():
     )
     gen = Generator(model, max_new_tokens=MAX_NEW, temperature=0.8, top_k=200)
 
-    rng = jax.random.PRNGKey(1)
+    # Per-process salt: the axon relay result-caches identical program+input
+    # replays ACROSS processes, so a fixed seed re-run reports cache-hit
+    # times, not device times (verify skill, round-3 additions).
+    salt = int(time.time()) & 0x7FFFFFFF
+    rng = jax.random.PRNGKey(salt)
     prompts = jax.random.randint(rng, (BATCH, PROMPT_LEN), 0, CONFIG.vocab_size)
 
+    def barrier(x):
+        # block_until_ready is acked before device completion under the
+        # relay (observed 13x early, 2026-08-17); fetching a VALUE computed
+        # from the output cannot be — the single device stream executes
+        # dispatches in order, so this blocks until the queued work is done.
+        return float(jnp.sum(x[:, -1]))
+
     # compile + warmup
-    out = gen.generate(params, prompts, seed=1337)
-    out.block_until_ready()
+    out = gen.generate(params, prompts, seed=salt)
+    barrier(out)
 
     n_iters = 3
     t0 = time.perf_counter()
     for i in range(n_iters):
-        out = gen.generate(params, prompts, seed=1337 + i)
-    out.block_until_ready()
+        out = gen.generate(params, prompts, seed=salt + 1 + i)
+    barrier(out)
     dt = (time.perf_counter() - t0) / n_iters
 
     tokens_per_sec = BATCH * MAX_NEW / dt
