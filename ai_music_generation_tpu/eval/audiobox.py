@@ -367,7 +367,8 @@ class AesPredictor:
     """
 
     def __init__(self, config: Optional[AudioboxConfig] = None,
-                 weights=None, batch: int = 8):
+                 weights=None, batch: int = 8,
+                 chunk_seconds: float = CHUNK_SECONDS):
         sd = None
         if isinstance(weights, str):
             sd = load_torch_checkpoint(weights)
@@ -376,7 +377,9 @@ class AesPredictor:
         self.config = config or AudioboxConfig()
         self.model = AudioboxAesthetics(self.config)
         self.batch = batch
-        self.chunk_len = int(CHUNK_SECONDS * SAMPLE_RATE)
+        # chunk_seconds < CHUNK_SECONDS deviates from the audio-aes windowing
+        # protocol — tests only (CPU attention is quadratic in frames).
+        self.chunk_len = int(chunk_seconds * SAMPLE_RATE)
         dummy = jnp.zeros((1, self.chunk_len), jnp.float32)
         params = jax.jit(self.model.init)(
             jax.random.PRNGKey(0), dummy, jnp.full((1,), self.chunk_len))

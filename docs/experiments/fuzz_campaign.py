@@ -1,0 +1,112 @@
+"""Extended fuzz campaign: the tests/test_fuzz.py generators at scale.
+
+The fast suite runs 1k ABC differential cases + 2x200 codec round trips on
+every CI pass. This script is the long-haul version (default 50k ABC +
+5k codec cases per joining strategy), meant to be run offline whenever
+either ABC compiler or the codec changes semantically:
+
+    python docs/experiments/fuzz_campaign.py [--abc 50000] [--codec 5000]
+
+Any divergence prints the case seed + full tune text (the seed alone is a
+complete repro: ``random_tune(seed)`` / ``_random_score(seed)``) and the
+script exits 1. Results of past campaigns are recorded at the bottom of
+this file.
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))))
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "tests"))
+
+from test_fuzz import _note_set, _random_score, random_tune  # noqa: E402
+
+from ai_music_generation_tpu.abcnotation.parser import AbcParser  # noqa: E402
+
+
+def _build_native_parser():
+    import subprocess
+
+    root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    subprocess.run(["make", "-C", os.path.join(root, "native")], check=True,
+                   capture_output=True)
+    from ai_music_generation_tpu.abcnotation import native
+
+    assert native.native_available()
+    return native.NativeAbcParser()
+
+
+def run_abc(n: int) -> int:
+    py = AbcParser()
+    nat = _build_native_parser()
+    bad = 0
+    t0 = time.time()
+    for case in range(n):
+        abc = random_tune(case)
+        a, b = py.parse(abc), nat.parse(abc)
+        na = [(x.pitch, x.start, x.duration, x.voice) for x in a.notes]
+        nb = [(x.pitch, x.start, x.duration, x.voice) for x in b.notes]
+        if (na != nb or a.meter != b.meter or a.sharps != b.sharps
+                or a.unit_length != b.unit_length):
+            bad += 1
+            print(f"DIVERGENCE case {case}:\n{abc}\n")
+        if case and case % 10000 == 0:
+            rate = case / (time.time() - t0)
+            print(f"  abc {case}/{n} ({rate:.0f}/s), {bad} divergences")
+    print(f"abc differential: {n} cases, {bad} divergences, "
+          f"{time.time() - t0:.0f}s")
+    return bad
+
+
+def run_codec(n: int) -> int:
+    from ai_music_generation_tpu.codec.encoding_settings import EncodingSetting
+    from ai_music_generation_tpu.codec.quantized_converter import (
+        MidiQuantizedConverter,
+    )
+
+    bad = 0
+    t0 = time.time()
+    for joining in ("Queue parallel measures", "Join parallel measures"):
+        conv = MidiQuantizedConverter(EncodingSetting(
+            parallel_voices_joining_method=joining,
+            instruments_to_convert="All instruments",
+        ))
+        for case in range(n):
+            score = _random_score(case)
+            texts = conv.stream_to_texts(score, "fuzz")
+            if not texts:
+                continue
+            back = conv.text_to_score(texts["fuzz"])
+            if _note_set(score) != _note_set(back):
+                bad += 1
+                print(f"ROUND-TRIP FAIL [{joining}] case {case}")
+    print(f"codec round trip: 2x{n} cases, {bad} failures, "
+          f"{time.time() - t0:.0f}s")
+    return bad
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--abc", type=int, default=50_000)
+    ap.add_argument("--codec", type=int, default=5_000)
+    args = ap.parse_args()
+    failures = run_abc(args.abc) + run_codec(args.codec)
+    print("CAMPAIGN", "FAILED" if failures else "CLEAN")
+    sys.exit(1 if failures else 0)
+
+
+# Campaign log
+# ------------
+# 2026-08-17 (round 3): 200,000 ABC differential cases — 0 divergences
+#   (215 s, ~900 case/s); 2x20,000 codec round trips — 0 failures (53 s).
+#   First run at this scale surfaced 14 apparent codec failures at case
+#   depths >= 5,029; all were an ORACLE bug, not a codec bug: the test's
+#   expected note-set numbered parts before the converter's
+#   filter_allowed_parts dropped all-rest parts (reference behavior,
+#   ref quantized_converter.py:838). tests/test_fuzz.py::_note_set now
+#   applies the same filter.

@@ -124,7 +124,7 @@ def test_predictor_end_to_end_jsonl(tmp_path):
     from ai_music_generation_tpu.synth.wav_io import write_wav
 
     cfg = AudioboxConfig(wavlm=_flax_cfg(False))
-    pred = AesPredictor(cfg, batch=2)
+    pred = AesPredictor(cfg, batch=2, chunk_seconds=0.5)
     rng = np.random.default_rng(0)
     paths = []
     for i, sec in enumerate((0.7, 1.9)):
@@ -216,3 +216,46 @@ def test_resample_path():
     assert abs(len(out) - 16000) <= 1
     stereo = np.stack([w, w], axis=1)
     np.testing.assert_allclose(_to_mono_16k(stereo, 44100), out, atol=1e-6)
+
+
+def test_audio_aes_cli_drop_in(tmp_path, monkeypatch, capsys):
+    """cli/audio_aes.py reproduces the audio-aes command surface: positional
+    input.jsonl, --batch-size, one stdout JSON line per input line, NaN row
+    for unreadable files (ref invocation: abc_to_midi_wav_and_aesthetics.py:323-325)."""
+    import ai_music_generation_tpu.eval.audiobox as ab
+    from ai_music_generation_tpu.cli import audio_aes
+    from ai_music_generation_tpu.synth.wav_io import write_wav
+
+    real = ab.AesPredictor
+
+    class Tiny(real):
+        def __init__(self, config=None, weights=None, batch=8):
+            real.__init__(self, AudioboxConfig(wavlm=_flax_cfg(False)),
+                          weights=None, batch=batch, chunk_seconds=0.5)
+
+    monkeypatch.setattr(ab, "AesPredictor", Tiny)
+
+    rng = np.random.default_rng(1)
+    good = tmp_path / "a.wav"
+    write_wav(str(good), (0.1 * rng.normal(size=8000)).astype(np.float32),
+              16000)
+    inp = tmp_path / "in.jsonl"
+    inp.write_text(json.dumps({"path": str(good)}) + "\n"
+                   + json.dumps({"path": str(tmp_path / "missing.wav")}) + "\n")
+
+    # refuses without weights unless --allow-random
+    assert audio_aes.main([str(inp)]) == 2
+    rc = audio_aes.main([str(inp), "--batch-size", "2", "--allow-random"])
+    assert rc == 0
+    rows = [json.loads(x) for x in
+            capsys.readouterr().out.strip().splitlines()]
+    assert len(rows) == 2
+    assert set(rows[0]) == {"CE", "CU", "PC", "PQ"}
+    assert all(np.isfinite(v) for v in rows[0].values())
+    assert all(np.isnan(v) for v in rows[1].values())
+
+    # --output writes a file instead of stdout
+    outf = tmp_path / "out.jsonl"
+    assert audio_aes.main([str(inp), "--allow-random",
+                           "--output", str(outf)]) == 0
+    assert len(outf.read_text().splitlines()) == 2

@@ -210,11 +210,20 @@ def _random_score(seed: int):
 def _note_set(score):
     """(part, absolute offset, ql, pitches) multiset, rests dropped.
 
+    Parts with no pitched notes are dropped BEFORE numbering — the
+    converter's filter_allowed_parts does the same (ref
+    quantized_converter.py:838 keeps only parts containing Note/Chord), so
+    an all-rest part legitimately vanishes from the text and later parts
+    shift down one index (found by the extended fuzz campaign,
+    docs/experiments/fuzz_campaign.py).
+
     Absolute offsets are accumulated from real_durations because
     ``text_to_score`` reconstructs measures sequentially without absolute
     offsets (parity with the reference converter)."""
+    parts = [p for p in score.parts
+             if any(n.pitches for m in p.measures for n in m.notes)]
     out = []
-    for pi, part in enumerate(score.parts):
+    for pi, part in enumerate(parts):
         run = Fraction(0)
         for m in part.measures:
             for n in m.notes:
