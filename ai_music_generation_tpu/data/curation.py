@@ -142,13 +142,48 @@ def is_one_voice(text: str) -> bool:
     return "V:2" not in text
 
 
+# metadata prefixes dropped before control-code computation (ref run_filter,
+# add_control_codes.py:121). 'G' (no colon) is the reference's literal list
+# entry — it only matches a line that IS exactly "G" (line[:2] == 'G' needs
+# a 1-char line), reproduced as-is.
+_FILTERED_PREFIXES = ('A:', 'B:', 'C:', 'D:', 'F:', 'G', 'H:', 'N:', 'O:',
+                      'R:', 'r:', 'S:', 'T:', 'V:', 'W:', 'w:', 'X:', 'Z:')
+
+
+def run_filter(text: str) -> str:
+    """Strip metadata/comment lines from a tune before curation (ref
+    run_filter, add_control_codes.py:116-135): drops lines whose first two
+    chars are a filtered field (titles, lyrics, rhythm marks, X: ids, ...),
+    blank lines, and ``%`` comment lines; a trailing ``%`` comment is cut
+    (everything after the LAST ``%``, per the reference's split/join).
+    Multi-voice tunes (``V:2``) return ""."""
+    if not is_one_voice(text):
+        return ""
+    score = ""
+    for line in text.splitlines(keepends=True):
+        if (line[:2] in _FILTERED_PREFIXES or line == "\n"
+                or line.startswith("%")):
+            continue
+        if "%" in line:
+            parts = line.split("%")
+            score += "".join(parts[:-1]) + "\n"
+        else:
+            score += line
+    return score.strip()
+
+
 def build_control_code_dataset(abc_texts: list[str]) -> list[dict]:
-    """[{'control code', 'abc notation'}] entries for the TunesFormer trainer."""
+    """[{'control code', 'abc notation'}] entries for the TunesFormer trainer.
+
+    Each tune passes through ``run_filter`` first (so titles/lyrics/X: ids
+    never reach the model's training text, matching the reference's
+    data.json), then ``add_control_codes``."""
     out = []
     for text in abc_texts:
-        if not is_one_voice(text):
+        cleaned = run_filter(text)
+        if not cleaned:
             continue
-        header, tune = add_control_codes(text)
+        header, tune = add_control_codes(cleaned)
         if header and tune:
             out.append({"control code": header, "abc notation": tune})
     return out

@@ -109,6 +109,28 @@ def test_add_control_codes():
     assert tune.startswith("X:1\n")
 
 
+def test_run_filter_metadata_stripping():
+    """ref run_filter (add_control_codes.py:116-135): metadata lines (T:,
+    w:, R:, X:, ...) and % comments never reach the curated tune text."""
+    from ai_music_generation_tpu.data.curation import run_filter
+
+    text = ("X:123\nT:The Title % with comment\nR:reel\n"
+            "L:1/8\nM:4/4\nK:G\n%%MIDI program 0\n\n"
+            "GABc dedB| % trailing comment\nw:la la la\ndedB dedB|]\n")
+    out = run_filter(text)
+    lines = out.splitlines()
+    assert lines[0] == "L:1/8"  # K/M/L survive (not in the filter list)
+    assert not any(l[:2] in ("X:", "T:", "R:", "w:") for l in lines)
+    assert not any(l.startswith("%") for l in lines)
+    assert "GABc dedB| " in out and "% trailing" not in out
+    # multi-voice rejected outright
+    assert run_filter("K:C\nV:2\nabc|]") == ""
+    # builder output therefore carries no X:/T: into the training text
+    entries = build_control_code_dataset([text])
+    assert entries and "X:" not in entries[0]["abc notation"]
+    assert entries[0]["abc notation"].startswith("L:1/8")
+
+
 def test_control_codes_rejections():
     # >8 sections rejected
     many = "K:C\n" + ":|".join(["abc|def"] * 9) + "|]"
