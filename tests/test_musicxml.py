@@ -365,3 +365,62 @@ def test_mid_tune_key_and_meter_change(tmp_path):
     # under the new K:G — emitted as '=F'
     assert [n.pitch for n in tune.notes] == [65, 65], abc
     assert tune.meter == (3, 4)  # final meter after the inline change
+
+
+def test_musicxml_round_trip_fuzz(tmp_path):
+    """Seeded random MusicXML -> ABC -> in-repo parser: MIDI pitch/timing
+    equality against directly-computed expectations. Exercises key
+    signatures (fifths -5..5), measure accidental propagation, chords,
+    rests, fractional L-unit durations, and 4/4 / 3/4 / 6/8 meters — the
+    differential complement to the per-feature fixtures above (xml2abc
+    parity surface, ref tunesformer/data_curation.zip)."""
+    import random
+
+    base = {"C": 0, "D": 2, "E": 4, "F": 5, "G": 7, "A": 9, "B": 11}
+    for case in range(150):
+        rng = random.Random(77_000 + case)
+        fifths = rng.randint(-5, 5)
+        divisions = rng.choice([1, 2, 4])
+        beats, beat_type = rng.choice([(4, 4), (3, 4), (6, 8)])
+        total_units = F(4 * beats, beat_type) * divisions
+        assert total_units.denominator == 1
+        total_units = int(total_units)
+
+        measures, expected = [], []
+        t_ql = F(0)
+        for _ in range(rng.randint(1, 3)):
+            m, remaining = [], total_units
+            while remaining:
+                dur = rng.randint(1, min(remaining, 4 * divisions))
+                ql = F(dur, divisions)
+                if rng.random() < 0.2:
+                    m.append(("rest", dur))
+                    expected.append((-1, t_ql, ql))
+                else:
+                    k = 1 if rng.random() < 0.85 else rng.randint(2, 3)
+                    seen = set()
+                    for ci in range(k):
+                        step = rng.choice("CDEFGAB")
+                        alter = rng.choice([-1, 0, 0, 0, 1])
+                        octave = rng.randint(3, 5)
+                        midi = 12 * (octave + 1) + base[step] + alter
+                        if midi in seen:
+                            continue  # generator avoids chord unisons
+                        seen.add(midi)
+                        m.append((step, alter, octave, dur)
+                                 + (("chord",) if ci else ()))
+                        expected.append((midi, t_ql, ql))
+                remaining -= dur
+                t_ql += ql
+            measures.append(m)
+
+        p = tmp_path / f"fuzz{case}.xml"
+        p.write_text(make_musicxml(
+            measures, fifths=fifths, beats=beats, beat_type=beat_type,
+            divisions=divisions))
+        tune = AbcParser().parse(musicxml_to_abc(p))
+        got = sorted((n.pitch, n.start, n.duration) for n in tune.notes)
+        assert got == sorted(expected), (
+            f"case {case}\n{musicxml_to_abc(p)}\n"
+            f"missing={sorted(set(expected)-set(got))[:5]}\n"
+            f"extra={sorted(set(got)-set(expected))[:5]}")
