@@ -73,6 +73,10 @@ class Sf2Zone:
     vel_lo: int = 0
     vel_hi: int = 127
     root: Optional[int] = None  # overridingRootKey
+    start_ofs: int = 0  # sample-address offset generators (spec 0-3):
+    end_ofs: int = 0  # fine per-zone shifts of the sample/loop window
+    startloop_ofs: int = 0
+    endloop_ofs: int = 0
     coarse_tune: int = 0  # semitones
     fine_tune: int = 0  # cents
     atten_cb: int = 0  # initialAttenuation, centibels
@@ -186,7 +190,15 @@ def parse_sf2(path: str) -> Sf2File:
         insts.append((name.split(b"\0")[0].decode("latin1"), bag_ndx))
 
     def _apply_gen(zone: Sf2Zone, oper: int, amount: int) -> None:
-        if oper == GEN_KEY_RANGE:
+        if oper == GEN_START_ADDR_OFS:
+            zone.start_ofs = amount
+        elif oper == GEN_END_ADDR_OFS:
+            zone.end_ofs = amount
+        elif oper == GEN_STARTLOOP_OFS:
+            zone.startloop_ofs = amount
+        elif oper == GEN_ENDLOOP_OFS:
+            zone.endloop_ofs = amount
+        elif oper == GEN_KEY_RANGE:
             zone.key_lo, zone.key_hi = amount & 0xFF, (amount >> 8) & 0xFF
         elif oper == GEN_VEL_RANGE:
             zone.vel_lo, zone.vel_hi = amount & 0xFF, (amount >> 8) & 0xFF
@@ -304,15 +316,21 @@ def bank_from_sf2(
     rows, pitches, keyr, velr, rel = [], [], [], [], []
     for z in preset.zones:
         s = z.sample
-        data = sf.sample_data[s.start:s.end]
-        if len(data) < 8:
+        start = s.start + z.start_ofs
+        end = s.end + z.end_ofs
+        s_loop = s.start_loop + z.startloop_ofs
+        e_loop = s.end_loop + z.endloop_ofs
+        data = sf.sample_data[start:end]
+        if len(data) < 8 or start < 0:
             continue
         ratio = s.sample_rate / sample_rate
-        loop_ok = z.loop and s.start_loop < s.end_loop <= s.end
+        # loop points must lie inside the sample; malformed files otherwise
+        # produce negative relative indices (wrap-around garbage audio)
+        loop_ok = z.loop and start <= s_loop < e_loop <= end
         if loop_ok:
             # materialize [start, end_loop) then tile the loop body
-            head = data[: s.end_loop - s.start]
-            body = data[s.start_loop - s.start: s.end_loop - s.start]
+            head = data[: e_loop - start]
+            body = data[s_loop - start: e_loop - start]
             need = int(np.ceil(L * ratio)) + 2
             if len(head) < need:
                 reps = int(np.ceil((need - len(head)) / max(len(body), 1)))
@@ -414,7 +432,11 @@ def write_sf2(
                          ("decay_tc", GEN_DECAY), ("sustain_cb", GEN_SUSTAIN),
                          ("release_tc", GEN_RELEASE),
                          ("fine_tune", GEN_FINE_TUNE),
-                         ("atten_cb", GEN_INITIAL_ATTEN)):
+                         ("atten_cb", GEN_INITIAL_ATTEN),
+                         ("start_ofs", GEN_START_ADDR_OFS),
+                         ("end_ofs", GEN_END_ADDR_OFS),
+                         ("startloop_ofs", GEN_STARTLOOP_OFS),
+                         ("endloop_ofs", GEN_ENDLOOP_OFS)):
             if key in z:
                 igen_records.append(struct.pack("<Hh", gen, int(z[key])))
         if z.get("loop"):

@@ -132,3 +132,32 @@ def test_pipeline_accepts_sf2_path(fixture_sf2, tmp_path):
 
     wave, rate = read_wav(str(wavs[0]))
     assert len(wave) > 1000 and np.abs(wave).max() > 0.05
+
+
+def test_address_offset_generators(tmp_path):
+    """Sample-address offset generators (SF2 spec gens 0-3) shift the
+    zone's sample/loop window: a loop window expressed via start/endloop
+    offsets must produce the same bank row as the same window stored in
+    the sample header."""
+    path_a = str(tmp_path / "a.sf2")
+    path_b = str(tmp_path / "b.sf2")
+    w = _sine(440.0, seconds=0.2)
+    write_sf2(path_a, [dict(wave=w, root=69, loop=(1600, 2400))])
+    write_sf2(path_b, [dict(wave=w, root=69, loop=(800, 1600),
+                            startloop_ofs=800, endloop_ofs=800)])
+    za = parse_sf2(path_a).presets[0].zones[0]
+    zb = parse_sf2(path_b).presets[0].zones[0]
+    assert (zb.startloop_ofs, zb.endloop_ofs) == (800, 800)
+    assert (za.sample.start_loop - za.sample.start
+            == zb.sample.start_loop - zb.sample.start + zb.startloop_ofs)
+    rows_a = bank_from_sf2(path_a, seconds=1.0)[0]
+    rows_b = bank_from_sf2(path_b, seconds=1.0)[0]
+    np.testing.assert_allclose(rows_a, rows_b, atol=1e-7)
+
+    # out-of-range offsets disable the loop instead of wrapping
+    path_c = str(tmp_path / "c.sf2")
+    write_sf2(path_c, [dict(wave=w, root=69, loop=(800, 1600),
+                            startloop_ofs=-5000)])
+    rows_c = bank_from_sf2(path_c, seconds=1.0)[0]
+    n = len(w)
+    assert np.allclose(rows_c[0][int(n * 1.2):], 0.0)  # no loop extension

@@ -181,3 +181,22 @@ def test_patch_sampling_subset(tiny_model):
     assert jnp.isfinite(subset)
     # subset over only-valid rows differs from the full-context loss
     assert float(subset) != float(full)
+
+
+def test_filter_generated_bar_prefix_rule():
+    """Generated-bar control-code hiding uses the reference's BAR-prefix
+    rule (ref generate.py:143-146: hide the whole bar iff bar[:2] is
+    S:/B:/E:), not the per-line prompt filter — a multi-line bar whose
+    SECOND line is a control code renders intact."""
+    from ai_music_generation_tpu.decode.tunes_generate import (
+        filter_control_codes,
+        filter_generated_bar,
+    )
+
+    assert filter_generated_bar("S:2\n", False) == ""
+    assert filter_generated_bar("E:9\nabc|", False) == ""
+    multi = "abc|\nB:9\n"
+    assert filter_generated_bar(multi, False) == multi  # bar[:2] not a code
+    assert filter_generated_bar("S:2\n", True) == "S:2\n"
+    # the prompt-side filter stays per line
+    assert filter_control_codes("abc|\nB:9\n", False) == "abc|\n"
