@@ -22,6 +22,8 @@ from ai_music_generation_tpu.eval.audiobox import (
 )
 from ai_music_generation_tpu.eval.wavlm import WavLMConfig, WavLMEncoder
 
+pytestmark = pytest.mark.slow  # HF cross-checks + chunked scoring compiles
+
 torch = pytest.importorskip("torch")
 transformers = pytest.importorskip("transformers")
 
