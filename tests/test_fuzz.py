@@ -87,13 +87,24 @@ def random_tune(seed: int) -> str:
     lines = ["X:1", f"L:{rng.choice(UNITS)}", f"M:{rng.choice(METERS)}"]
     if rng.random() < 0.3:
         lines.append(f"Q:1/4={rng.randint(60, 200)}")
+    if rng.random() < 0.15:  # comment / directive lines are stripped
+        lines.append(rng.choice(["% a comment", "%%MIDI program 0"]))
     lines.append(f"K:{rng.choice(KEYS)}")
 
     def measures(k: int) -> str:
         out = []
         for _ in range(k):
             n = rng.randint(1, 5)
-            out.append(" ".join(_rand_element(rng) for _ in range(n)))
+            toks = [_rand_element(rng) for _ in range(n)]
+            if rng.random() < 0.1:  # tie across the barline
+                base = rng.choice(LETTERS)
+                toks.append(f"{base}2-")
+                out.append(" ".join(toks))
+                out.append(f"{base} " + _rand_note(rng))
+                continue
+            if rng.random() < 0.08:  # trailing % comment
+                toks.append("% noise " + rng.choice(LETTERS))
+            out.append(" ".join(toks))
         return " | ".join(out)
 
     n_voices = 1 if rng.random() < 0.7 else rng.randint(2, 3)
