@@ -25,8 +25,6 @@ import json
 import os
 import sys
 
-import numpy as np
-
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(
@@ -43,6 +41,10 @@ def main(argv=None) -> int:
                          "scores are meaningless)")
     args = ap.parse_args(argv)
 
+    if args.batch_size < 1:
+        print(f"audio-aes: --batch-size must be >= 1, got {args.batch_size}",
+              file=sys.stderr)
+        return 2
     ckpt = args.ckpt or os.environ.get("AUDIOBOX_WEIGHTS")
     if ckpt and not os.path.exists(ckpt):
         print(f"audio-aes: checkpoint not found: {ckpt}", file=sys.stderr)
@@ -53,31 +55,18 @@ def main(argv=None) -> int:
         return 2
 
     from ai_music_generation_tpu.eval.audiobox import AesPredictor
-    from ai_music_generation_tpu.synth.wav_io import read_wav
 
     predictor = AesPredictor(weights=ckpt, batch=args.batch_size)
-    axes = predictor.config.axes
 
     with open(args.input_jsonl) as f:
         paths = [json.loads(ln)["path"] for ln in f if ln.strip()]
 
     out = open(args.output, "w") if args.output else sys.stdout
     try:
-        # score in file groups so chunks share canonical compiled batches
+        # file groups of batch_size: chunks share canonical compiled batches;
+        # per-file NaN-row semantics live in score_paths (single source)
         for s in range(0, len(paths), args.batch_size):
-            group = paths[s:s + args.batch_size]
-            waves, ok = [], []
-            for p in group:
-                try:
-                    wave, rate = read_wav(p)
-                    waves.append((np.asarray(wave), rate))
-                    ok.append(True)
-                except Exception:
-                    ok.append(False)
-            scored = iter(predictor.score_waves(waves)) if waves else iter([])
-            for good in ok:
-                scores = (next(scored) if good
-                          else {a: float("nan") for a in axes})
+            for scores in predictor.score_paths(paths[s:s + args.batch_size]):
                 out.write(json.dumps(scores) + "\n")
         out.flush()
     finally:

@@ -154,9 +154,15 @@ def run_filter(text: str) -> str:
     """Strip metadata/comment lines from a tune before curation (ref
     run_filter, add_control_codes.py:116-135): drops lines whose first two
     chars are a filtered field (titles, lyrics, rhythm marks, X: ids, ...),
-    blank lines, and ``%`` comment lines; a trailing ``%`` comment is cut
-    (everything after the LAST ``%``, per the reference's split/join).
-    Multi-voice tunes (``V:2``) return ""."""
+    blank lines, and ``%`` comment lines; a trailing ``%`` comment is cut.
+    Multi-voice tunes (``V:2``) return "".
+
+    Deliberate deviation: the reference keeps everything before the LAST
+    ``%`` (split/join-[:-1]), so a line with two ``%`` leaks comment text —
+    including any bar/section delimiters in it — into the training data and
+    deletes literal ``%`` chars. ABC comment semantics (and this repo's
+    parser, abcnotation/parser.py:282) cut at the FIRST ``%``; curation does
+    the same so curated text and parsed music agree."""
     if not is_one_voice(text):
         return ""
     score = ""
@@ -165,8 +171,7 @@ def run_filter(text: str) -> str:
                 or line.startswith("%")):
             continue
         if "%" in line:
-            parts = line.split("%")
-            score += "".join(parts[:-1]) + "\n"
+            score += line.split("%", 1)[0] + "\n"
         else:
             score += line
     return score.strip()

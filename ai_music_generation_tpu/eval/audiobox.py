@@ -437,23 +437,38 @@ class AesPredictor:
                 {a: float(v) for a, v in zip(self.config.axes, sc)})
         return results
 
+    def score_paths(self, paths) -> list:
+        """[wav path, ...] -> [{axis: float}, ...] with a NaN row per
+        unreadable/unscorable file — the single implementation of the
+        audio-aes per-file contract shared by :meth:`score_jsonl` and the
+        drop-in CLI (cli/audio_aes.py). Files are scored together so their
+        chunks pack into shared canonical-shape device batches."""
+        from ai_music_generation_tpu.synth.wav_io import read_wav
+
+        nan_row = {a: float("nan") for a in self.config.axes}
+        waves, ok = [], []
+        for p in paths:
+            try:
+                wave, rate = read_wav(p)
+                waves.append((np.asarray(wave), rate))
+                ok.append(True)
+            except Exception:
+                ok.append(False)
+        try:
+            scored = iter(self.score_waves(waves)) if waves else iter([])
+            return [next(scored) if good else dict(nan_row) for good in ok]
+        except Exception:
+            return [dict(nan_row) for _ in paths]
+
     def score_jsonl(self, input_jsonl: str, output_jsonl: str) -> None:
         """Same contract as the audio-aes CLI (ref :323-325): each input
         line ``{"path": wav}`` becomes one output line of axis scores."""
-        from ai_music_generation_tpu.synth.wav_io import read_wav
-
-        with open(input_jsonl) as f, open(output_jsonl, "w") as out:
-            for line in f:
-                line = line.strip()
-                if not line:
-                    continue
-                path = json.loads(line)["path"]
-                try:
-                    wave, rate = read_wav(path)
-                    scores = self.score_wave(np.asarray(wave), rate)
-                except Exception:
-                    scores = {a: float("nan") for a in self.config.axes}
-                out.write(json.dumps(scores) + "\n")
+        with open(input_jsonl) as f:
+            paths = [json.loads(ln)["path"] for ln in f if ln.strip()]
+        with open(output_jsonl, "w") as out:
+            for s in range(0, len(paths), max(self.batch, 1)):
+                for scores in self.score_paths(paths[s:s + max(self.batch, 1)]):
+                    out.write(json.dumps(scores) + "\n")
 
 
 def _to_mono_16k(wave: np.ndarray, rate: int) -> np.ndarray:

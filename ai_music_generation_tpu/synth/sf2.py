@@ -317,7 +317,10 @@ def bank_from_sf2(
     for z in preset.zones:
         s = z.sample
         start = s.start + z.start_ofs
-        end = s.end + z.end_ofs
+        # clamp to the data that actually exists: a malformed end offset past
+        # the smpl chunk would otherwise pass validation while numpy slicing
+        # silently truncated the loop body (zero-padded garbage when tiled)
+        end = min(s.end + z.end_ofs, len(sf.sample_data))
         s_loop = s.start_loop + z.startloop_ofs
         e_loop = s.end_loop + z.endloop_ofs
         data = sf.sample_data[start:end]

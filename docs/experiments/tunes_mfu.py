@@ -81,9 +81,10 @@ def main():
         return body.at[:, :, 0].set(1).at[:, :, S - 1].set(2)
 
     for B in batches:
-        # FLOPs numerator from the compiled step itself
-        lowered = jax.jit(make_tunesformer_train_step(model, tx)).lower(
-            params, opt_state, batch_for(0, B), rng)
+        # FLOPs numerator from the compiled step itself — lower/compile the
+        # SAME jitted `step` so this compile also populates its cache (one
+        # remote compile per batch size, not two; minutes each on axon)
+        lowered = step.lower(params, opt_state, batch_for(0, B), rng)
         cost = lowered.compile().cost_analysis()
         cost = cost[0] if isinstance(cost, (list, tuple)) else cost
         flops = float(cost.get("flops", 0.0)) if cost else 0.0

@@ -102,8 +102,6 @@ def random_tune(seed: int) -> str:
                 out.append(" ".join(toks))
                 out.append(f"{base} " + _rand_note(rng))
                 continue
-            if rng.random() < 0.08:  # trailing % comment
-                toks.append("% noise " + rng.choice(LETTERS))
             out.append(" ".join(toks))
         return " | ".join(out)
 
@@ -124,6 +122,11 @@ def random_tune(seed: int) -> str:
             body.append(f"|: {measures(1)} :: {measures(1)} :| ")
         else:  # start-of-tune repeat end, no explicit |:
             body.append(f"{measures(2)} :| {measures(1)} |]")
+        if rng.random() < 0.08:
+            # trailing % comment at END of a body line only — an interior
+            # comment would comment out the repeat/volta closers, shrinking
+            # the very structures this grammar exists to cover
+            body[-1] += " % noise " + rng.choice(LETTERS)
     return "\n".join(lines + body) + "\n"
 
 

@@ -161,3 +161,17 @@ def test_address_offset_generators(tmp_path):
     rows_c = bank_from_sf2(path_c, seconds=1.0)[0]
     n = len(w)
     assert np.allclose(rows_c[0][int(n * 1.2):], 0.0)  # no loop extension
+
+
+def test_end_offset_past_sample_data_disables_loop(tmp_path):
+    """An end-address offset pointing past the real smpl data must not pass
+    loop validation (numpy slicing would silently truncate the loop body and
+    tile guard-zero garbage): the effective end clamps to the data length,
+    the loop window fails the bounds check, and the zone renders unlooped."""
+    path = str(tmp_path / "d.sf2")
+    w = _sine(440.0, seconds=0.2)
+    n = len(w)
+    write_sf2(path, [dict(wave=w, root=69, loop=(n - 400, n - 100),
+                          end_ofs=600, endloop_ofs=600)])
+    rows = bank_from_sf2(path, seconds=1.0)[0]
+    assert np.allclose(rows[0][int(n * 1.5):], 0.0)  # no loop extension
