@@ -57,6 +57,20 @@ def load_library(path: Optional[str] = None):
         return _lib
     path = path or _LIB_PATH
     if not os.path.exists(path):
+        # self-bootstrap: the .so is a build artifact (not in git); build it
+        # once if the toolchain is present. Set ABC_NATIVE_NOBUILD=1 to
+        # skip (pure-Python parser is a full fallback either way).
+        if path == _LIB_PATH and not os.environ.get("ABC_NATIVE_NOBUILD"):
+            import subprocess
+
+            try:
+                subprocess.run(
+                    ["make", "-C", os.path.dirname(_LIB_PATH)],
+                    check=True, capture_output=True, timeout=120,
+                )
+            except Exception:
+                return None
+    if not os.path.exists(path):
         return None
     lib = ctypes.CDLL(path)
     lib.abc_compile.argtypes = [ctypes.c_char_p]
