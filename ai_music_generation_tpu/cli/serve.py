@@ -10,6 +10,12 @@ same checkpoint + meta contract the sampler uses.
 then:
 
     curl -s localhost:8000/generate -d '{"prompt": "$ /0 o0 p60 d12", "max_new_tokens": 200}'
+
+Tuning (measured sweeps in docs/SERVING.md): the default ticks_per_call=32
+favors time-to-first-result for interactive use; for throughput-bound
+loads run --ticks_per_call=128 --n_slots=2048 --kv_quantized=True (the
+fastest measured configuration, 214.9k tok/s steady state on a v5e chip);
+4096 slots is the capacity configuration.
 """
 
 from __future__ import annotations
