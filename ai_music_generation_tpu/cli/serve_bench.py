@@ -55,6 +55,7 @@ def bench_tunes(args) -> dict:
     for i in range(args.n_slots):  # warm pass: compiles + layout convergence
         srv.submit(prompt, max_patch=args.max_patch, seed=10_000 + i)
     srv.run_until_idle()
+    srv.reset_stats()  # warm-pass latencies include compiles
 
     for i in range(args.requests):
         srv.submit(prompt, max_patch=args.max_patch, seed=i)
@@ -72,6 +73,7 @@ def bench_tunes(args) -> dict:
         "wall_s": round(wall, 2),
         "n_slots": args.n_slots,
         "max_patch": args.max_patch,
+        "latency": srv.latency_stats(),
     }
     print(json.dumps(result))
     return result
@@ -144,8 +146,7 @@ def main(argv=None) -> dict:
     srv.run_until_idle()
     cold_wall = time.perf_counter() - t0
 
-    for k in srv.stats:
-        srv.stats[k] = type(srv.stats[k])()
+    srv.reset_stats()  # warm-pass latencies include compiles
     submit_load(srv, args.seed)
     t0 = time.perf_counter()
     finished = list(srv.run_until_idle())
@@ -168,6 +169,7 @@ def main(argv=None) -> dict:
         "kv_quantized": args.kv_quantized,
         "phases": {k: (round(v, 2) if isinstance(v, float) else v)
                    for k, v in stats.items()},
+        "latency": srv.latency_stats(),
     }
     print(json.dumps(result))
     return result

@@ -42,6 +42,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import itertools
+import time as _time
 from collections import deque
 from typing import Optional
 
@@ -79,6 +80,8 @@ class Request:                    # never confuse two same-parameter requests
     generated: list[int] = dataclasses.field(default_factory=list)
     done: bool = False
     internal: bool = False  # engine-internal (slot deactivation); never reported
+    submitted_at: float = 0.0  # perf_counter at submit()
+    finished_at: float = 0.0  # perf_counter when demuxed as done
 
     @property
     def tokens(self) -> list[int]:
@@ -167,6 +170,8 @@ class GenerationServer:
         # in ways device-side reasoning alone cannot explain)
         self.stats = {"steps": 0, "admit_waves": 0, "admit_s": 0.0,
                       "scan_s": 0.0, "fetch_s": 0.0, "demux_s": 0.0}
+        # per-request completion latency (submit -> finished demux), bounded
+        self._latencies: deque = deque(maxlen=10_000)
 
         V = cfg.vocab_size
         self.state = ServeState(
@@ -307,6 +312,7 @@ class GenerationServer:
             id=next(self._ids), prompt=list(map(int, prompt)),
             max_new_tokens=int(max_new_tokens), temperature=float(temperature),
             top_k=int(top_k), seed=int(seed), stop_token=int(stop_token),
+            submitted_at=_time.perf_counter(),
         )
         self._live[req.id] = req
         self._queue.append(req)
@@ -374,8 +380,6 @@ class GenerationServer:
 
     def step(self) -> list[Request]:
         """Admit queued requests, run one scan, return finished requests."""
-        import time as _time
-
         self.stats["steps"] += 1
         admits: list[tuple[int, Request, list[int], int]] = []
 
@@ -464,6 +468,8 @@ class GenerationServer:
                 req.generated.extend(toks[:upto, slot][col].tolist())
             if done_tick[slot] < K:
                 req.done = True
+                req.finished_at = _time.perf_counter()
+                self._latencies.append(req.finished_at - req.submitted_at)
                 self._live.pop(req.id, None)
                 self._finished.append(req)
                 self._slots[slot] = None
@@ -478,6 +484,32 @@ class GenerationServer:
     @property
     def busy(self) -> bool:
         return bool(self._queue) or any(r is not None for r in self._slots)
+
+    def reset_stats(self) -> None:
+        """Zero the phase accounting and latency window (benchmarks call
+        this between warm-up and timed passes so compile-time latencies
+        don't pollute the report)."""
+        for k, v in self.stats.items():
+            self.stats[k] = type(v)()
+        self._latencies.clear()
+
+    def latency_stats(self) -> dict:
+        """p50/p95/p99/mean request completion latency (submit -> finished
+        demux, seconds) over the last <=10k finished requests. Production
+        observability the batch scripts never needed (reported by /health
+        and serve_bench)."""
+        if not self._latencies:
+            return {"count": 0}
+        lat = np.sort(np.asarray(self._latencies, np.float64))
+        q = lambda p: float(lat[min(int(p * len(lat)), len(lat) - 1)])
+        return {
+            "count": len(lat),
+            "p50_s": round(q(0.50), 4),
+            "p95_s": round(q(0.95), 4),
+            "p99_s": round(q(0.99), 4),
+            "mean_s": round(float(lat.mean()), 4),
+            "max_s": round(float(lat[-1]), 4),
+        }
 
     def run_until_idle(self) -> list[Request]:
         """Drive :meth:`step` until queue and slots drain; returns all

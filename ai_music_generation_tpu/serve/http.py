@@ -83,6 +83,8 @@ class EngineRunner:
         if phases:  # per-phase wall-time accounting (GPT engine)
             out["phases"] = {k: (round(v, 3) if isinstance(v, float) else v)
                              for k, v in phases.items()}
+        if hasattr(e, "latency_stats"):
+            out["latency"] = e.latency_stats()
         if self.error is not None:
             out["engine_error"] = self.error
         return out

@@ -34,6 +34,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import itertools
+import time as _time
 from collections import deque
 from typing import Optional
 
@@ -92,6 +93,8 @@ class TuneRequest:
     show_control_code: bool
     text: str = ""  # visible output (prompt + generated bars)
     done: bool = False
+    submitted_at: float = 0.0  # perf_counter at submit()
+    finished_at: float = 0.0
 
 
 class _SlotState:
@@ -135,6 +138,7 @@ class TunesServer:
         self._slots: list[Optional[_SlotState]] = [None] * n_slots
         self._ids = itertools.count()
         self._finished: deque[TuneRequest] = deque()
+        self._latencies: deque = deque(maxlen=10_000)
         # cancellation registry (same thread contract as serve/engine.py:
         # producers touch only these; the engine thread applies them)
         self._live: dict[int, TuneRequest] = {}
@@ -223,6 +227,7 @@ class TunesServer:
             top_p=float(top_p), top_k=int(top_k),
             temperature=float(temperature), seed=int(seed),
             show_control_code=bool(show_control_code),
+            submitted_at=_time.perf_counter(),
         )
         self._live[req.id] = req
         self._queue.append(req)
@@ -342,6 +347,8 @@ class TunesServer:
                         finish = True
             if finish:
                 req.done = True
+                req.finished_at = _time.perf_counter()
+                self._latencies.append(req.finished_at - req.submitted_at)
                 self._live.pop(req.id, None)
                 self._finished.append(req)
                 self._slots[b] = None
@@ -355,6 +362,27 @@ class TunesServer:
     @property
     def busy(self) -> bool:
         return bool(self._queue) or any(s is not None for s in self._slots)
+
+    def reset_stats(self) -> None:
+        """Clear the latency window (see GenerationServer.reset_stats)."""
+        self._latencies.clear()
+
+    def latency_stats(self) -> dict:
+        """p50/p95/p99/mean tune completion latency (submit -> finished,
+        seconds) over the last <=10k finished requests (same contract as
+        GenerationServer.latency_stats)."""
+        if not self._latencies:
+            return {"count": 0}
+        lat = np.sort(np.asarray(self._latencies, np.float64))
+        q = lambda p: float(lat[min(int(p * len(lat)), len(lat) - 1)])
+        return {
+            "count": len(lat),
+            "p50_s": round(q(0.50), 4),
+            "p95_s": round(q(0.95), 4),
+            "p99_s": round(q(0.99), 4),
+            "mean_s": round(float(lat.mean()), 4),
+            "max_s": round(float(lat[-1]), 4),
+        }
 
     def run_until_idle(self) -> list[TuneRequest]:
         out = []

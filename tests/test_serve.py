@@ -268,3 +268,21 @@ def test_engine_sharded_over_mesh(tiny, mesh8):
     sharded, ids2 = run(True)
     assert plain[ids[0]] == sharded[ids2[0]]
     assert plain[ids[1]] == sharded[ids2[1]]
+
+
+def test_latency_stats(tiny):
+    """Per-request completion latency: stamped at submit and finished-demux,
+    percentile summary exposed via latency_stats() (and /health, serve_bench)."""
+    cfg, model, params = tiny
+    srv = GenerationServer(model, params, n_slots=4, ticks_per_call=8)
+    assert srv.latency_stats() == {"count": 0}
+    for i in range(6):
+        srv.submit([1, 2, 3], max_new_tokens=5, seed=i)
+    done = srv.run_until_idle()
+    assert len(done) == 6
+    for r in done:
+        assert r.finished_at > r.submitted_at > 0.0
+    stats = srv.latency_stats()
+    assert stats["count"] == 6
+    assert 0.0 < stats["p50_s"] <= stats["p95_s"] <= stats["p99_s"] <= stats["max_s"]
+    assert stats["mean_s"] > 0.0
