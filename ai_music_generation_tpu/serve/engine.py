@@ -114,7 +114,71 @@ def _per_slot_sample(logits, keys, temperature, top_k):
     return jnp.where(temperature <= 0.0, greedy, sampled)
 
 
-class GenerationServer:
+class EngineHostBase:
+    """Host bookkeeping shared by both serving engines (GenerationServer
+    and serve/tunes_engine.py::TunesServer): finished-queue draining,
+    idle-driving, cancellation plumbing, and latency observability. The
+    engines differ only in their device programs and demux logic."""
+
+    # subclasses create: _queue, _slots, _finished, _live, _cancelled,
+    # _latencies (deque), and optionally a `stats` dict of counters
+
+    def _drain_finished(self) -> list:
+        out = list(self._finished)
+        self._finished.clear()
+        return out
+
+    @property
+    def busy(self) -> bool:
+        return bool(self._queue) or any(r is not None for r in self._slots)
+
+    def run_until_idle(self) -> list:
+        """Drive :meth:`step` until queue and slots drain; returns all
+        finished requests (arrival order not guaranteed)."""
+        out = []
+        while self.busy:
+            out.extend(self.step())
+        return out
+
+    def cancel(self, rid: int) -> bool:
+        """Request cancellation of a queued or in-flight request; returns
+        True if the request is live. Safe from any thread: only the engine
+        thread mutates queue/slots, applying pending cancellations at the
+        start of its next step."""
+        req = self._live.get(rid)
+        if req is None or req.done:
+            return False
+        self._cancelled.add(rid)
+        return True
+
+    def reset_stats(self) -> None:
+        """Zero the phase accounting (if any) and latency window
+        (benchmarks call this between warm-up and timed passes so
+        compile-time latencies don't pollute the report)."""
+        for k, v in getattr(self, "stats", {}).items():
+            self.stats[k] = type(v)()
+        self._latencies.clear()
+
+    def latency_stats(self) -> dict:
+        """p50/p95/p99/mean request completion latency (submit -> finished
+        demux, seconds) over the last <=10k finished requests. Production
+        observability the batch scripts never needed (reported by /health
+        and serve_bench)."""
+        if not self._latencies:
+            return {"count": 0}
+        lat = np.sort(np.asarray(self._latencies, np.float64))
+        q = lambda p: float(lat[min(int(p * len(lat)), len(lat) - 1)])
+        return {
+            "count": len(lat),
+            "p50_s": round(q(0.50), 4),
+            "p95_s": round(q(0.95), 4),
+            "p99_s": round(q(0.99), 4),
+            "mean_s": round(float(lat.mean()), 4),
+            "max_s": round(float(lat[-1]), 4),
+        }
+
+
+class GenerationServer(EngineHostBase):
     """Continuous-batching decode server over a GPT checkpoint.
 
     Usage::
@@ -148,6 +212,12 @@ class GenerationServer:
                 f"ticks_per_call={ticks_per_call} must be <= refresh="
                 f"{self.refresh} (a slot must survive one scan without "
                 "overflowing its cache window)")
+        if self.refresh >= self.block_size:
+            raise ValueError(
+                f"refresh={self.refresh} must be < block_size="
+                f"{self.block_size} (window = block_size - refresh is the "
+                "context kept across a refresh; 0 would disable prompt "
+                "truncation and overflow the ring cache)")
         self.ticks_per_call = ticks_per_call
         self.admit_group = admit_group
         self.window = self.block_size - self.refresh
@@ -308,10 +378,29 @@ class GenerationServer:
             # so a 0 budget would still emit one token; reject instead. (The
             # internal cancel dummy builds its Request directly.)
             raise ValueError("max_new_tokens must be >= 1")
+        # numeric-range validation: these land in packed int32/uint32 numpy
+        # buffers on the ENGINE thread — an out-of-range value there raises
+        # OverflowError mid-step and kills the whole server, so reject (or
+        # coerce, for seed) at the submit boundary instead
+        prompt = [int(t) for t in prompt]
+        V = self.model.config.vocab_size
+        if any(t < 0 or t >= V for t in prompt):
+            raise ValueError(f"prompt tokens must be in [0, {V})")
+        if not (1 <= int(max_new_tokens) < 2**31):
+            raise ValueError("max_new_tokens out of int32 range")
+        if not (-2**31 <= int(top_k) < 2**31):
+            raise ValueError("top_k out of int32 range")
+        if not (-2**31 <= int(stop_token) < 2**31):
+            raise ValueError("stop_token out of int32 range")
+        temperature = float(temperature)
+        if not np.isfinite(temperature):
+            raise ValueError("temperature must be finite")
         req = Request(
-            id=next(self._ids), prompt=list(map(int, prompt)),
-            max_new_tokens=int(max_new_tokens), temperature=float(temperature),
-            top_k=int(top_k), seed=int(seed), stop_token=int(stop_token),
+            id=next(self._ids), prompt=prompt,
+            max_new_tokens=int(max_new_tokens), temperature=temperature,
+            top_k=int(top_k),
+            seed=int(seed) & 0xFFFFFFFF,  # fold into uint32 (negatives ok)
+            stop_token=int(stop_token),
             submitted_at=_time.perf_counter(),
         )
         self._live[req.id] = req
@@ -476,45 +565,4 @@ class GenerationServer:
         self.stats["demux_s"] += _time.perf_counter() - t0
         return self._drain_finished()
 
-    def _drain_finished(self) -> list[Request]:
-        out = list(self._finished)
-        self._finished.clear()
-        return out
 
-    @property
-    def busy(self) -> bool:
-        return bool(self._queue) or any(r is not None for r in self._slots)
-
-    def reset_stats(self) -> None:
-        """Zero the phase accounting and latency window (benchmarks call
-        this between warm-up and timed passes so compile-time latencies
-        don't pollute the report)."""
-        for k, v in self.stats.items():
-            self.stats[k] = type(v)()
-        self._latencies.clear()
-
-    def latency_stats(self) -> dict:
-        """p50/p95/p99/mean request completion latency (submit -> finished
-        demux, seconds) over the last <=10k finished requests. Production
-        observability the batch scripts never needed (reported by /health
-        and serve_bench)."""
-        if not self._latencies:
-            return {"count": 0}
-        lat = np.sort(np.asarray(self._latencies, np.float64))
-        q = lambda p: float(lat[min(int(p * len(lat)), len(lat) - 1)])
-        return {
-            "count": len(lat),
-            "p50_s": round(q(0.50), 4),
-            "p95_s": round(q(0.95), 4),
-            "p99_s": round(q(0.99), 4),
-            "mean_s": round(float(lat.mean()), 4),
-            "max_s": round(float(lat[-1]), 4),
-        }
-
-    def run_until_idle(self) -> list[Request]:
-        """Drive :meth:`step` until queue and slots drain; returns all
-        finished requests (arrival order not guaranteed)."""
-        out = []
-        while self.busy:
-            out.extend(self.step())
-        return out

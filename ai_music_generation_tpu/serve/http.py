@@ -101,8 +101,18 @@ class EngineRunner:
                 self._wake.clear()
                 continue
             try:
+                # step() runs OUTSIDE the lock: the engines document that
+                # submit/cancel from producer threads are safe against a
+                # concurrent engine thread (atomic deque/dict ops), and a
+                # step takes up to a full scan (seconds at large slot
+                # counts) — holding the lock across it would block every
+                # /generate submit for that long. Only the event/result
+                # handoff needs the lock. A request submitted mid-step is
+                # registered in _events under the same lock acquisition as
+                # engine.submit, so the handoff below can never see a
+                # finished request before its event exists.
+                finished = self.engine.step()
                 with self._lock:
-                    finished = self.engine.step()
                     for req in finished:
                         ev = self._events.get(req.id)
                         if ev is None:
@@ -163,8 +173,15 @@ def _make_base_handler(runner: EngineRunner, submit_fn, respond_fn):
                                          "id": rid})
                     return
                 self._json(200, respond_fn(req))
-            except Exception as e:  # noqa: BLE001 — serve errors as JSON
+            except (ValueError, KeyError, TypeError, json.JSONDecodeError) as e:
+                # malformed payload / invalid params -> client error
                 self._json(400, {"error": str(e)})
+            except RuntimeError as e:
+                # engine thread dead (runner.submit raises) -> service down,
+                # NOT the client's fault: 503 so load balancers retry/alert
+                self._json(503, {"error": str(e)})
+            except Exception as e:  # noqa: BLE001 — serve errors as JSON
+                self._json(500, {"error": str(e)})
 
     return Handler
 

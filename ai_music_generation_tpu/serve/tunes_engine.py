@@ -49,6 +49,7 @@ from ai_music_generation_tpu.decode.tunes_generate import (
     prepare_patch_state,
 )
 from ai_music_generation_tpu.models.tunesformer import TunesFormer
+from ai_music_generation_tpu.serve.engine import EngineHostBase
 from ai_music_generation_tpu.tokenizers.patchilizer import Patchilizer
 
 Array = jax.Array
@@ -111,7 +112,7 @@ class _SlotState:
         self.bars = 0  # RNG fold index
 
 
-class TunesServer:
+class TunesServer(EngineHostBase):
     """Continuous-batching TunesFormer server.
 
     Usage mirrors :class:`serve.engine.GenerationServer`::
@@ -222,10 +223,21 @@ class TunesServer:
                show_control_code: bool = True) -> int:
         if not prompt:
             raise ValueError("prompt must be non-empty")
+        # range validation: these land in packed int32 numpy buffers on the
+        # engine thread — out-of-range values would raise OverflowError
+        # mid-step and kill the server (same boundary as GenerationServer)
+        if not (1 <= int(max_patch) < 2**31):
+            raise ValueError("max_patch must be >= 1 (and fit int32)")
+        if not (-2**31 <= int(top_k) < 2**31):
+            raise ValueError("top_k out of int32 range")
+        top_p, temperature = float(top_p), float(temperature)
+        if not (np.isfinite(top_p) and np.isfinite(temperature)):
+            raise ValueError("top_p/temperature must be finite")
         req = TuneRequest(
             id=next(self._ids), prompt=str(prompt), max_patch=int(max_patch),
-            top_p=float(top_p), top_k=int(top_k),
-            temperature=float(temperature), seed=int(seed),
+            top_p=top_p, top_k=int(top_k),
+            temperature=temperature,
+            seed=int(seed) & 0xFFFFFFFF,  # fold into uint32 (negatives ok)
             show_control_code=bool(show_control_code),
             submitted_at=_time.perf_counter(),
         )
@@ -353,39 +365,3 @@ class TunesServer:
                 self._finished.append(req)
                 self._slots[b] = None
         return self._drain_finished()
-
-    def _drain_finished(self) -> list[TuneRequest]:
-        out = list(self._finished)
-        self._finished.clear()
-        return out
-
-    @property
-    def busy(self) -> bool:
-        return bool(self._queue) or any(s is not None for s in self._slots)
-
-    def reset_stats(self) -> None:
-        """Clear the latency window (see GenerationServer.reset_stats)."""
-        self._latencies.clear()
-
-    def latency_stats(self) -> dict:
-        """p50/p95/p99/mean tune completion latency (submit -> finished,
-        seconds) over the last <=10k finished requests (same contract as
-        GenerationServer.latency_stats)."""
-        if not self._latencies:
-            return {"count": 0}
-        lat = np.sort(np.asarray(self._latencies, np.float64))
-        q = lambda p: float(lat[min(int(p * len(lat)), len(lat) - 1)])
-        return {
-            "count": len(lat),
-            "p50_s": round(q(0.50), 4),
-            "p95_s": round(q(0.95), 4),
-            "p99_s": round(q(0.99), 4),
-            "mean_s": round(float(lat.mean()), 4),
-            "max_s": round(float(lat[-1]), 4),
-        }
-
-    def run_until_idle(self) -> list[TuneRequest]:
-        out = []
-        while self.busy:
-            out.extend(self.step())
-        return out

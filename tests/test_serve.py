@@ -286,3 +286,57 @@ def test_latency_stats(tiny):
     assert stats["count"] == 6
     assert 0.0 < stats["p50_s"] <= stats["p95_s"] <= stats["p99_s"] <= stats["max_s"]
     assert stats["mean_s"] > 0.0
+
+
+def test_submit_validates_numeric_ranges(tiny):
+    """Out-of-range params must be rejected (or coerced, for seed) at the
+    submit boundary: they land in packed int32/uint32 numpy buffers on the
+    ENGINE thread, where an OverflowError would kill the whole server
+    (found by review; repro'd under NumPy 2)."""
+    cfg, model, params = tiny
+    srv = GenerationServer(model, params, n_slots=2, ticks_per_call=4)
+    with pytest.raises(ValueError):
+        srv.submit([1, 2], max_new_tokens=2**40)
+    with pytest.raises(ValueError):
+        srv.submit([1, 2], top_k=2**31)
+    with pytest.raises(ValueError):
+        srv.submit([1, 2], stop_token=-2**40)
+    with pytest.raises(ValueError):
+        srv.submit([1, 2], temperature=float("inf"))
+    with pytest.raises(ValueError):
+        srv.submit([1, cfg.vocab_size], max_new_tokens=3)  # token >= vocab
+    # negative seed folds into uint32 instead of crashing the engine thread
+    rid = srv.submit([1, 2], max_new_tokens=3, seed=-1)
+    done = srv.run_until_idle()
+    assert len(done) == 1 and done[0].id == rid
+    assert len(done[0].generated) >= 1
+
+    # refresh >= block_size would zero the context window (ring overflow)
+    with pytest.raises(ValueError):
+        GenerationServer(model, params, n_slots=2, ticks_per_call=4,
+                         refresh=cfg.block_size)
+
+
+def test_tunes_submit_validates_ranges():
+    from ai_music_generation_tpu.models.tunesformer import (
+        TunesFormer,
+        TunesFormerConfig,
+    )
+    from ai_music_generation_tpu.serve.tunes_engine import TunesServer
+
+    cfg = TunesFormerConfig(patch_length=8, patch_size=8, patch_layers=1,
+                            char_layers=1, n_embd=16, n_head=2, dropout=0.0,
+                            dtype=jnp.float32)
+    model = TunesFormer(cfg)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 8, 8), jnp.int32))
+    srv = TunesServer(model, params, n_slots=2)
+    with pytest.raises(ValueError):
+        srv.submit("K:C\nab|", max_patch=0)
+    with pytest.raises(ValueError):
+        srv.submit("K:C\nab|", top_k=2**31)
+    with pytest.raises(ValueError):
+        srv.submit("K:C\nab|", temperature=float("nan"))
+    rid = srv.submit("K:C\nab|", max_patch=4, seed=-7)  # coerced, not fatal
+    done = srv.run_until_idle()
+    assert len(done) == 1 and done[0].id == rid
