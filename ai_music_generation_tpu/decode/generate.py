@@ -174,5 +174,13 @@ class Generator:
             prompt_lens = jnp.asarray(prompt_lens, jnp.int32)
         prefill_len = int(min(int(jax.device_get(jnp.min(prompt_lens))), self.block_size))
         prefill_len = max(prefill_len, 1)
+        # prefill_len is a STATIC jit arg (it shapes the prefill slice and
+        # the scan trip count): bucket it down to a power of two so ragged
+        # prompt batches compile O(log block_size) programs, not one per
+        # distinct min-length — each extra program costs minutes on the
+        # axon tunnel. Correctness is unchanged: positions from the bucket
+        # to each prompt's true length are replayed by the scan's
+        # in-prompt branch (t < prompt_lens keeps the prompt token).
+        prefill_len = 1 << (prefill_len.bit_length() - 1)
         rng = jax.random.PRNGKey(seed)
         return self._generate(params, prompts, prompt_lens, prefill_len, rng)

@@ -96,7 +96,16 @@ def prepare_patch_state(patchilizer: Patchilizer, prompt: str, L: int, S: int):
     from ai_music_generation_tpu.tokenizers.patchilizer import _ascii
 
     prompt_patches = patchilizer.encode(
-        prompt, L, S, add_special_patches=True)[:-1]
+        prompt, L, S, add_special_patches=True)
+    # Drop the trailing special eos patch so generation continues the tune.
+    # Deliberate deviation from the reference's unconditional [:-1]
+    # (ref generate.py:128): when the prompt fills all L patches, encode()'s
+    # truncation has ALREADY removed the eos patch, and [:-1] would silently
+    # drop the prompt's last real bar from conditioning.
+    eos_patch = ([Patchilizer.bos_token_id]
+                 + [Patchilizer.eos_token_id] * (S - 1))
+    if prompt_patches and list(prompt_patches[-1]) == eos_patch:
+        prompt_patches = prompt_patches[:-1]
     prefix = patchilizer.decode(prompt_patches)
     norm = _ascii(prompt)
     carried = norm[len(prefix):] if norm.startswith(prefix) else ""
@@ -172,7 +181,13 @@ def bar_scan(model, params, patches, n_patches, init_tokens, init_lens,
 
 
 class TunesGenerator:
-    """Compiled batched bar-by-bar generator."""
+    """Compiled batched bar-by-bar generator.
+
+    Hashable by (model config, sampling params) so jit's static-self
+    caching reuses the compiled bar program across instances with equal
+    settings — identity hashing silently recompiled the whole program per
+    instance (same failure Generator in decode/generate.py guards
+    against; minutes per compile on the axon tunnel)."""
 
     def __init__(self, model: TunesFormer, top_p=0.8, top_k=8, temperature=1.2):
         self.model = model
@@ -181,6 +196,16 @@ class TunesGenerator:
         self.top_k = top_k
         self.temperature = temperature
         self.patchilizer = Patchilizer()
+
+    def _jit_key(self):
+        return (self.cfg, self.top_p, self.top_k, self.temperature)
+
+    def __eq__(self, other):
+        return (type(other) is TunesGenerator
+                and self._jit_key() == other._jit_key())
+
+    def __hash__(self):
+        return hash(self._jit_key())
 
     @functools.partial(jax.jit, static_argnums=0)
     def _bar_step(self, params, patches, n_patches, init_tokens, init_lens, rng):
@@ -245,6 +270,13 @@ class TunesGenerator:
             init_lens = np.ones((B,), np.int32)
             init_tokens[:, 0] = Patchilizer.bos_token_id
             for b in range(B):
+                if done[b]:
+                    # no carried injection for finished rows: init_lens must
+                    # stay UNIFORM across the batch — _bar_step folds the
+                    # shared rng by idx[0], and a dead row retaining a longer
+                    # carried prefix would make live rows reuse the same key
+                    # for several consecutive sampled chars
+                    continue
                 # cap at S-2 so at least one char can still be sampled (a
                 # >= S-1 char un-delimited prompt tail would otherwise set
                 # init_lens == S, trip the lens >= S stop at step 0, and

@@ -208,6 +208,31 @@ class CausalSelfAttention(nn.Module):
 
         new_cache = None
         if layer_cache is not None:
+            def cached_att(mask4, ck, cv, ck_scale, cv_scale):
+                # int8: the per-(position, head) scales are factored OUT of
+                # the einsums onto the small [B, H, T, S] attention tensor
+                # (q.(k_q*ks) == (q.k_q)*ks exactly) — the int8 buffers feed
+                # the dots directly and the dequantized [B, S, H, D] copy is
+                # never materialized in HBM. Shared by the ring (per-row
+                # mask) and scalar (causal [T, S] mask) branches so the
+                # serving and batch decode paths cannot drift.
+                scale = jnp.asarray(1.0 / jnp.sqrt(D), cfg.dtype)
+                att = jnp.einsum(
+                    "bthd,bshd->bhts", q, ck.astype(cfg.dtype)) * scale
+                if ck_scale is not None:
+                    att = att * jnp.swapaxes(
+                        ck_scale, 1, 2)[:, :, None, :].astype(cfg.dtype)
+                att = jnp.where(mask4, att, jnp.asarray(-jnp.inf, att.dtype))
+                att = jax.nn.softmax(
+                    att.astype(jnp.float32), axis=-1).astype(cfg.dtype)
+                att = nn.Dropout(cfg.dropout)(att, deterministic=deterministic)
+                if cv_scale is not None:
+                    att = att * jnp.swapaxes(
+                        cv_scale, 1, 2)[:, :, None, :].astype(cfg.dtype)
+                return jnp.einsum(
+                    "bhts,bshd->bthd", att, cv.astype(cfg.dtype)
+                ).reshape(B, T, C)
+
             ck, cv = layer_cache[0], layer_cache[1]  # [B, S, H, D]
             ck_scale = layer_cache[2] if len(layer_cache) > 2 else None
             cv_scale = layer_cache[3] if len(layer_cache) > 2 else None
@@ -239,22 +264,9 @@ class CausalSelfAttention(nn.Module):
                 # its last cache_len[i] ring columns behind the cursor
                 offset = jnp.mod(cursor - jnp.arange(S), S)  # [S]
                 mask = offset[None, :] <= cache_len[:, None]  # [B, S]
-                scale = jnp.asarray(1.0 / jnp.sqrt(D), cfg.dtype)
-                # int8: the per-(position, head) scales are factored OUT of
-                # the einsums onto the small [B, H, T, S] attention tensor
-                # (q·(k_q*ks) == (q·k_q)*ks exactly) — the int8 buffers feed
-                # the dots directly and the dequantized [B, S, H, D] copy is
-                # never materialized in HBM
-                att = jnp.einsum("bthd,bshd->bhts", q, ck.astype(cfg.dtype)) * scale
-                if ck_scale is not None:
-                    att = att * jnp.swapaxes(ck_scale, 1, 2)[:, :, None, :].astype(cfg.dtype)
-                att = jnp.where(
-                    mask[:, None, None, :], att, jnp.asarray(-jnp.inf, att.dtype))
-                att = jax.nn.softmax(att.astype(jnp.float32), axis=-1).astype(cfg.dtype)
-                att = nn.Dropout(cfg.dropout)(att, deterministic=deterministic)
-                if cv_scale is not None:
-                    att = att * jnp.swapaxes(cv_scale, 1, 2)[:, :, None, :].astype(cfg.dtype)
-                y = jnp.einsum("bhts,bshd->bthd", att, cv.astype(cfg.dtype)).reshape(B, T, C)
+                cache4 = (new_cache if len(new_cache) == 4
+                          else (*new_cache, None, None))
+                y = cached_att(mask[:, None, None, :], *cache4)
                 return self._epilogue(y, deterministic), new_cache
             if ck_scale is not None:
                 # int8 cache: quantize the new slab per (position, head)
@@ -286,17 +298,9 @@ class CausalSelfAttention(nn.Module):
             q_pos = cache_len + jnp.arange(T)[:, None]  # [T, 1]
             k_pos = jnp.arange(S)[None, :]  # [1, S]
             mask = k_pos <= q_pos  # [T, S]
-            scale = jnp.asarray(1.0 / jnp.sqrt(D), cfg.dtype)
-            # int8: scales factored onto [B, H, T, S] (see ring branch above)
-            att = jnp.einsum("bthd,bshd->bhts", q, ck.astype(cfg.dtype)) * scale
-            if ck_scale is not None:
-                att = att * jnp.swapaxes(ck_scale, 1, 2)[:, :, None, :].astype(cfg.dtype)
-            att = jnp.where(mask[None, None, :, :], att, jnp.asarray(-jnp.inf, att.dtype))
-            att = jax.nn.softmax(att.astype(jnp.float32), axis=-1).astype(cfg.dtype)
-            att = nn.Dropout(cfg.dropout)(att, deterministic=deterministic)
-            if cv_scale is not None:
-                att = att * jnp.swapaxes(cv_scale, 1, 2)[:, :, None, :].astype(cfg.dtype)
-            y = jnp.einsum("bhts,bshd->bthd", att, cv.astype(cfg.dtype)).reshape(B, T, C)
+            cache4 = (new_cache if len(new_cache) == 4
+                      else (*new_cache, None, None))
+            y = cached_att(mask[None, None, :, :], *cache4)
         elif (
             cfg.attn_impl == "flash"
             and jax.default_backend() == "tpu"
@@ -406,6 +410,15 @@ class GPT(nn.Module):
     ):
         cfg = self.config
         B, T = idx.shape
+        if T > cfg.block_size:
+            # trace-time check (T is static): nn.Embed's clipping gather
+            # would otherwise silently give every position past block_size
+            # the LAST wpe row — corrupt logits instead of an error
+            # (ref asserts the same bound, nanoGPT/model.py:172). With a
+            # cache, keeping length+T <= block_size is the caller's
+            # windowing invariant (decode/generate.py, serve/engine.py).
+            raise ValueError(
+                f"sequence length {T} exceeds block_size {cfg.block_size}")
 
         wte = nn.Embed(
             cfg.vocab_size, cfg.n_embd,

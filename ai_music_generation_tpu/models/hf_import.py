@@ -93,5 +93,14 @@ def from_pretrained(model_type: str, dropout: float = 0.0):
             "weights must already be in the local HF cache or a local path"
         ) from e
     config = config_from_hf(hf.config, dropout)
+    # sanity-check known zoo names against the published shapes
+    # (ref: nanoGPT/model.py:219-224) — a wrong local path masquerading as
+    # a zoo name fails loudly here instead of training on the wrong model
+    expect = GPT2_CONFIGS.get(model_type)
+    if expect is not None:
+        got = {k: getattr(config, k) for k in expect}
+        if got != expect:
+            raise ValueError(
+                f"{model_type!r} loaded with shapes {got}, expected {expect}")
     params = params_from_hf_state(dict(hf.state_dict()), config)
     return config, params

@@ -127,3 +127,17 @@ def test_flash_flag_falls_back_off_tpu():
     _, lf, _ = model_f.apply(params, idx, t)
     _, lx, _ = model_x.apply(params, idx, t)
     assert float(lf) == float(lx)
+
+
+def test_forward_rejects_overlong_sequence():
+    """T > block_size must error at trace time: the wpe clipping gather
+    would otherwise silently reuse the last position row (the reference
+    asserts the same bound, nanoGPT/model.py:172)."""
+    import pytest
+
+    cfg = GPTConfig(block_size=16, vocab_size=32, n_layer=1, n_head=2,
+                    n_embd=16, dropout=0.0)
+    model = GPT(cfg)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32))
+    with pytest.raises(ValueError, match="block_size"):
+        model.apply(params, jnp.zeros((1, 17), jnp.int32))

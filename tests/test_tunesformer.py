@@ -200,3 +200,39 @@ def test_filter_generated_bar_prefix_rule():
     assert filter_generated_bar("S:2\n", True) == "S:2\n"
     # the prompt-side filter stays per line
     assert filter_control_codes("abc|\nB:9\n", False) == "abc|\n"
+
+
+def test_prepare_patch_state_keeps_last_real_patch_at_capacity():
+    """When the prompt fills patch_length, encode()'s truncation already
+    removed the eos patch — the old unconditional [:-1] (ref generate.py:128)
+    dropped the prompt's last real bar from conditioning (review finding;
+    deviation documented in prepare_patch_state)."""
+    from ai_music_generation_tpu.decode.tunes_generate import (
+        prepare_patch_state,
+    )
+
+    p = Patchilizer()
+    L, S = 4, 8
+    long_prompt = "K:C\n" + "ab|" * 10
+    patches, carried = prepare_patch_state(p, long_prompt, L, S)
+    assert len(patches) == L  # all capacity = real content, none dropped
+    eos_patch = [1] + [2] * (S - 1)
+    assert list(patches[-1]) != eos_patch
+    # short prompt: the actual eos patch IS dropped
+    patches2, _ = prepare_patch_state(p, "K:C\nab|", L, S)
+    assert all(list(x) != eos_patch for x in patches2)
+
+
+def test_tunes_generator_value_identity():
+    """Equal-settings TunesGenerators must hash equal so jit's static-self
+    cache reuses one compiled bar program (identity hashing = silent
+    recompile per instance, minutes each on the axon tunnel)."""
+    from ai_music_generation_tpu.decode.tunes_generate import TunesGenerator
+
+    cfg = TunesFormerConfig(patch_length=8, patch_size=8, patch_layers=1,
+                            char_layers=1, n_embd=16, n_head=2, dropout=0.0)
+    m = TunesFormer(cfg)
+    a, b = TunesGenerator(m), TunesGenerator(m)
+    assert a == b and hash(a) == hash(b)
+    c = TunesGenerator(m, top_k=4)
+    assert a != c
