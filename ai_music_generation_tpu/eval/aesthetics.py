@@ -99,11 +99,16 @@ def run_aesthetics(
     if binary and not force_proxy:
         # reference invocation (ref :323-325)
         with open(output_jsonl, "w") as out:
-            subprocess.run(
+            proc = subprocess.run(
                 [binary, input_jsonl, "--batch-size", str(batch_size)],
                 stdout=out, check=False,
             )
-        return True
+        # a broken install (nonzero exit / empty output) must engage the
+        # fallback ladder, not silently report "real scorer used" with an
+        # empty aesthetics.jsonl (review finding)
+        if proc.returncode == 0 and os.path.getsize(output_jsonl) > 0:
+            return True
+        print(f"audio-aes failed (rc={proc.returncode}); falling back")
 
     weights = weights or os.environ.get("AUDIOBOX_WEIGHTS")
     if weights and os.path.exists(weights) and not force_proxy:
@@ -197,6 +202,24 @@ def _ranks(x: np.ndarray) -> np.ndarray:
     return ranks
 
 
+def frame_ci_stats(df) -> dict:
+    """mean/se/moe/ci95 per column of a numeric DataFrame — the ONE
+    implementation of the reference's CI aggregation convention
+    (ref :329-349; NormalDist z, sem ddof=1), shared by the aesthetics
+    and structural-similarity aggregates (eval/pipeline.py)."""
+    mean = df.mean()
+    se = df.sem(ddof=1)
+    z95 = NormalDist().inv_cdf(0.975)
+    moe = z95 * se
+    return {
+        "mean": mean.to_dict(),
+        "se": se.to_dict(),
+        "moe": moe.to_dict(),
+        "ci95_lower": (mean - moe).to_dict(),
+        "ci95_upper": (mean + moe).to_dict(),
+    }
+
+
 def aggregate_jsonl_stats(jsonl_path: str, columns: Optional[list[str]] = None) -> dict:
     """mean/se/moe/ci95 per numeric column (ref aggregation :329-349)."""
     import pandas as pd
@@ -209,14 +232,4 @@ def aggregate_jsonl_stats(jsonl_path: str, columns: Optional[list[str]] = None) 
     df = df.select_dtypes("number")
     if columns:
         df = df[[c for c in columns if c in df.columns]]
-    mean = df.mean()
-    se = df.sem(ddof=1)
-    z95 = NormalDist().inv_cdf(0.975)
-    moe = z95 * se
-    return {
-        "mean": mean.to_dict(),
-        "se": se.to_dict(),
-        "moe": moe.to_dict(),
-        "ci95_lower": (mean - moe).to_dict(),
-        "ci95_upper": (mean + moe).to_dict(),
-    }
+    return frame_ci_stats(df)

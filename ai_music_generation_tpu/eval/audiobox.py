@@ -68,15 +68,22 @@ class AudioboxAesthetics(nn.Module):
     @nn.compact
     def __call__(self, wave, n_valid=None):
         cfg = self.config
-        _, hiddens = WavLMEncoder(cfg.wavlm, name="encoder")(wave)
-        L1, B, F, D = hiddens.shape
+        B, T = wave.shape
+        F = cfg.wavlm.frames_for_samples(T)
         if n_valid is None:
-            frame_mask = jnp.ones((B, F), jnp.float32)
+            frame_mask = None
         else:
             nf = jax.vmap(
                 lambda n: _frames_for_samples_jnp(cfg.wavlm, n))(n_valid)
             frame_mask = (jnp.arange(F)[None, :] < nf[:, None]).astype(
                 jnp.float32)
+        # the mask reaches the ENCODER too (zeroed padded frames + masked
+        # attention, HF semantics) — pooling-only masking let the padded
+        # tail contaminate valid frames' features (review finding)
+        _, hiddens = WavLMEncoder(cfg.wavlm, name="encoder")(wave, frame_mask)
+        L1, B, F, D = hiddens.shape
+        if frame_mask is None:
+            frame_mask = jnp.ones((B, F), jnp.float32)
         denom = frame_mask.sum(-1, keepdims=True) + 1e-6
 
         outs = []

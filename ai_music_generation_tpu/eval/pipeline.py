@@ -34,6 +34,7 @@ from ai_music_generation_tpu.eval.calculate import (
 )
 from ai_music_generation_tpu.eval.similarities import (
     cyclic_pitch_similarity,
+    cyclic_pitch_similarity_matrix,
     rhythmic_similarity,
 )
 from ai_music_generation_tpu.eval.vectorization import MidiVectorizer
@@ -106,8 +107,16 @@ def structural_metrics(
 ):
     """(inner, reference, conditioned) melody+rhythm SimilarityResult pairs."""
     pf, of = vectorizer.midi_or_score_to_notes_and_offsets_feature_vectors(midi_path)
+    # pitch uses the vectorized all-pairs builder (one broadcast instead of
+    # O(N^2) scalar calls; provably equal to the scalar definition and
+    # tested so in tests/test_metrics.py). Rhythm stays on the exact
+    # Counter path: the histogram builder clamps offsets past its lattice
+    # into an overflow bin, which is only multiset-equal on in-range
+    # grid offsets — exactness beats speed for the cheap Counter Dice.
     inner = (
-        calculate_inner_similarity_of_music_vectors(pf, cyclic_pitch_similarity),
+        calculate_inner_similarity_of_music_vectors(
+            pf, cyclic_pitch_similarity,
+            matrix_fn=cyclic_pitch_similarity_matrix),
         calculate_inner_similarity_of_music_vectors(of, rhythmic_similarity),
     )
     reference = (None, None)
@@ -117,7 +126,9 @@ def structural_metrics(
         )
         reference = (
             calculate_reference_similarity_of_music_vectors(
-                pf, rpf, cyclic_pitch_similarity, n_measures_to_skip=n_conditioned
+                pf, rpf, cyclic_pitch_similarity,
+                n_measures_to_skip=n_conditioned,
+                matrix_fn=cyclic_pitch_similarity_matrix
             ),
             calculate_reference_similarity_of_music_vectors(
                 of, rof, rhythmic_similarity, n_measures_to_skip=n_conditioned
@@ -127,7 +138,8 @@ def structural_metrics(
     if n_conditioned > 0 and len(pf) >= n_conditioned:
         conditioned = (
             calculate_conditioned_similarity_of_music_vectors(
-                pf, n_conditioned, cyclic_pitch_similarity
+                pf, n_conditioned, cyclic_pitch_similarity,
+                matrix_fn=cyclic_pitch_similarity_matrix
             ),
             calculate_conditioned_similarity_of_music_vectors(
                 of, n_conditioned, rhythmic_similarity
@@ -215,6 +227,7 @@ class EvalPipeline:
         # stage 1: compile ABC -> MIDI (host, fast)
         todo = []  # (idx, midi_path)
         n_failed = 0
+        parse_failed: set = set()
         for path, kind in inputs:
             try:
                 if kind == "abc":
@@ -253,6 +266,9 @@ class EvalPipeline:
                     except Exception as e:
                         print(f"Error parsing {midi_path}: {e}")
                         n_failed += 1
+                        # the metrics stage would re-parse and fail again —
+                        # count each bad file ONCE (review finding)
+                        parse_failed.add(idx)
                 if not chunk:
                     continue
                 # soundfont choice (ref midi_to_wav_and_aesthetics.py:105-110):
@@ -285,7 +301,7 @@ class EvalPipeline:
         jobs = [
             (midi_path, self.reference_midi_for(idx, os.path.basename(midi_path)),
              c.n_conditioned_measures)
-            for idx, midi_path in todo
+            for idx, midi_path in todo if idx not in parse_failed
         ]
         inner_rows, ref_rows, cond_rows = [], [], []
 
@@ -311,6 +327,7 @@ class EvalPipeline:
             # spawn: fork after stage 2 initialized the JAX/TPU runtime is
             # unsafe (inherited locked mutexes can deadlock children);
             # workers import only numpy-level modules
+            n_failed_pre_pool = n_failed
             try:
                 ctx = mp.get_context("spawn")
                 with ctx.Pool(c.metrics_processes,
@@ -318,8 +335,16 @@ class EvalPipeline:
                     consume(pool.imap(_metrics_job, jobs))
             except Exception as e:
                 # spawn re-imports __main__, which fails for stdin/notebook
-                # entry points — fall back to serial metrics
+                # entry points — fall back to serial metrics. The pool may
+                # have died MID-iteration (e.g. a worker OOM-killed), so
+                # drop any rows it already yielded before re-running the
+                # full job list, or every consumed file would appear twice
+                # in the JSONLs and double-weight the aggregates
                 print(f"metrics pool unavailable ({e}); running serially")
+                inner_rows.clear()
+                ref_rows.clear()
+                cond_rows.clear()
+                n_failed = n_failed_pre_pool
                 _init_metrics_worker()
                 consume(map(_metrics_job, jobs))
 
@@ -344,26 +369,18 @@ class EvalPipeline:
 
         def aggregate_similarity(jsonl_file: str) -> dict:
             import pandas as pd
-            from statistics import NormalDist
+
+            from ai_music_generation_tpu.eval.aesthetics import frame_ci_stats
 
             if not os.path.exists(jsonl_file) or os.path.getsize(jsonl_file) == 0:
                 return {"error": "No data available"}
             df = pd.read_json(jsonl_file, lines=True)
             if df.empty:
                 return {"error": "No data available"}
-            melody = df["melody"].apply(lambda x: x["mean_best_similarities"])
-            rhythm = df["rhythm"].apply(lambda x: x["mean_best_similarities"])
-            mean = pd.Series({"melody": melody.mean(), "rhythm": rhythm.mean()})
-            se = pd.Series({"melody": melody.sem(ddof=1), "rhythm": rhythm.sem(ddof=1)})
-            z95 = NormalDist().inv_cdf(0.975)
-            moe = se * z95
-            return {
-                "mean": mean.to_dict(),
-                "se": se.to_dict(),
-                "moe": moe.to_dict(),
-                "ci95_lower": (mean - moe).to_dict(),
-                "ci95_upper": (mean + moe).to_dict(),
-            }
+            return frame_ci_stats(pd.DataFrame({
+                "melody": df["melody"].apply(lambda x: x["mean_best_similarities"]),
+                "rhythm": df["rhythm"].apply(lambda x: x["mean_best_similarities"]),
+            }))
 
         aggregated = {
             "inner": aggregate_similarity(inner_jsonl),

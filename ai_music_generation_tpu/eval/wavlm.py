@@ -187,7 +187,8 @@ class GatedRelPosAttention(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: Array, position_bias: Optional[Array]
+        self, x: Array, position_bias: Optional[Array],
+        key_mask: Optional[Array] = None,
     ) -> Tuple[Array, Array]:
         cfg = self.config
         B, T, D = x.shape
@@ -224,6 +225,12 @@ class GatedRelPosAttention(nn.Module):
         vh = v.reshape(B, T, H, hd).transpose(0, 2, 1, 3)
         scores = jnp.einsum("bhqd,bhkd->bhqk", qh, kh).astype(jnp.float32)
         scores = scores / math.sqrt(hd) + gated_bias
+        if key_mask is not None:
+            # HF adds (1-mask)*finfo.min to the scores (attention never
+            # reaches padded frames); mirror the additive form for
+            # numerical parity in the differential tests
+            scores = scores + ((1.0 - key_mask[:, None, None, :])
+                               * jnp.finfo(jnp.float32).min)
         attn = jax.nn.softmax(scores, axis=-1).astype(cfg.dtype)
         out = jnp.einsum("bhqk,bhkd->bhqd", attn, vh)
         out = out.transpose(0, 2, 1, 3).reshape(B, T, D)
@@ -237,7 +244,8 @@ class EncoderLayer(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: Array, position_bias: Optional[Array]
+        self, x: Array, position_bias: Optional[Array],
+        key_mask: Optional[Array] = None,
     ) -> Tuple[Array, Array]:
         cfg = self.config
         attn = GatedRelPosAttention(
@@ -246,11 +254,11 @@ class EncoderLayer(nn.Module):
         ln2 = _LayerNorm(cfg.layer_norm_eps, name="final_layer_norm")
 
         if cfg.do_stable_layer_norm:  # pre-norm (large)
-            a, position_bias = attn(ln1(x), position_bias)
+            a, position_bias = attn(ln1(x), position_bias, key_mask)
             x = x + a
             x = x + self._ffn(ln2(x))
         else:  # post-norm (base)
-            a, position_bias = attn(x, position_bias)
+            a, position_bias = attn(x, position_bias, key_mask)
             x = ln1(x + a)
             x = ln2(x + self._ffn(x))
         return x, position_bias
@@ -275,11 +283,20 @@ class WavLMEncoder(nn.Module):
     config: WavLMConfig
 
     @nn.compact
-    def __call__(self, wave: Array) -> Tuple[Array, Array]:
+    def __call__(self, wave: Array,
+                 frame_mask: Optional[Array] = None) -> Tuple[Array, Array]:
+        """``frame_mask``: optional [B, frames] 1.0/0.0 validity mask (HF
+        ``attention_mask`` downsampled to frames). Padded frames are zeroed
+        before the positional conv and excluded from attention — without
+        this, a padded chunk's silent tail contaminates the valid frames'
+        features (HF masks them; score parity requires the same)."""
         cfg = self.config
         feats = FeatureEncoder(cfg, name="feature_encoder")(wave)
         feats = _LayerNorm(cfg.layer_norm_eps, name="fp_layer_norm")(feats)
         x = nn.Dense(cfg.hidden_size, dtype=cfg.dtype, name="fp_projection")(feats)
+        if frame_mask is not None:
+            # HF zeroes hidden states at padded positions before pos-conv
+            x = x * frame_mask[..., None].astype(x.dtype)
 
         # positional conv embedding (weight pre-composed from weight-norm g,v)
         k = cfg.num_conv_pos_embeddings
@@ -305,7 +322,7 @@ class WavLMEncoder(nn.Module):
         for i in range(cfg.num_layers):
             x, position_bias = EncoderLayer(
                 cfg, has_relative_position_bias=(i == 0), name=f"layer_{i}"
-            )(x, position_bias)
+            )(x, position_bias, frame_mask)
             hiddens.append(x)
 
         if cfg.do_stable_layer_norm:

@@ -74,3 +74,12 @@ def load_checkpoint(
 
 def checkpoint_exists(out_dir: str, name: str = BEST) -> bool:
     return os.path.exists(os.path.join(out_dir, name, "meta.json"))
+
+
+def load_meta(out_dir: str, name: str = BEST) -> dict:
+    """Checkpoint metadata WITHOUT restoring the state pytree — resume
+    needs only model_args/iter_num/best_val_loss to build the model before
+    the real sharded restore (a target=None restore materializes the whole
+    params+optimizer tree on host just to throw it away)."""
+    with open(os.path.join(out_dir, name, "meta.json")) as f:
+        return json.load(f)

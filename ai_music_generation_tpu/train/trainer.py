@@ -97,9 +97,20 @@ class Trainer:
         os.makedirs(c["out_dir"], exist_ok=True)
         self.mesh = pmesh.make_mesh(n_model=c["n_model"])
         self.n_data = self.mesh.shape[pmesh.DATA_AXIS]
-        # reference semantics: accum divided over data-parallel workers
-        # (ref: nanoGPT/train.py:96-99); micro-batch widened instead
-        self.grad_accum = max(1, c["gradient_accumulation_steps"] // self.n_data)
+        # reference semantics: accum divided over data-parallel workers so
+        # tokens/iter stays what the config specifies (ref ASSERTS
+        # divisibility, nanoGPT/train.py:96-99). accum=1 is the documented
+        # widened-batch mode (the music configs' setting: each device adds
+        # batch_size rows, tokens/iter scales with the mesh). Any other
+        # non-divisible accum would silently floor and change tokens/iter
+        # — reject it like the reference does.
+        accum = c["gradient_accumulation_steps"]
+        if accum != 1 and accum % self.n_data != 0:
+            raise ValueError(
+                f"gradient_accumulation_steps={accum} must be 1 (widened-"
+                f"batch mode) or divisible by the data-parallel size "
+                f"{self.n_data} (ref nanoGPT/train.py:96-99)")
+        self.grad_accum = max(1, accum // self.n_data)
         self.micro_batch = c["batch_size"] * self.n_data
         self.tokens_per_iter = self.grad_accum * self.micro_batch * c["block_size"]
 
@@ -133,7 +144,10 @@ class Trainer:
         )
         hf_params = None
         if resuming:
-            _, meta = ckpt_lib.load_checkpoint(c["out_dir"], ckpt_lib.LAST, target=None)
+            # meta-only read: the full (sharded) restore happens below once
+            # the state skeleton exists — a target=None restore here
+            # materialized the whole params+optimizer tree just for meta
+            meta = ckpt_lib.load_meta(c["out_dir"], ckpt_lib.LAST)
             # architecture comes from the checkpoint (ref: train.py:181-185)
             model_args.update({k: meta["model_args"][k] for k in ARCH_KEYS})
         elif c["init_from"] == "resume":

@@ -261,3 +261,43 @@ def test_audio_aes_cli_drop_in(tmp_path, monkeypatch, capsys):
     assert audio_aes.main([str(inp), "--allow-random",
                            "--output", str(outf)]) == 0
     assert len(outf.read_text().splitlines()) == 2
+
+
+def test_flax_wavlm_matches_hf_with_padding_mask():
+    """Padded (ragged) inputs: the encoder must zero padded frames and mask
+    attention exactly like HF (attention_mask path) — pooling-only masking
+    let the silent tail contaminate valid frames (review finding)."""
+    hf = _hf_model(False)
+    rng = np.random.default_rng(3)
+    T = 2400
+    valid = np.array([T, 1400], np.int64)
+    wave = rng.normal(size=(2, T)).astype(np.float32)
+    wave[1, valid[1]:] = 0.0
+    am = (np.arange(T)[None, :] < valid[:, None]).astype(np.int64)
+    with torch.no_grad():
+        ref = hf(torch.from_numpy(wave),
+                 attention_mask=torch.from_numpy(am),
+                 output_hidden_states=True)
+
+    fcfg = _flax_cfg(False)
+    enc = WavLMEncoder(fcfg)
+    template = enc.init(jax.random.PRNGKey(0), jnp.asarray(wave[:, :400]))
+    params, _, unmapped = convert_torch_state_dict(hf.state_dict(), template)
+    assert unmapped == []
+    F = fcfg.frames_for_samples(T)
+    nf = np.array([fcfg.frames_for_samples(int(v)) for v in valid])
+    frame_mask = (np.arange(F)[None, :] < nf[:, None]).astype(np.float32)
+    last, _ = enc.apply(params, jnp.asarray(wave), jnp.asarray(frame_mask))
+
+    # compare VALID frames only (HF leaves padded-frame outputs unspecified)
+    got = np.asarray(last)
+    want = ref.last_hidden_state.numpy()
+    for b in range(2):
+        np.testing.assert_allclose(got[b, :nf[b]], want[b, :nf[b]],
+                                   rtol=2e-4, atol=2e-5,
+                                   err_msg=f"row {b}")
+    # and the masked row must differ from the unmasked forward (the mask
+    # does something)
+    last_nomask, _ = enc.apply(params, jnp.asarray(wave))
+    assert not np.allclose(np.asarray(last_nomask)[1, :nf[1]],
+                           got[1, :nf[1]], atol=1e-4)
