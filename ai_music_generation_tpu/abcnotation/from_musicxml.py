@@ -208,14 +208,17 @@ def musicxml_to_abc(path, reference: int = 1, unit: Fraction = Fraction(1, 8)) -
     voices: dict[tuple[int, str], _VoiceCtx] = {}
     voice_order: list[tuple[int, str]] = []
 
-    def ctx(p_idx: int, vid: str) -> _VoiceCtx:
+    def ctx(p_idx: int, vid: str, m_idx: int = 0) -> _VoiceCtx:
         key = (p_idx, vid)
         if key not in voices:
             voices[key] = _VoiceCtx()
             voice_order.append(key)
-            # voices appearing mid-tune pad with the bars already emitted
-            done = max((len(v.bars) for v in voices.values()), default=0)
-            voices[key].bars = [""] * max(0, done - 1)
+            # a voice first appearing in measure m_idx needs m_idx full-
+            # measure rest bars to stay time-aligned with the tune start
+            # ('' placeholders were dropped at output, so its notes played
+            # from t=0 — review finding; count is the measure index, not
+            # the previous max-1)
+            voices[key].bars = ["Z |"] * m_idx
         return voices[key]
 
     for p_idx, part in enumerate(parts):
@@ -282,7 +285,7 @@ def musicxml_to_abc(path, reference: int = 1, unit: Fraction = Fraction(1, 8)) -
                     dur_el = el.find("duration")
                     if dur_el is not None:
                         units = Fraction(int(dur_el.text), divisions) / quarter_per_unit
-                        v = ctx(p_idx, vid)
+                        v = ctx(p_idx, vid, m_idx)
                         v.items.append(_Item("z", units))
                         if vid not in measure_voices:
                             measure_voices.append(vid)
@@ -293,7 +296,7 @@ def musicxml_to_abc(path, reference: int = 1, unit: Fraction = Fraction(1, 8)) -
                 v_el = note.find("voice")
                 cur_vid = (v_el.text.strip() if v_el is not None and v_el.text
                            else cur_vid)
-                v = ctx(p_idx, cur_vid)
+                v = ctx(p_idx, cur_vid, m_idx)
                 if cur_vid not in measure_voices:
                     measure_voices.append(cur_vid)
                 if note.find("notations/ornaments") is not None:
@@ -371,17 +374,19 @@ def musicxml_to_abc(path, reference: int = 1, unit: Fraction = Fraction(1, 8)) -
                     barline = "|]"
 
             for vid in measure_voices or ["1"]:
-                v = ctx(p_idx, vid)
+                v = ctx(p_idx, vid, m_idx)
                 v.bars.append(bar_prefix + inline_prefix
                               + _render_items(v.items) + " " + barline)
                 v.items = []
                 v.measure_state = {}
                 v.graces.clear()
-            # voices absent from this measure keep alignment with empty bars
+            # voices absent from this measure keep alignment with a
+            # full-measure rest bar (an '' placeholder was dropped at
+            # output, collapsing the timeline)
             for (pp, vid), v in voices.items():
                 if pp == p_idx and vid not in measure_voices \
                         and len(v.bars) == m_idx:
-                    v.bars.append("")
+                    v.bars.append("Z |")
 
     if skipped_ornaments:
         warnings.warn(

@@ -254,6 +254,11 @@ class _VoiceState:
         self.tuplet_remaining = 0
         self.tuplet_factor = Fraction(1)
         self.tie_pending: Optional[AbcNote] = None
+        # the last emitted note(s) OF THIS VOICE sharing one start time —
+        # broken rhythm and ties must resolve against the current voice,
+        # not tune.notes[-1] (another voice's note when V: sections
+        # interleave)
+        self.last_group: list = []
         self.pending_graces: list[int] = []  # pitches awaiting a principal
         # repeat handling
         self.repeat_start_time: Fraction = Fraction(0)
@@ -308,8 +313,19 @@ class AbcParser:
                     in_body = True  # K: ends the header
                 continue
             if in_body:
-                if header and header.group(1) in "wW":
-                    continue  # lyrics
+                if header and len(header.group(1)) == 1:
+                    # mid-body field LINES (abc2midi honors these): K:/M:/
+                    # L:/Q: become inline fields so they apply in sequence;
+                    # V: passes through to the body's voice switch; other
+                    # fields (T:, S:, B:, E:, R:, N:, w:, ...) are metadata
+                    # — previously they were scanned as MUSIC, emitting
+                    # spurious notes and ignoring key/meter changes
+                    tag = header.group(1)
+                    if tag in "MLKQ":
+                        body_lines.append(f"[{tag}:{header.group(2).strip()}]")
+                    elif tag in "Vv":
+                        body_lines.append(line)
+                    continue
                 body_lines.append(line)
             elif header is None:
                 # body before K:? treat as body with default key
@@ -358,21 +374,17 @@ class AbcParser:
                 k = st.broken_count
                 factor_long = Fraction(2 ** (k + 1) - 1, 2 ** k)
                 factor_short = Fraction(1, 2 ** k)
-                if st.pending_broken == ">":
-                    # previous long, this short
-                    prev = tune.notes[-1] if tune.notes else None
-                    if prev is not None:
-                        delta = prev.duration * (factor_long - 1)
-                        prev.duration = prev.duration * factor_long
-                        st.time += delta
-                    dur = dur * factor_short
-                else:  # '<'
-                    prev = tune.notes[-1] if tune.notes else None
-                    if prev is not None:
-                        delta = prev.duration * (factor_short - 1)
-                        prev.duration = prev.duration * factor_short
-                        st.time += delta
-                    dur = dur * factor_long
+                prev_factor = (factor_long if st.pending_broken == ">"
+                               else factor_short)
+                this_factor = (factor_short if st.pending_broken == ">"
+                               else factor_long)
+                if st.last_group:
+                    delta = max(nt.duration for nt in st.last_group) * (
+                        prev_factor - 1)
+                    for nt in st.last_group:
+                        nt.duration = nt.duration * prev_factor
+                    st.time += delta
+                dur = dur * this_factor
                 st.pending_broken = None
                 st.broken_count = 0
             if pitch >= 0 and st.tie_pending is not None and st.tie_pending.pitch == pitch:
@@ -393,7 +405,9 @@ class AbcParser:
                     st.time += per
                 st.pending_graces.clear()
                 dur = dur - steal
-            tune.notes.append(AbcNote(pitch, st.time, dur, vidx))
+            note = AbcNote(pitch, st.time, dur, vidx)
+            tune.notes.append(note)
+            st.last_group = [note]
             # a tie binds only the immediately-following note; clear it either
             # way so a mismatched tie can't capture a later same-pitch note
             st.tie_pending = None
@@ -477,12 +491,14 @@ class AbcParser:
                 continue
             # bars and repeats
             if ch == "|" or ch == ":" or ch == "[":
-                m = re.match(r"(\|\]|\|\||::|\|:|:\|\]?|\[\||\|)", text[i:])
+                m = re.match(
+                    r"(\[\|:|\|\|:|\|\]|\|\||::|\|:|:\|\]?|\[\||\|)",
+                    text[i:])
                 if m:
                     bar = m.group(1)
                     st.measure_accidentals.clear()
                     st.pending_graces.clear()  # graces don't cross barlines
-                    if bar in ("|:", "[|:"):
+                    if bar in ("|:", "[|:", "||:"):
                         st.repeat_start_idx = len(tune.notes)
                         st.repeat_start_time = st.time
                     elif bar.startswith(":|") or bar == "::":
@@ -491,6 +507,14 @@ class AbcParser:
                             st.repeat_start_idx = len(tune.notes)
                             st.repeat_start_time = st.time
                     i += m.end()
+                    # '|1' / ':|2' volta spelling: an ending number directly
+                    # after the barline (equivalent to '[1' / '[2')
+                    em = re.match(r"[0-9]", text[i:i + 1])
+                    if em:
+                        if em.group(0) == "1":
+                            st.first_ending_start = len(tune.notes)
+                            st.first_ending_time = st.time
+                        i += 1
                     continue
             # tuplet
             m = _TUPLET_RE.match(text, i)
@@ -515,8 +539,8 @@ class AbcParser:
                 i += len(run)
                 continue
             if ch == "-":
-                if tune.notes:
-                    st.tie_pending = tune.notes[-1]
+                if st.last_group:
+                    st.tie_pending = st.last_group[-1]
                 i += 1
                 continue
             # chord [CEG]
@@ -533,6 +557,31 @@ class AbcParser:
                         for nm in _NOTE_RE.finditer(inner)
                         if nm.group("letter")
                     ]
+                    # tuplet and broken rhythm apply to chords exactly as to
+                    # single notes (they previously bypassed emit() and the
+                    # tuplet counter leaked onto following plain notes)
+                    factor = Fraction(1)
+                    if st.tuplet_remaining > 0:
+                        factor *= st.tuplet_factor
+                        st.tuplet_remaining -= 1
+                    if st.pending_broken:
+                        k = st.broken_count
+                        f_long = Fraction(2 ** (k + 1) - 1, 2 ** k)
+                        f_short = Fraction(1, 2 ** k)
+                        prev_f = f_long if st.pending_broken == ">" else f_short
+                        this_f = f_short if st.pending_broken == ">" else f_long
+                        if st.last_group:
+                            delta = max(nt.duration for nt in st.last_group
+                                        ) * (prev_f - 1)
+                            for nt in st.last_group:
+                                nt.duration = nt.duration * prev_f
+                            st.time += delta
+                        factor *= this_f
+                        st.pending_broken = None
+                        st.broken_count = 0
+                    if factor != 1:
+                        chord = [(pp, dd * factor) for pp, dd in chord]
+                    st.tie_pending = None  # ties don't bind into chords here
                     max_d = max((d for _, d in chord), default=Fraction(0))
                     if st.pending_graces and chord:
                         # same steal rule as single notes: graces take the
@@ -547,8 +596,11 @@ class AbcParser:
                                  for p, d in chord]
                         max_d = max_d * (GRACE_DEN - GRACE_NUM) / GRACE_DEN
                     start = st.time
-                    for pitch, d in chord:
-                        tune.notes.append(AbcNote(pitch, start, d, vidx))
+                    group = [AbcNote(pitch, start, d, vidx)
+                             for pitch, d in chord]
+                    tune.notes.extend(group)
+                    if group:
+                        st.last_group = group
                     st.time = start + max_d
                     i = j + 1 + (lm.end() if lm else 0)
                     continue
@@ -558,7 +610,11 @@ class AbcParser:
             m = _REST_RE.match(text, i)
             if m:
                 if m.group("kind") in "ZX":
-                    bars = int(m.group("len") or 1)
+                    try:
+                        bars = int(m.group("len") or 1)
+                    except ValueError:
+                        i += 1  # 'Z/2' is malformed (Z takes an integer
+                        continue  # bar count): skip the Z, rescan the rest
                     bar_ql = Fraction(4 * tune.meter[0], tune.meter[1])
                     emit(-1, bar_ql * bars, st, vidx)
                 else:

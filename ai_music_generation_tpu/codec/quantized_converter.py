@@ -74,8 +74,16 @@ class TokenType(str, Enum):
 
 
 class BarModel(BaseModel):
-    bar_duration_quarterLength: float
-    real_duration_quarterLength: float
+    """ref BarModel (quantized_converter.py:42-49). Deviation: durations
+    are exact Fractions, not floats — Fraction(float(8/3)) has a dyadic
+    denominator, so a triplet-grid anacrusis (e.g. real duration 8/3)
+    re-encoded through a float emitted the wrong offset token plus a
+    spurious off-grid warning."""
+
+    model_config = {"arbitrary_types_allowed": True}
+
+    bar_duration_quarterLength: Union[Fraction, float]
+    real_duration_quarterLength: Union[Fraction, float]
     is_repeat: bool = False
     is_end: bool = True
     times: Optional[int] = None
@@ -264,8 +272,9 @@ class MidiQuantizedConverter:
 
     def _bar_model_for(self, measure: Measure) -> BarModel:
         bm = BarModel(
-            bar_duration_quarterLength=float(measure.bar_duration),
-            real_duration_quarterLength=float(measure.bar_duration - measure.padding_left),
+            bar_duration_quarterLength=Fraction(measure.bar_duration),
+            real_duration_quarterLength=Fraction(
+                measure.bar_duration - measure.padding_left),
         )
         if self.settings.repeats_handling == "Special tokens":
             if measure.left_repeat:
@@ -449,7 +458,16 @@ class MidiQuantizedConverter:
         padding_parts = [
             mp[-1] if mp and mp[-1].startswith("/ ") else None for mp in measures_parts
         ]
-        measures_parts = [mp[:-1] if mp else mp for mp in measures_parts]
+        # Deliberate deviation: the reference strips the last chunk of every
+        # measure unconditionally (ref :568-574) because codec-emitted text
+        # always ends a measure with the "/ oXX" padding part. Model-
+        # generated or truncated text may omit it — stripping then silently
+        # empties the measure's LAST REAL part, so only strip when the
+        # padding part was actually detected. Identical on codec output.
+        measures_parts = [
+            mp[:-1] if pad is not None else mp
+            for mp, pad in zip(measures_parts, padding_parts)
+        ]
 
         parts = [Part() for _ in range(n_parts)]
         current_ts: list[Optional[TimeSig]] = [None] * max(n_parts, 1)

@@ -178,15 +178,25 @@ def _guess_clef(notes) -> Clef:
 
 
 def measure_boundaries(tsigs, end: QL) -> list[tuple[QL, QL, TimeSig, bool]]:
-    """[(start, bar_duration, tsig, is_change), ...] measure grid up to ``end``."""
+    """[(start, bar_duration, tsig, is_change), ...] measure grid up to ``end``.
+
+    A signature change that falls mid-bar TRUNCATES the previous
+    signature's last measure at the change point — letting it run past
+    produced two overlapping measures whose shared region's notes were
+    emitted twice (review finding). The final segment's last bar still
+    extends to its full nominal length past ``end``."""
     out = []
     for i, (ts_off, ts) in enumerate(tsigs):
-        next_off = tsigs[i + 1][0] if i + 1 < len(tsigs) else max(end, ts_off)
+        has_next = i + 1 < len(tsigs)
+        next_off = tsigs[i + 1][0] if has_next else max(end, ts_off)
         pos = ts_off
         first = True
         while pos < next_off or (first and pos == ts_off and ts_off >= end):
-            out.append((pos, ts.bar_duration, ts, first))
-            pos += ts.bar_duration
+            dur = ts.bar_duration
+            if has_next and pos + dur > next_off:
+                dur = next_off - pos  # truncated pickup before the change
+            out.append((pos, dur, ts, first))
+            pos += dur
             first = False
             if pos >= end and pos >= next_off:
                 break

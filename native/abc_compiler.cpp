@@ -115,6 +115,8 @@ struct VoiceState {
   int tupletRemaining = 0;
   Frac tupletFactor{1, 1};
   int tiePendingIdx = -1;  // index into events
+  std::vector<int> lastGroup;  // THIS voice's last note(s) sharing a start
+                               // (broken rhythm / ties resolve per voice)
   int repeatStartIdx = 0;
   Frac repeatStartTime;
   int firstEndingStart = -1;
@@ -335,8 +337,27 @@ struct Parser {
         continue;
       }
       if (inBody) {
-        if (line.size() > 1 && (line[0] == 'w' || line[0] == 'W') && line[1] == ':')
+        // mid-body field LINES (parser.py parity): K:/M:/L:/Q: become
+        // inline fields applied in sequence; V: passes through to the
+        // body's voice switch; any other letter field (T:, S:, B:, E:,
+        // w:, ...) is metadata and is skipped, never scanned as music
+        if (line.size() > 1 && isalpha((unsigned char)line[0]) && line[1] == ':') {
+          char tag = line[0];
+          if (tag == 'M' || tag == 'L' || tag == 'K' || tag == 'Q') {
+            std::string val = line.substr(2);
+            size_t vs = 0;
+            while (vs < val.size() && isspace((unsigned char)val[vs])) vs++;
+            bodyAccum += '[';
+            bodyAccum += tag;
+            bodyAccum += ':';
+            bodyAccum += val.substr(vs);
+            bodyAccum += "]\n";
+          } else if (tag == 'V' || tag == 'v') {
+            bodyAccum += line;
+            bodyAccum += '\n';
+          }
           continue;
+        }
         bodyAccum += line;
         bodyAccum += '\n';
       } else if (!header) {
@@ -388,20 +409,17 @@ struct Parser {
       int k = st.brokenCount;
       Frac factorLong((1LL << (k + 1)) - 1, 1LL << k);
       Frac factorShort(1, 1LL << k);
-      if (!events.empty()) {
-        Event& prev = events.back();
-        if (st.pendingBroken == '>') {
-          Frac delta = prev.dur * (factorLong - Frac(1));
-          prev.dur = prev.dur * factorLong;
-          st.time = st.time + delta;
-          dur = dur * factorShort;
-        } else {
-          Frac delta = prev.dur * (factorShort - Frac(1));
-          prev.dur = prev.dur * factorShort;
-          st.time = st.time + delta;
-          dur = dur * factorLong;
-        }
+      Frac prevF = (st.pendingBroken == '>') ? factorLong : factorShort;
+      Frac thisF = (st.pendingBroken == '>') ? factorShort : factorLong;
+      if (!st.lastGroup.empty()) {
+        Frac maxPrev;
+        for (int ei : st.lastGroup)
+          if (maxPrev < events[ei].dur) maxPrev = events[ei].dur;
+        Frac delta = maxPrev * (prevF - Frac(1));
+        for (int ei : st.lastGroup) events[ei].dur = events[ei].dur * prevF;
+        st.time = st.time + delta;
       }
+      dur = dur * thisF;
       st.pendingBroken = 0;
       st.brokenCount = 0;
     }
@@ -428,6 +446,7 @@ struct Parser {
       dur = dur - steal;
     }
     events.push_back({(int32_t)pitch, st.time, dur, (int32_t)vidx});
+    st.lastGroup.assign(1, (int)events.size() - 1);
     // a tie binds only the immediately-following note
     st.tiePendingIdx = -1;
     st.time = st.time + dur;
@@ -607,7 +626,9 @@ struct Parser {
       // bars / repeats
       if (ch == '|' || ch == ':' || ch == '[') {
         bool isRepeatStart = false, isRepeatEnd = false, isBar = false;
-        if (match("|]")) { isBar = true; }
+        if (match("[|:")) { isRepeatStart = true; isBar = true; }
+        else if (match("||:")) { isRepeatStart = true; isBar = true; }
+        else if (match("|]")) { isBar = true; }
         else if (match("||")) { isBar = true; }
         else if (match("::")) { isRepeatEnd = true; isRepeatStart = true; isBar = true; }
         else if (match("|:")) { isRepeatStart = true; isBar = true; }
@@ -622,6 +643,15 @@ struct Parser {
           if (isRepeatStart) {
             st->repeatStartIdx = (int)events.size();
             st->repeatStartTime = st->time;
+          }
+          // '|1' / ':|2' volta spelling: an ending number directly after
+          // the barline (equivalent to '[1' / '[2'; parser.py parity)
+          if (i < text.size() && isdigit((unsigned char)text[i])) {
+            if (text[i] == '1') {
+              st->firstEndingStart = (int)events.size();
+              st->firstEndingTime = st->time;
+            }
+            i++;
           }
           continue;
         }
@@ -665,7 +695,7 @@ struct Parser {
         continue;
       }
       if (ch == '-') {
-        if (!events.empty()) st->tiePendingIdx = (int)events.size() - 1;
+        if (!st->lastGroup.empty()) st->tiePendingIdx = st->lastGroup.back();
         i++;
         continue;
       }
@@ -710,6 +740,37 @@ struct Parser {
               k++;
             }
           }
+          // tuplet and broken rhythm apply to chords exactly as to
+          // single notes (parser.py parity)
+          Frac factor(1);
+          if (st->tupletRemaining > 0) {
+            factor = factor * st->tupletFactor;
+            st->tupletRemaining--;
+          }
+          if (st->pendingBroken) {
+            int kb = st->brokenCount;
+            Frac fLong((1LL << (kb + 1)) - 1, 1LL << kb);
+            Frac fShort(1, 1LL << kb);
+            Frac prevF = (st->pendingBroken == '>') ? fLong : fShort;
+            Frac thisF = (st->pendingBroken == '>') ? fShort : fLong;
+            if (!st->lastGroup.empty()) {
+              Frac maxPrev;
+              for (int ei : st->lastGroup)
+                if (maxPrev < events[ei].dur) maxPrev = events[ei].dur;
+              Frac delta = maxPrev * (prevF - Frac(1));
+              for (int ei : st->lastGroup)
+                events[ei].dur = events[ei].dur * prevF;
+              st->time = st->time + delta;
+            }
+            factor = factor * thisF;
+            st->pendingBroken = 0;
+            st->brokenCount = 0;
+          }
+          if (!(factor == Frac(1))) {
+            for (auto& cn : chordNotes) cn.second = cn.second * factor;
+            maxD = maxD * factor;
+          }
+          st->tiePendingIdx = -1;  // ties don't bind into chords here
           if (!st->pendingGraces.empty() && !chordNotes.empty()) {
             // same steal rule as single notes: graces take the first 1/4
             // of the chord span, chord scales to 3/4 (parser.py)
@@ -725,8 +786,11 @@ struct Parser {
             maxD = maxD * scale;
           }
           Frac start = st->time;
-          for (const auto& [pitch, d] : chordNotes)
+          if (!chordNotes.empty()) st->lastGroup.clear();
+          for (const auto& [pitch, d] : chordNotes) {
             events.push_back({(int32_t)pitch, start, d, (int32_t)vidx});
+            st->lastGroup.push_back((int)events.size() - 1);
+          }
           st->time = start + maxD;
           continue;
         }
@@ -736,12 +800,21 @@ struct Parser {
       // rest
       if (ch == 'z' || ch == 'x' || ch == 'Z' || ch == 'X') {
         char kind = ch;
-        i++;
-        Frac len = parseLen();
         if (kind == 'Z' || kind == 'X') {
+          // Z takes an INTEGER bar count; 'Z/2' is malformed — skip the Z
+          // and rescan the remainder (parser.py parity)
+          if (i + 1 < text.size() && text[i + 1] == '/') {
+            i++;
+            continue;
+          }
+          i++;
+          Frac len = parseLen();
+          if (len.den != 1) continue;  // 'Z3/4' malformed: emit nothing
           Frac barQl(4LL * meterNum, meterDen);
           emit(-1, barQl * len, *st, vidx);
         } else {
+          i++;
+          Frac len = parseLen();
           emit(-1, len * unitQl, *st, vidx);
         }
         continue;

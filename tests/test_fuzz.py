@@ -54,15 +54,23 @@ def _rand_element(rng: random.Random, depth: int = 0) -> str:
         k = rng.randint(2, 3)
         inner = " ".join(_rand_note(rng) for _ in range(k)).replace(" ", "")
         return f"[{inner}]" + rng.choice(["", "2", "/2"])
-    if r < 0.66 and depth == 0:  # tuplet with exactly r notes following
+    if r < 0.66 and depth == 0:  # tuplet with exactly r elements following
         p = rng.choice([2, 3, 4, 6])
         forms = [f"({p}", f"({p}:{rng.randint(1, 3)}",
                  f"({p}:{rng.randint(1, 3)}:{p}"]
         head = rng.choice(forms)
-        return head + "".join(_rand_note(rng) for _ in range(p))
-    if r < 0.72:  # broken rhythm pair
-        return (_rand_note(rng) + rng.choice([">", "<", ">>"])
-                + _rand_note(rng))
+        def unit():
+            if rng.random() < 0.15:  # chords inside tuplets
+                return ("[" + _rand_note(rng).replace(" ", "")
+                        + _rand_note(rng).replace(" ", "") + "]")
+            return _rand_note(rng)
+        return head + "".join(unit() for _ in range(p))
+    if r < 0.72:  # broken rhythm pair (sometimes onto/off a chord)
+        left = (_rand_note(rng) if rng.random() < 0.8
+                else "[" + _rand_note(rng) + _rand_note(rng) + "]")
+        right = (_rand_note(rng) if rng.random() < 0.8
+                 else "[" + _rand_note(rng) + _rand_note(rng) + "]")
+        return left + rng.choice([">", "<", ">>"]) + right
     if r < 0.78:  # tie: same pitch twice
         base = rng.choice(ACCIDENTALS) + rng.choice(LETTERS)
         return f"{base}2- {base}"
@@ -91,6 +99,19 @@ def random_tune(seed: int) -> str:
         lines.append(rng.choice(["% a comment", "%%MIDI program 0"]))
     lines.append(f"K:{rng.choice(KEYS)}")
 
+    def body_extra() -> str:
+        """Occasional mid-body field/metadata lines and malformed rests
+        (both compilers must agree on all of them)."""
+        roll = rng.random()
+        if roll < 0.3:
+            return f"K:{rng.choice(KEYS)}"
+        if roll < 0.55:
+            return f"M:{rng.choice(['3/4', '4/4', '6/8'])}"
+        if roll < 0.75:
+            return rng.choice(["T:some title", "R:reel", "N:note text"])
+        return rng.choice(["Z/2 " + _rand_note(rng), "Z3/4",
+                           f"Z{rng.randint(1, 2)}"])
+
     def measures(k: int) -> str:
         out = []
         for _ in range(k):
@@ -111,17 +132,24 @@ def random_tune(seed: int) -> str:
         if n_voices > 1:
             body.append(f"V:{v + 1}")
         shape = rng.random()
-        if shape < 0.25:  # plain
+        if shape < 0.22:  # plain
             body.append(measures(rng.randint(2, 5)) + " |")
-        elif shape < 0.5:  # simple repeat
-            body.append(f"|: {measures(2)} :| {measures(1)} |")
-        elif shape < 0.7:  # volta endings
-            body.append(
-                f"|: {measures(2)} |[1 {measures(1)} :|[2 {measures(1)} |")
-        elif shape < 0.85:  # double repeat ::
+        elif shape < 0.42:  # simple repeat (sometimes [|: / ||: spelling)
+            start = rng.choice(["|:", "|:", "[|:", "||:"])
+            body.append(f"{start} {measures(2)} :| {measures(1)} |")
+        elif shape < 0.62:  # volta endings, bracket or bar-digit spelling
+            if rng.random() < 0.5:
+                body.append(
+                    f"|: {measures(2)} |[1 {measures(1)} :|[2 {measures(1)} |")
+            else:
+                body.append(
+                    f"|: {measures(2)} |1 {measures(1)} :|2 {measures(1)} |")
+        elif shape < 0.8:  # double repeat ::
             body.append(f"|: {measures(1)} :: {measures(1)} :| ")
         else:  # start-of-tune repeat end, no explicit |:
             body.append(f"{measures(2)} :| {measures(1)} |]")
+        if rng.random() < 0.25:
+            body.append(body_extra())
         if rng.random() < 0.08:
             # trailing % comment at END of a body line only — an interior
             # comment would comment out the repeat/volta closers, shrinking

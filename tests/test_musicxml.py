@@ -424,3 +424,34 @@ def test_musicxml_round_trip_fuzz(tmp_path):
             f"case {case}\n{musicxml_to_abc(p)}\n"
             f"missing={sorted(set(expected)-set(got))[:5]}\n"
             f"extra={sorted(set(got)-set(expected))[:5]}")
+
+
+def test_mid_tune_voice_alignment(tmp_path):
+    """A voice first appearing in measure 3 must be padded with full-measure
+    rest bars so its notes start at measure 3, not t=0 (review finding:
+    '' placeholders were dropped at output, collapsing the timeline)."""
+    xml = """<?xml version="1.0"?>
+<score-partwise>
+<part-list><score-part id="P1"/></part-list>
+<part id="P1">
+<measure number="1">
+<attributes><divisions>2</divisions><key><fifths>0</fifths></key>
+<time><beats>4</beats><beat-type>4</beat-type></time></attributes>
+<note><voice>1</voice><pitch><step>C</step><octave>4</octave></pitch><duration>8</duration></note>
+</measure>
+<measure number="2">
+<note><voice>1</voice><pitch><step>D</step><octave>4</octave></pitch><duration>8</duration></note>
+</measure>
+<measure number="3">
+<note><voice>1</voice><pitch><step>E</step><octave>4</octave></pitch><duration>8</duration></note>
+<backup><duration>8</duration></backup>
+<note><voice>2</voice><pitch><step>G</step><octave>3</octave></pitch><duration>8</duration></note>
+</measure>
+</part></score-partwise>"""
+    p = tmp_path / "v.xml"
+    p.write_text(xml)
+    abc = musicxml_to_abc(p)
+    tune = AbcParser().parse(abc)
+    v2 = [n for n in tune.notes if n.voice == 1 and n.pitch >= 0]
+    assert len(v2) == 1 and v2[0].pitch == 55
+    assert v2[0].start == F(8)  # measure 3 starts at quarter 8, not 0
