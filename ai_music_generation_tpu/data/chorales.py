@@ -239,9 +239,17 @@ def synthesize_corpus(
     something to reject."""
     os.makedirs(out_dir, exist_ok=True)
     blacklisted = ["bwv277", "bwv324", "bwv325"][:include_blacklisted]
-    names = [f"bwv{250 + i:03d}" for i in range(num_pieces)]
-    # avoid collisions between the running numbers and the blacklist
-    names = [n for n in names if n not in blacklisted] + blacklisted
+    # the running numbers SKIP blacklisted BWVs so exactly num_pieces clean
+    # chorales are written (filtering collisions out shrank the corpus:
+    # 97 clean when 100 were requested — review finding)
+    names: list[str] = []
+    n = 250
+    while len(names) < num_pieces:
+        cand = f"bwv{n:03d}"
+        if cand not in blacklisted:
+            names.append(cand)
+        n += 1
+    names += blacklisted
     written = []
     for i, name in enumerate(names):
         score = synthesize_chorale(seed * 100_003 + i)

@@ -22,12 +22,11 @@ from __future__ import annotations
 import json
 import random
 import re
-import unicodedata
 from typing import Optional
 
-
-def _ascii(text: str) -> str:
-    return unicodedata.normalize("NFKD", text).encode("ascii", "ignore").decode()
+# one NFKD-ascii implementation shared with the serving/training tokenizer
+# (curated text and patchilized text must normalize identically)
+from ai_music_generation_tpu.tokenizers.patchilizer import _ascii  # noqa: F401
 
 
 def levenshtein(a: str, b: str) -> int:
@@ -85,6 +84,10 @@ def split_sections(text: str) -> tuple[Optional[str], Optional[list[str]]]:
             meta_idx += 1
     meta_data = "".join(lines[:meta_idx])
     body = text[len(meta_data):]
+    if not body.strip():
+        # metadata-only tune (e.g. run_filter left just K:/M: lines):
+        # reject instead of IndexError-ing the whole dataset build
+        return None, None
 
     pieces = [p for p in _SECTION_RE.split(body) if p != ""]
     if len(pieces) == 1:

@@ -43,7 +43,11 @@ class BinDataset:
         """Deterministic global batch offsets for (seed, it) — identical on
         every host, so per-host slices of it are disjoint by construction."""
         rng = np.random.default_rng(np.random.SeedSequence([seed, it]))
-        return rng.integers(0, self._len - block_size - 1, size=n)
+        # high is EXCLUSIVE: valid window starts are 0..len-block-1
+        # inclusive (y = data[i+1 : i+1+block] must fit), matching the
+        # reference's torch.randint(len - block_size) — the extra -1
+        # made the bins' final tokens unreachable (review finding)
+        return rng.integers(0, self._len - block_size, size=n)
 
     def gather(self, ix: np.ndarray, block_size: int):
         """Materialize (x, y) int32 windows for the given flat offsets."""

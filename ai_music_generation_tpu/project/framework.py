@@ -38,6 +38,14 @@ class Node:
         result = self.func(*args)
         if len(self.outputs) == 1:
             result = (result,)
+        elif len(self.outputs) > 1:
+            # a non-sequence (or wrong-arity) return must fail loudly —
+            # zip() over a string/DataFrame silently scattered its ELEMENTS
+            # across the output datasets (review finding)
+            if not isinstance(result, (tuple, list)) or len(result) != len(self.outputs):
+                raise ValueError(
+                    f"node {self.name!r} declares {len(self.outputs)} outputs "
+                    f"but returned {type(result).__name__}")
         for out_name, value in zip(self.outputs, result or ()):
             catalog.save(out_name, value)
 
@@ -58,7 +66,12 @@ class Pipeline:
         return Pipeline(self.nodes + other.nodes)
 
     def run(self, catalog: "DataCatalog") -> None:
-        produced = set(catalog.keys())
+        # a catalog-registered FILE dataset that some node in this pipeline
+        # produces is NOT available until that node runs — treating it as
+        # available ran consumers first (or fed them a stale file from a
+        # previous execution)
+        will_produce = {o for nd in self.nodes for o in nd.outputs}
+        produced = set(catalog.keys()) - will_produce
 
         def available(i: str) -> bool:
             return i in produced or i == "parameters" or i.startswith("params:")
@@ -205,7 +218,7 @@ def _load_simple_yaml(path: str) -> dict:
 def _coerce_scalar(v: str):
     """YAML scalar typing for the pyyaml-less fallback — without this,
     ``drop_duplicates: false`` reaches nodes as the truthy string 'false'."""
-    if v[:1] in "\"'":
+    if v and v[0] in "\"'":
         return v.strip("\"'")
     low = v.lower()
     if low in ("true", "yes", "on"):

@@ -34,8 +34,14 @@ def apply_overrides(config: dict[str, Any], argv: Iterable[str]) -> dict[str, An
                 attempt = val
             default = config[key]
             if default is not None and attempt is not None:
-                if not isinstance(attempt, type(default)) and not (
-                    isinstance(default, float) and isinstance(attempt, int)
+                # EXACT type match (ref configurator.py:44 asserts equal
+                # types): isinstance would accept bool for an int default,
+                # so --n_layer=True silently built a 1-layer model. Kept
+                # convenience deviation: an int literal for a float default
+                # (bool excluded) is coerced.
+                if type(attempt) is not type(default) and not (
+                    isinstance(default, float)
+                    and type(attempt) is int
                 ):
                     raise TypeError(
                         f"--{key}: expected {type(default).__name__}, "

@@ -219,8 +219,12 @@ def test_synthesized_bach_corpus_goldens(tmp_path, capsys):
           "--valid_dir", str(tmp_path / "t/val"),
           "--out_dir", str(tmp_path / "data")])
     printed = capsys.readouterr().out
+    # goldens re-frozen after the blacklist-collision fix in
+    # data/chorales.py (the clean run now SKIPS blacklisted BWV numbers,
+    # so num_pieces clean chorales are actually written: 40, not 39)
+    assert "collected 40 chorales" in printed
     assert "Vocabulary size: 76" in printed
-    assert "train has 22,443 tokens" in printed
+    assert "train has 23,006 tokens" in printed
     assert "val has 2,257 tokens" in printed
     train = np.fromfile(tmp_path / "data" / "train.bin", dtype=np.uint16)
     assert list(train[:8]) == [0, 2, 7, 16, 73, 19, 62, 8]

@@ -110,3 +110,73 @@ def test_all_experiment_configs_apply_cleanly():
     for path in configs:
         merged = apply_overrides(dict(DEFAULTS), [path])
         assert merged["batch_size"] > 0
+
+
+def test_configurator_rejects_bool_for_int():
+    """Exact-type check (ref configurator.py:44): --n_layer=True must not
+    silently become a 1-layer model (bool is an int subclass)."""
+    import pytest
+
+    from ai_music_generation_tpu.utils.configurator import apply_overrides
+
+    with pytest.raises(TypeError, match="bool"):
+        apply_overrides({"n_layer": 12}, ["--n_layer=True"])
+    assert apply_overrides({"flag": True}, ["--flag=False"])["flag"] is False
+    assert apply_overrides({"lr": 1e-3}, ["--lr=1"])["lr"] == 1.0  # int->float ok
+
+
+def test_bin_dataset_samples_last_window(tmp_path):
+    """global_indices must be able to draw the LAST valid window offset
+    (len - block - 1): the prior exclusive bound made every bin's final
+    tokens unreachable (ref torch.randint(len - block_size) includes it)."""
+    import numpy as np
+
+    from ai_music_generation_tpu.data.memmap import BinDataset
+
+    path = tmp_path / "train.bin"
+    np.arange(10, dtype=np.uint16).tofile(path)
+    ds = BinDataset(str(path))
+    draws = np.concatenate([
+        ds.global_indices(seed=1, it=i, n=64, block_size=4) for i in range(8)
+    ])
+    assert draws.max() == 10 - 4 - 1 and draws.min() == 0
+
+
+def test_pipeline_runs_producer_before_consumer(tmp_path):
+    """A catalog-registered file dataset produced by a node in the pipeline
+    must not count as available up front (the consumer ran first / read a
+    stale file — review finding); wrong-arity node returns fail loudly."""
+    import pytest
+
+    from ai_music_generation_tpu.project.framework import (
+        DataCatalog,
+        Pipeline,
+        node,
+    )
+
+    order = []
+    catalog = DataCatalog(
+        {"inter": {"type": "text.TextDataset",
+                   "filepath": str(tmp_path / "inter.txt")}},
+        base_path=str(tmp_path))
+
+    def producer():
+        order.append("producer")
+        return "payload"
+
+    def consumer(x):
+        order.append("consumer")
+        assert x == "payload"
+
+    Pipeline([
+        node(consumer, inputs=["inter"], outputs=[], name="c"),
+        node(producer, inputs=[], outputs="inter", name="p"),
+    ]).run(catalog)
+    assert order == ["producer", "consumer"]
+
+    def bad():
+        return "xy"  # one value for two outputs
+
+    with pytest.raises(ValueError, match="2 outputs"):
+        Pipeline([node(bad, inputs=[], outputs=["a", "b"], name="bad")]).run(
+            DataCatalog({}))
