@@ -36,16 +36,20 @@ def convert_directory(input_dir: str, output_dir: str,
     )
     jobs = [(f, output_dir, i + 1) for i, f in enumerate(files)]
     ok = bad = 0
+
+    def consume(results):
+        nonlocal ok, bad
+        for path, success, err in results:
+            ok += success
+            bad += not success
+            if err:
+                print(f"FAILED {path}: {err}")
+
     if processes == 1 or len(jobs) <= 1:
-        results = map(_convert_one, jobs)
+        consume(map(_convert_one, jobs))
     else:
-        pool = mp.Pool(processes)
-        results = pool.imap_unordered(_convert_one, jobs)
-    for path, success, err in results:
-        ok += success
-        bad += not success
-        if err:
-            print(f"FAILED {path}: {err}")
+        with mp.Pool(processes) as pool:  # close+join workers on exit
+            consume(pool.imap_unordered(_convert_one, jobs))
     print(f"converted {ok} files, {bad} failures -> {output_dir}")
     return ok, bad
 

@@ -114,7 +114,7 @@ def create_dataset(
         pools.setdefault(key, []).append((tsig, ksig, offset, bars))
 
     piece_idx = 0
-    for key, samples in sorted(pools.items(), key=str):
+    for key, samples in sorted(pools.items(), key=lambda kv: str(kv[0])):
         tsig = key[0] if isinstance(key, tuple) else key
         if resample:
             if len(samples) < 4:

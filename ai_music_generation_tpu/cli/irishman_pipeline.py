@@ -80,7 +80,6 @@ def cmd_to_midi(a):
             midi = abc_to_midi(abc_text)
             midi_path = os.path.join(midi_dir, f"{idx}.mid")
             midi_io.write_midi_file(midi, midi_path)
-            n_ok += 1
             if a.render_wav:
                 from ai_music_generation_tpu.synth.render import synthesize_midi
                 from ai_music_generation_tpu.synth.wav_io import write_wav
@@ -90,6 +89,10 @@ def cmd_to_midi(a):
                 wav_path = os.path.join(wav_dir, f"{idx}.wav")
                 write_wav(wav_path, synthesize_midi(midi))
                 wav_paths.append(os.path.abspath(wav_path))
+            # counted ONCE per tune, after every requested stage succeeded
+            # (incrementing before the WAV render made a render failure
+            # count the tune as both converted and failed)
+            n_ok += 1
         except Exception as e:  # per-tune tolerance (ref check=False subprocess)
             print(f"FAILED {idx}: {e}")
             n_bad += 1

@@ -31,6 +31,7 @@ def _process_file(args: tuple[str, str, list[int]]) -> tuple[str, bool, str]:
     assert _worker_converter is not None
     stem = Path(midi_path).stem
     try:
+        wrote = 0
         for tr in transpositions:
             suffix = "" if tr == 0 else f"_tr{tr:+d}"
             texts = _worker_converter.filepath_to_texts(
@@ -40,6 +41,12 @@ def _process_file(args: tuple[str, str, list[int]]) -> tuple[str, bool, str]:
                 out_path = os.path.join(out_dir, f"{stem}{suffix}.txt")
                 with open(out_path, "w") as f:
                     f.write(text)
+                wrote += 1
+        if wrote == 0:
+            # all parts rejected by filter_allowed_parts: no .txt written —
+            # report it (counting it 'converted' overstated the corpus and
+            # the gap surfaced later as missing files in prepare)
+            return midi_path, False, "no allowed parts (nothing written)"
         return midi_path, True, ""
     except Exception as e:  # per-file tolerance (ref :82-88)
         return midi_path, False, str(e)

@@ -17,8 +17,11 @@ Parity surface:
 TPU-native difference: prompts are decoded in BATCHES through the jitted
 KV-cache generator (decode/generate.py) instead of one sequence at a time —
 the whole 1,000-sample eval protocol runs as ~num_samples/batch_size compiled
-decode calls. Fixed-seed determinism: the per-sequence seed is
-``fold_in(seed, sample_index)`` so results don't depend on batch grouping.
+decode calls. Fixed-seed determinism contract: same ``--seed`` AND same
+``--batch_size`` -> byte-identical outputs (each batch decodes with
+``seed + batch_offset``; regrouping the batches regroups the RNG streams,
+so batch_size is part of the reproducibility key — sha goldens in
+tests/test_golden_generation.py pin this).
 """
 
 from __future__ import annotations
@@ -153,6 +156,9 @@ def normalize_output(res: str, sample_id, dataset: str, tokens_format: str) -> t
         return f"sample_{sample_id}.abc", f"X:{sample_id}\n" + res.split("$")[1].strip()
     normalized = res.split("$")[1].strip()
     if not normalized.endswith("|"):
+        # ref quirk reproduced exactly (sample.py:166-167): the fallback
+        # rebuilds from the UNSTRIPPED `res`, reintroducing the '$ ' prompt
+        # marker for mid-bar-truncated samples; byte parity wins here.
         normalized = "|".join(res.split("|")[:-1]).strip() + " |"
     return f"sample_{sample_id}.txt", normalized
 

@@ -67,19 +67,9 @@ def main(argv=None):
     a = ap.parse_args(argv)
 
     from ai_music_generation_tpu.decode.tunes_generate import TunesGenerator
-    from ai_music_generation_tpu.models.tunesformer import TunesFormer, TunesFormerConfig
-    from ai_music_generation_tpu.train import checkpoint as ckpt_lib
+    from ai_music_generation_tpu.models.tunesformer import load_tunesformer
 
-    state, meta = ckpt_lib.load_checkpoint(a.weights, "weights")
-    ma = meta["model_args"]
-    cfg = TunesFormerConfig(
-        patch_length=ma["patch_length"], patch_size=ma["patch_size"],
-        patch_layers=ma["patch_layers"], char_layers=ma["char_layers"],
-        n_embd=ma["n_embd"], n_head=ma["n_head"],
-        share_weights=ma["share_weights"], dropout=0.0, dtype=jnp.bfloat16,
-    )
-    model = TunesFormer(cfg)
-    params = {"params": state["params"]["params"]}
+    model, params, _ = load_tunesformer(a.weights)
     gen = TunesGenerator(model, top_p=a.top_p, top_k=a.top_k,
                          temperature=a.temperature)
 

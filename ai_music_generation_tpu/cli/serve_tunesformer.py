@@ -54,15 +54,10 @@ def load_tunesformer(weights: str, torch_weights: str = ""):
         raise FileNotFoundError(
             f"no checkpoint at {weights}/weights — train one with "
             "`python -m ai_music_generation_tpu.cli.tunesformer_train`")
-    state, meta = ckpt_lib.load_checkpoint(weights, "weights")
-    ma = meta["model_args"]
-    cfg = TunesFormerConfig(
-        patch_length=ma["patch_length"], patch_size=ma["patch_size"],
-        patch_layers=ma["patch_layers"], char_layers=ma["char_layers"],
-        n_embd=ma["n_embd"], n_head=ma["n_head"],
-        share_weights=ma["share_weights"], dropout=0.0, dtype=jnp.bfloat16,
-    )
-    return TunesFormer(cfg), {"params": state["params"]["params"]}
+    from ai_music_generation_tpu.models.tunesformer import load_tunesformer
+
+    model, params, _ = load_tunesformer(weights)
+    return model, params
 
 
 def main(argv=None):

@@ -40,7 +40,14 @@ def get_args(parser: argparse.ArgumentParser):
     parser.add_argument("-temperature", type=float, default=1.2,
                         help="the temperature of the sampling operation")
     parser.add_argument("-seed", type=int, default=None, help="seed for randomstate")
-    parser.add_argument("-show_control_code", type=bool, default=True,
+
+    def str2bool(v: str) -> bool:
+        # deviation from the reference's `type=bool` (ref generate.py:34),
+        # under which '-show_control_code False' parsed as True and the
+        # flag could never be disabled from the CLI
+        return v.strip().lower() not in ("false", "0", "no", "")
+
+    parser.add_argument("-show_control_code", type=str2bool, default=True,
                         help="whether to show control code")
     parser.add_argument("-weights", type=str, default="tf_out",
                         help="orbax checkpoint directory (from tunesformer_train)")
@@ -75,16 +82,11 @@ def generate_abc(args) -> str:
                 "`python -m ai_music_generation_tpu.cli.tunesformer_train` or "
                 "pass -torch_weights weights.pth (the reference checkpoint)"
             )
-        state, meta = ckpt_lib.load_checkpoint(args.weights, "weights")
-        ma = meta["model_args"]
-        cfg = TunesFormerConfig(
-            patch_length=ma["patch_length"], patch_size=ma["patch_size"],
-            patch_layers=ma["patch_layers"], char_layers=ma["char_layers"],
-            n_embd=ma["n_embd"], n_head=ma["n_head"],
-            share_weights=ma["share_weights"], dropout=0.0, dtype=jnp.bfloat16,
+        from ai_music_generation_tpu.models.tunesformer import (
+            load_tunesformer,
         )
-        model = TunesFormer(cfg)
-        params = {"params": state["params"]["params"]}
+
+        model, params, _ = load_tunesformer(args.weights)
 
     with open(args.prompt) as f:
         prompt = f.read()

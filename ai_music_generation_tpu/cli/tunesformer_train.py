@@ -66,6 +66,12 @@ def encode_dataset(items, patch_length, patch_size):
     p = Patchilizer()
     out = []
     for item in items:
+        # ref quirk reproduced exactly (train.py:64): the FIRST LINE of
+        # 'abc notation' is dropped. With data.json built by this repo's
+        # add_control_codes (metadata already stripped by run_filter), the
+        # dropped line is the leading L:/M: field — the reference's own
+        # curation+trainer chain behaves identically, so training text
+        # stays parity-equal; change both or neither.
         text = item["control code"] + "\n".join(item["abc notation"].split("\n")[1:])
         patches = p.encode(text, patch_length, patch_size, add_special_patches=True)
         if not patches or not np.asarray(patches).sum():

@@ -233,3 +233,23 @@ class TunesFormer(nn.Module):
 
 def num_params(params) -> int:
     return sum(x.size for x in jax.tree_util.tree_leaves(params))
+
+
+def load_tunesformer(out_dir: str, name: str = "weights",
+                     dtype=jnp.bfloat16):
+    """(model, params, meta) from an orbax checkpoint written by
+    cli/tunesformer_train — the ONE loading implementation shared by the
+    generate / batch-sampling / serving CLIs (was triplicated; a new
+    model_arg added to one site and not the others silently loaded a
+    wrong config)."""
+    from ai_music_generation_tpu.train import checkpoint as ckpt_lib
+
+    state, meta = ckpt_lib.load_checkpoint(out_dir, name)
+    ma = meta["model_args"]
+    cfg = TunesFormerConfig(
+        patch_length=ma["patch_length"], patch_size=ma["patch_size"],
+        patch_layers=ma["patch_layers"], char_layers=ma["char_layers"],
+        n_embd=ma["n_embd"], n_head=ma["n_head"],
+        share_weights=ma["share_weights"], dropout=0.0, dtype=dtype,
+    )
+    return TunesFormer(cfg), {"params": state["params"]["params"]}, meta

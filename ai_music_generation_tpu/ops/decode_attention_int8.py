@@ -311,7 +311,7 @@ def _decode_attention_int8_multirow(q, k_int8, v_int8, k_scale, v_scale,
                                     length, n_head, rows_per_program, interpret):
     B, S, HD = k_int8.shape
     R = rows_per_program
-    assert B % R == 0, f"batch {B} must divide rows_per_program {R}"
+    assert B % R == 0, f"rows_per_program {R} must divide batch {B}"
     n_chunks = pl.cdiv(S, CHUNK)
     length_arr = jnp.maximum(jnp.asarray(length, jnp.int32), 1).reshape(1)
 

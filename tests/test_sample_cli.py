@@ -39,7 +39,7 @@ def trained(tmp_path_factory):
     c.update(
         dataset="irishman", data_root=os.path.join(root, "data"), out_dir=out,
         n_layer=2, n_head=2, n_embd=32, block_size=48, batch_size=8,
-        gradient_accumulation_steps=2, max_iters=25, eval_interval=25,
+        gradient_accumulation_steps=16, max_iters=25, eval_interval=25,  # 16/8 devices -> grad_accum 2: exercises the accum scan
         eval_iters=2, log_interval=25, warmup_iters=2, lr_decay_iters=25,
         learning_rate=5e-3, min_lr=5e-4, dtype="float32",
     )
