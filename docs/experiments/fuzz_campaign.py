@@ -102,6 +102,12 @@ if __name__ == "__main__":
 
 # Campaign log
 # ------------
+# 2026-08-17 (round 3, after the review-sweep compiler fixes + grammar
+#   extension): 300,000 ABC differential cases — 0 divergences (229 s);
+#   2x30,000 codec round trips — 0 failures (74 s). The grammar now also
+#   generates mid-body field/metadata lines, '|1/:|2' voltas, '[|:'/'||:'
+#   repeat starts, malformed Z rests, chords under tuplets/broken rhythm,
+#   and cross-bar ties — all semantics the sweep fixed in BOTH compilers.
 # 2026-08-17 (round 3): 200,000 ABC differential cases — 0 divergences
 #   (215 s, ~900 case/s); 2x20,000 codec round trips — 0 failures (53 s).
 #   First run at this scale surfaced 14 apparent codec failures at case
