@@ -102,6 +102,17 @@ if __name__ == "__main__":
 
 # Campaign log
 # ------------
+# 2026-08-17 (round 3): AddressSanitizer build of the native compiler
+#   (g++ -fsanitize=address; LD_PRELOAD libasan) ran 20k differential
+#   cases + 2k gchord cases: 0 divergences, 0 AddressSanitizer errors
+#   (no overflow/use-after-free), and the leak report contains zero
+#   frames in abc_compiler — the alloc/abc_free pairing is clean (the
+#   reported bytes are libpython import-machinery allocations live at
+#   interpreter exit). Repro:
+#     g++ -O1 -g -fsanitize=address -std=c++17 -fPIC -Wall -shared \
+#         -o /tmp/libabc_asan.so native/abc_compiler.cpp
+#     LD_PRELOAD=$(g++ -print-file-name=libasan.so) python <driver>
+#   with native.load_library("/tmp/libabc_asan.so").
 # 2026-08-17 (round 3, after the review-sweep compiler fixes + grammar
 #   extension): 300,000 ABC differential cases — 0 divergences (229 s);
 #   2x30,000 codec round trips — 0 failures (74 s). The grammar now also
