@@ -71,9 +71,12 @@ def run_codec(n: int) -> int:
 
     bad = 0
     t0 = time.time()
-    for joining in ("Queue parallel measures", "Join parallel measures"):
+    for joining, offsets in (("Queue parallel measures", True),
+                             ("Join parallel measures", True),
+                             ("Queue parallel measures", False)):
         conv = MidiQuantizedConverter(EncodingSetting(
             parallel_voices_joining_method=joining,
+            include_offset_in_notes=offsets,
             instruments_to_convert="All instruments",
         ))
         for case in range(n):
@@ -84,8 +87,9 @@ def run_codec(n: int) -> int:
             back = conv.text_to_score(texts["fuzz"])
             if _note_set(score) != _note_set(back):
                 bad += 1
-                print(f"ROUND-TRIP FAIL [{joining}] case {case}")
-    print(f"codec round trip: 2x{n} cases, {bad} failures, "
+                print(f"ROUND-TRIP FAIL [{joining} offsets={offsets}] "
+                      f"case {case}")
+    print(f"codec round trip: 3x{n} cases, {bad} failures, "
           f"{time.time() - t0:.0f}s")
     return bad
 
@@ -102,6 +106,11 @@ if __name__ == "__main__":
 
 # Campaign log
 # ------------
+# 2026-08-17 (round 3): UndefinedBehaviorSanitizer build
+#   (-fsanitize=undefined -fno-sanitize-recover=all) ran 20k differential
+#   + 2k gchord parses: zero runtime errors. Codec fuzz extended with the
+#   no-offsets mode (bach_no_offsets config family; Queue strategy —
+#   offsets implicit in duration sequences): 10k cases clean.
 # 2026-08-17 (round 3): AddressSanitizer build of the native compiler
 #   (g++ -fsanitize=address; LD_PRELOAD libasan) ran 20k differential
 #   cases + 2k gchord cases: 0 divergences, 0 AddressSanitizer errors

@@ -276,9 +276,16 @@ def _note_set(score):
     return sorted(out)
 
 
-@pytest.mark.parametrize("joining", ["Queue parallel measures",
-                                     "Join parallel measures"])
-def test_codec_fuzz_round_trip(joining):
+@pytest.mark.parametrize("joining,offsets", [
+    ("Queue parallel measures", True),
+    ("Join parallel measures", True),
+    # no-offsets mode (the bach_no_offsets config family): offsets are
+    # implicit in the duration sequence, so round trips are exact for the
+    # gapless scores the generator produces — Queue only (Join merges
+    # parts at offsets that cannot be reconstructed without o-tokens)
+    ("Queue parallel measures", False),
+])
+def test_codec_fuzz_round_trip(joining, offsets):
     from ai_music_generation_tpu.codec.encoding_settings import EncodingSetting
     from ai_music_generation_tpu.codec.quantized_converter import (
         MidiQuantizedConverter,
@@ -286,6 +293,7 @@ def test_codec_fuzz_round_trip(joining):
 
     conv = MidiQuantizedConverter(EncodingSetting(
         parallel_voices_joining_method=joining,
+        include_offset_in_notes=offsets,
         instruments_to_convert="All instruments",
     ))
     failures = []
