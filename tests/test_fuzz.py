@@ -309,3 +309,35 @@ def test_codec_fuzz_round_trip(joining, offsets):
             if len(failures) >= 2:
                 break
     assert not failures, failures
+
+
+def test_codec_fuzz_repeat_special_tokens():
+    """repeats_handling='Special tokens': random left/right repeat flags on
+    measures must not perturb the note round trip (repeat_start/repeat_end
+    tokens interleave with the content stream; ref :344-442)."""
+    from ai_music_generation_tpu.codec.encoding_settings import EncodingSetting
+    from ai_music_generation_tpu.codec.quantized_converter import (
+        MidiQuantizedConverter,
+    )
+
+    conv = MidiQuantizedConverter(EncodingSetting(
+        parallel_voices_joining_method="Queue parallel measures",
+        repeats_handling="Special tokens",
+        instruments_to_convert="All instruments",
+    ))
+    for case in range(150):
+        rng = random.Random(900_000 + case)
+        score = _random_score(case)
+        flagged = []
+        for p in score.parts:
+            for m in p.measures:
+                if rng.random() < 0.2:
+                    m.left_repeat = True
+                if rng.random() < 0.2:
+                    m.right_repeat = True
+                flagged.append((m.left_repeat, m.right_repeat))
+        texts = conv.stream_to_texts(score, "f")
+        if not texts:
+            continue
+        back = conv.text_to_score(texts["f"])
+        assert _note_set(score) == _note_set(back), case
