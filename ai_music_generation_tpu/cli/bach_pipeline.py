@@ -36,12 +36,9 @@ from ai_music_generation_tpu.codec import midi_io
 from ai_music_generation_tpu.codec.score import score_from_midi
 
 # ref: chorals_to_omit.py:1-26 (corrupted/duplicate chorales)
-CHORALS_TO_OMIT = [
-    "bwv277", "bwv324", "bwv325", "bwv326", "bwv327", "bwv328", "bwv329",
-    "bwv330", "bwv331", "bwv332", "bwv333", "bwv334", "bwv335", "bwv336",
-    "bwv337", "bwv338", "bwv339", "bwv340", "bwv341", "bwv342", "bwv343",
-    "bwv344", "bwv345", "bwv346", "bwv347",
-]
+from ai_music_generation_tpu.data.chorales import (  # single source (ref
+    CHORALS_TO_OMIT,  # chorals_to_omit.py:1-26); synthesize_corpus skips
+)  # these so num_pieces clean chorales survive ground-truth
 
 # ref: voices_ranges.py:1-4 (SATB midi pitch ranges) — single source of
 # truth lives in data/chorales.py

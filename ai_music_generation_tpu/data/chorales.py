@@ -228,6 +228,16 @@ def synthesize_chorale(seed: int) -> Score:
     return Score(parts)
 
 
+# music21 Bach chorales excluded by the reference (ref: chorals_to_omit.py
+# :1-26) — the single source of truth; cli/bach_pipeline.py imports this
+CHORALS_TO_OMIT = [
+    "bwv277", "bwv324", "bwv325", "bwv326", "bwv327", "bwv328", "bwv329",
+    "bwv330", "bwv331", "bwv332", "bwv333", "bwv334", "bwv335", "bwv336",
+    "bwv337", "bwv338", "bwv339", "bwv340", "bwv341", "bwv342", "bwv343",
+    "bwv344", "bwv345", "bwv346", "bwv347",
+]
+
+
 def synthesize_corpus(
     out_dir: str, num_pieces: int = 100, seed: int = 0,
     include_blacklisted: int = 3,
@@ -238,15 +248,17 @@ def synthesize_corpus(
     numbers (ref: chorals_to_omit.py:1-26) so the ground-truth filter has
     something to reject."""
     os.makedirs(out_dir, exist_ok=True)
-    blacklisted = ["bwv277", "bwv324", "bwv325"][:include_blacklisted]
-    # the running numbers SKIP blacklisted BWVs so exactly num_pieces clean
-    # chorales are written (filtering collisions out shrank the corpus:
-    # 97 clean when 100 were requested — review finding)
+    blacklisted = CHORALS_TO_OMIT[:include_blacklisted]
+    # the running numbers SKIP every CHORALS_TO_OMIT name (not only the
+    # emitted blacklisted ones) so exactly num_pieces chorales survive the
+    # ground-truth filter — any collision with the 25-name blacklist used
+    # to shrink the clean corpus silently (review finding; the round-2 E2E
+    # demo's 340 -> 315 was this)
     names: list[str] = []
     n = 250
     while len(names) < num_pieces:
         cand = f"bwv{n:03d}"
-        if cand not in blacklisted:
+        if cand not in CHORALS_TO_OMIT:
             names.append(cand)
         n += 1
     names += blacklisted
