@@ -48,6 +48,8 @@ class Patchilizer:
         if not pieces:
             return []
         if pieces[0] in DELIMITERS:
+            if len(pieces) == 1:
+                return [pieces[0]]  # body IS a bare delimiter (e.g. "|")
             pieces[1] = pieces[0] + pieces[1]
             pieces = pieces[1:]
         return [pieces[2 * i] + pieces[2 * i + 1] for i in range(len(pieces) // 2)]
