@@ -341,3 +341,25 @@ def test_codec_fuzz_repeat_special_tokens():
             continue
         back = conv.text_to_score(texts["f"])
         assert _note_set(score) == _note_set(back), case
+
+
+def test_abc_fuzz_gchord_differential(native_parser):
+    """The two GCHORD engines (chord-symbol accompaniment voices) must also
+    agree — fixture differentials exist (test_native_abc) but the fuzz
+    grammar emits chord symbols too, so run a slice with gchord=True."""
+    from ai_music_generation_tpu.abcnotation.native import NativeAbcParser
+
+    py = AbcParser(gchord=True)
+    nat = NativeAbcParser(gchord=True)
+    failures = []
+    for case in range(0, N_ABC_CASES, 4):
+        abc = random_tune(case)
+        a, b = py.parse(abc), nat.parse(abc)
+        na = [(n.pitch, n.start, n.duration, n.voice) for n in a.notes]
+        nb = [(n.pitch, n.start, n.duration, n.voice) for n in b.notes]
+        if na != nb:
+            failures.append(case)
+            if len(failures) >= 3:
+                break
+    assert not failures, [
+        (c, random_tune(c)) for c in failures]
