@@ -39,6 +39,7 @@ DEFAULTS = dict(
     admit_group=64,
     dtype="bfloat16",
     kv_quantized=False,
+    prewarm=False,  # compile all admission/decode programs before serving
 )
 
 
@@ -51,6 +52,9 @@ def main(argv=None):
     engine = GenerationServer(
         model, params, n_slots=c["n_slots"],
         ticks_per_call=c["ticks_per_call"], admit_group=c["admit_group"])
+    if c["prewarm"]:
+        print("prewarming admission/decode programs...", flush=True)
+        engine.prewarm()
     runner = EngineRunner(engine)
     httpd = serve(runner, encode, decode, c["host"], c["port"])
     print(f"serving {c['out_dir']} on {c['host']}:{httpd.server_address[1]} "

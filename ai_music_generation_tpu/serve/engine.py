@@ -420,6 +420,31 @@ class GenerationServer(EngineHostBase):
         self._cancelled.add(rid)
         return True
 
+    def prewarm(self) -> None:
+        """Compile every admission program (both padded wave sizes x every
+        prompt bucket) plus the decode scan BEFORE taking traffic.
+
+        The program space is deliberately tiny — waves pad to G=8 or
+        admit_group and prompts bucket to powers of two — but a novel
+        (wave, bucket) combination appearing mid-traffic stalls that step
+        for its compile (measured: one 5x-slow wave in the 16k-request
+        soak, docs/experiments/serve_soak.py). A production server calls
+        this once at startup (cli/serve.py --prewarm=True)."""
+        buckets, b = [], 8
+        while b <= self.window:
+            buckets.append(b)
+            b *= 2
+        if not buckets or buckets[-1] < self.window:
+            buckets.append(self.window)  # non-power-of-two window bucket
+        sizes = [1] + ([self.admit_group] if self.admit_group > 8 else [])
+        for plen in buckets:
+            for count in sizes:
+                for _ in range(min(count, self.n_slots)):
+                    self.submit([1] * plen, max_new_tokens=1,
+                                temperature=0.0, top_k=1, seed=0)
+                self.run_until_idle()
+        self.reset_stats()  # prewarm compiles pollute phase/latency stats
+
     def _bucket(self, n: int) -> int:
         p = 8
         while p < n:

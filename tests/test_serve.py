@@ -340,3 +340,18 @@ def test_tunes_submit_validates_ranges():
     rid = srv.submit("K:C\nab|", max_patch=4, seed=-7)  # coerced, not fatal
     done = srv.run_until_idle()
     assert len(done) == 1 and done[0].id == rid
+
+
+def test_prewarm_compiles_and_leaves_engine_clean(tiny):
+    """prewarm() walks every (wave, bucket) admission program and returns
+    the engine to an empty state; traffic afterwards behaves identically
+    (soak finding: a novel combination mid-traffic stalls a wave)."""
+    cfg, model, params = tiny
+    srv = GenerationServer(model, params, n_slots=4, ticks_per_call=4,
+                           admit_group=4)
+    srv.prewarm()
+    assert not srv.busy and not srv._live and not srv._queue
+    assert srv.latency_stats() == {"count": 0}  # stats reset
+    rid = srv.submit([1, 2, 3], max_new_tokens=5, seed=11)
+    done = srv.run_until_idle()
+    assert [r.id for r in done] == [rid] and len(done[0].generated) >= 1
