@@ -65,6 +65,9 @@ def main(argv=None):
     c = apply_overrides(dict(DEFAULTS), argv)
     model, params = load_tunesformer(c["weights"], c["torch_weights"])
     engine = TunesServer(model, params, n_slots=c["n_slots"])
+    if c["prewarm"]:
+        print("prewarming bar program...", flush=True)
+        engine.prewarm()
     runner = EngineRunner(engine)
     httpd = serve_tunes(runner, c["host"], c["port"])
     print(f"serving TunesFormer {c['weights']} on "

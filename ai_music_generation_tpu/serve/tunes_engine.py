@@ -218,6 +218,14 @@ class TunesServer(EngineHostBase):
 
     # -- host orchestration --------------------------------------------------
 
+    def prewarm(self) -> None:
+        """Compile the bar program before taking traffic (one program —
+        fixed [n_slots, L, S] patch state, host-only admission; the GPT
+        engine's bucketed analogue is GenerationServer.prewarm)."""
+        self.submit("K:C\nC|", max_patch=2, seed=0)
+        self.run_until_idle()
+        self.reset_stats()
+
     def submit(self, prompt: str, max_patch: int = 128, top_p: float = 0.8,
                top_k: int = 8, temperature: float = 1.2, seed: int = 0,
                show_control_code: bool = True) -> int:

@@ -162,3 +162,18 @@ def test_tunes_http_server(tiny_model):
     finally:
         httpd.shutdown()
         runner.shutdown()
+
+
+def test_tunes_prewarm(tiny_model):
+    """prewarm() compiles the bar program via a dummy tune and leaves the
+    engine empty (GPT analogue: GenerationServer.prewarm)."""
+    model, params = tiny_model
+    from ai_music_generation_tpu.serve.tunes_engine import TunesServer
+
+    srv = TunesServer(model, params, n_slots=2)
+    srv.prewarm()
+    assert not srv.busy and not srv._live and not srv._queue
+    assert srv.latency_stats() == {"count": 0}
+    rid = srv.submit("K:C\nab|", max_patch=3, seed=5)
+    done = srv.run_until_idle()
+    assert [r.id for r in done] == [rid]
