@@ -209,7 +209,9 @@ def _parse_len(token: Optional[str]) -> Fraction:
     if not token:
         return Fraction(1)
     if set(token) == {"/"}:
-        return Fraction(1, 2 ** len(token))
+        # capped at 30 to match the C++ compiler (1<<n UB past 62 there);
+        # sub-sample durations either way
+        return Fraction(1, 2 ** min(len(token), 30))
     if token.startswith("/"):
         return Fraction(1, int(token[1:]))
     if "/" in token:
@@ -452,10 +454,15 @@ class AbcParser:
                 st = voice(cur_voice_id)
                 i += m.end()
                 continue
-            # inline fields [M:...] [K:...] [L:...]
+            # inline fields [M:...] [K:...] [L:...]; any OTHER single-letter
+            # field (e.g. [r:remark], [I:instruction]) is consumed and
+            # ignored — scanning its interior as music emitted phantom notes
             m = _INLINE_FIELD_RE.match(text, i)
-            if m and m.group("tag") in "MLKQV" and len(m.group("tag")) == 1:
+            if m and len(m.group("tag")) == 1:
                 tag, val = m.group("tag"), m.group("val")
+                if tag not in "MLKQV":
+                    i = m.end()
+                    continue
                 if tag == "V":
                     cur_voice_id = val.strip()
                     st = voice(cur_voice_id)
@@ -535,7 +542,9 @@ class AbcParser:
             if ch in "><":
                 run = re.match(r"([><])\1*", text[i:]).group(0)
                 st.pending_broken = run[0]
-                st.broken_count = len(run)  # '>'=3/2+1/2, '>>'=7/4+1/4, ...
+                # '>'=3/2+1/2, '>>'=7/4+1/4, ...; capped at 30 (the C++
+                # compiler's 1<<(k+1) would be UB past 62; both clamp)
+                st.broken_count = min(len(run), 30)
                 i += len(run)
                 continue
             if ch == "-":

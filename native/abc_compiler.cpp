@@ -20,6 +20,7 @@
 #include <map>
 #include <numeric>
 #include <string>
+#include <string_view>
 #include <vector>
 
 namespace {
@@ -61,13 +62,15 @@ int letterSemitone(char c) {
   return 0;
 }
 
-int majorSharps(const std::string& tonic) {
+bool majorSharps(const std::string& tonic, int* out) {
   static const std::map<std::string, int> table = {
       {"C", 0}, {"G", 1}, {"D", 2}, {"A", 3}, {"E", 4}, {"B", 5},
       {"F#", 6}, {"C#", 7}, {"F", -1}, {"Bb", -2}, {"Eb", -3}, {"Ab", -4},
       {"Db", -5}, {"Gb", -6}, {"Cb", -7}};
   auto it = table.find(tonic);
-  return it == table.end() ? 0 : it->second;
+  if (it == table.end()) return false;
+  *out = it->second;
+  return true;
 }
 
 int modeOffset(const std::string& mode) {
@@ -92,9 +95,9 @@ int keySignatureSharps(const std::string& key) {
   std::string lower;
   for (char c : rest) lower.push_back(tolower((unsigned char)c));
   if (lower == "none") return 0;
-  char letter = rest[0];
-  if (!isalpha((unsigned char)letter)) return 0;
-  std::string tonic(1, toupper((unsigned char)letter));
+  char letter = toupper((unsigned char)rest[0]);
+  if (letter < 'A' || letter > 'G') return 0;  // parser.py: tonic [A-Ga-g]
+  std::string tonic(1, letter);
   size_t j = 1;
   if (j < rest.size() && (rest[j] == '#' || rest[j] == 'b')) {
     tonic.push_back(rest[j]);
@@ -104,7 +107,9 @@ int keySignatureSharps(const std::string& key) {
   std::string mode;
   while (j < rest.size() && isalpha((unsigned char)rest[j]))
     mode.push_back(tolower((unsigned char)rest[j++]));
-  return majorSharps(tonic) + modeOffset(mode);
+  int base = 0;
+  if (!majorSharps(tonic, &base)) return 0;  // unknown tonic (e.g. B#):
+  return base + modeOffset(mode);            // 0 sharps, NO mode offset
 }
 
 struct VoiceState {
@@ -258,6 +263,12 @@ struct Parser {
 
   // ---- header -------------------------------------------------------------
   bool parseMeter(const std::string& v) {
+    // parser.py _parse_meter falls back to (4,4) on ANY non-matching value
+    if (!parseMeterInner(v)) { meterNum = 4; meterDen = 4; return false; }
+    return true;
+  }
+
+  bool parseMeterInner(const std::string& v) {
     std::string s = v;
     while (!s.empty() && isspace((unsigned char)s.back())) s.pop_back();
     size_t b = 0;
@@ -280,25 +291,53 @@ struct Parser {
       }
     }
     if (cur >= 0) total += cur;
-    if (k >= s.size() || s[k] != '/') return false;
+    if (k >= s.size() || s[k] != '/' || total <= 0) return false;
     int den = atoi(s.c_str() + k + 1);
-    if (total <= 0 || den <= 0) return false;
+    if (den <= 0) return false;
     meterNum = total;
     meterDen = den;
     return true;
   }
 
   void parseTempo(const std::string& v) {
-    int a, b, bpm;
-    if (sscanf(v.c_str(), "%d/%d=%d", &a, &b, &bpm) == 3 ||
-        sscanf(v.c_str(), "%d / %d = %d", &a, &b, &bpm) == 3) {
-      tempoBpm = bpm * (double(a) / b) * 4.0;
-      return;
+    // exact mirror of parser.py _parse_tempo + the falsy-bpm guard at its
+    // call sites: prefix (\d+)/(\d+)\s*=\s*(\d+), else FULL-match bare
+    // int; a zero/garbage value leaves the tempo unchanged (the old sscanf
+    // version set tempo 0 for 'Q:0' -> ZeroDivision downstream, and 90 for
+    // 'Q:90 apprx' which Python ignores — review finding)
+    size_t n = v.size(), p = 0;
+    while (p < n && isspace((unsigned char)v[p])) p++;
+    auto digits = [&](size_t& q) -> long {
+      if (q >= n || !isdigit((unsigned char)v[q])) return -1;
+      long x = 0;
+      while (q < n && isdigit((unsigned char)v[q]))
+        x = x * 10 + (v[q++] - '0');
+      return x;
+    };
+    size_t k = p;
+    long a = digits(k);
+    if (a >= 0 && k < n && v[k] == '/') {
+      k++;
+      long b = digits(k);
+      if (b > 0) {
+        while (k < n && isspace((unsigned char)v[k])) k++;
+        if (k < n && v[k] == '=') {
+          k++;
+          while (k < n && isspace((unsigned char)v[k])) k++;
+          long bpm = digits(k);
+          if (bpm >= 0) {
+            double t = bpm * (double(a) / b) * 4.0;
+            if (t > 0) tempoBpm = t;
+            return;  // prefix matched: never falls through (re.match)
+          }
+        }
+      }
     }
-    if (sscanf(v.c_str(), "%d", &bpm) == 1 &&
-        v.find('/') == std::string::npos && v.find('=') == std::string::npos) {
-      tempoBpm = bpm;
-    }
+    size_t e = n;
+    while (e > p && isspace((unsigned char)v[e - 1])) e--;
+    k = p;
+    long x = digits(k);
+    if (x > 0 && k == e) tempoBpm = x;
   }
 
   void parseHeaders(const std::string& input, std::string* body) {
@@ -315,7 +354,12 @@ struct Parser {
       if (cpos != std::string::npos) line = line.substr(0, cpos);
       while (!line.empty() && isspace((unsigned char)line.back())) line.pop_back();
       if (line.empty()) continue;
-      bool header = line.size() > 1 && isupper((unsigned char)line[0]) && line[1] == ':';
+      bool field_line =
+          line.size() > 1 && isalpha((unsigned char)line[0]) && line[1] == ':';
+      bool header = field_line && isupper((unsigned char)line[0]);
+      if (!inBody && field_line && !header) {
+        continue;  // lowercase field (w:, s:, ...) before K:: parser.py
+      }            // drops it and stays in the header
       if (!inBody && header) {
         char tag = line[0];
         std::string val = line.substr(2);
@@ -360,7 +404,7 @@ struct Parser {
         }
         bodyAccum += line;
         bodyAccum += '\n';
-      } else if (!header) {
+      } else if (!field_line) {
         inBody = true;
         bodyAccum += line;
         bodyAccum += '\n';
@@ -374,30 +418,87 @@ struct Parser {
   }
 
   // ---- body helpers -------------------------------------------------------
-  Frac parseLen() {
-    // [digits][/[digits]] | "/"+  (default 1)
-    size_t start = i;
-    int64_t num = -1;
-    if (i < text.size() && isdigit((unsigned char)text[i])) {
-      num = 0;
-      while (i < text.size() && isdigit((unsigned char)text[i]))
-        num = num * 10 + (text[i++] - '0');
-    }
-    if (i < text.size() && text[i] == '/') {
-      int slashes = 0;
-      while (i < text.size() && text[i] == '/') { slashes++; i++; }
-      int64_t den = -1;
-      if (i < text.size() && isdigit((unsigned char)text[i])) {
-        den = 0;
-        while (i < text.size() && isdigit((unsigned char)text[i]))
-          den = den * 10 + (text[i++] - '0');
+  static Frac parseLenAt(const std::string& s, size_t& k) {
+    // EXACT mirror of parser.py's length tokenization (the _NOTE_RE len
+    // group alternation  \d+/\d+ | /\d+ | \d+ | /+  ): a trailing '/'
+    // after digits is NOT consumed ('A3/' is length 3 + stray slash), and
+    // digits after a multi-slash run are NOT consumed ('A//2' is 1/4 then
+    // a stray '2'). The old scanner accepted both, silently desyncing from
+    // the Python compiler (review findings).
+    auto digits = [&](size_t& q) -> int64_t {
+      if (q >= s.size() || !isdigit((unsigned char)s[q])) return -1;
+      int64_t x = 0;
+      while (q < s.size() && isdigit((unsigned char)s[q]))
+        x = x * 10 + (s[q++] - '0');
+      return x;
+    };
+    if (k < s.size() && isdigit((unsigned char)s[k])) {
+      int64_t num = digits(k);
+      if (k + 1 < s.size() && s[k] == '/' &&
+          isdigit((unsigned char)s[k + 1])) {
+        size_t q = k + 1;
+        int64_t den = digits(q);
+        k = q;
+        return Frac(num, den);
       }
-      if (den > 0) return Frac(num < 0 ? 1 : num, den);
-      return Frac(num < 0 ? 1 : num, 1LL << slashes);
+      return Frac(num, 1);
     }
-    if (num >= 0) return Frac(num, 1);
-    (void)start;
+    if (k < s.size() && s[k] == '/') {
+      if (k + 1 < s.size() && isdigit((unsigned char)s[k + 1])) {
+        size_t q = k + 1;
+        int64_t den = digits(q);
+        k = q;
+        return Frac(1, den);
+      }
+      int slashes = 0;
+      while (k < s.size() && s[k] == '/') { slashes++; k++; }
+      // cap: 1<<63 is signed-overflow UB; both compilers clamp the run at
+      // 30 (documented deviation from exact 2^-n — sub-sample at any rate)
+      return Frac(1, 1LL << std::min(slashes, 30));
+    }
     return Frac(1, 1);
+  }
+
+  Frac parseLen() { return parseLenAt(text, i); }
+
+  // _NOTE_RE acc-group parity: at s[k], match (up to TWO ^ or _, or one =)
+  // followed by a note letter. Returns true and advances k past the
+  // accidental (acc filled; letter NOT consumed) or leaves k untouched.
+  // The old scanners consumed unlimited runs ('^^^A' became A-natural and
+  // poisoned measureAcc; regex backtracking makes it ^ + A-double-sharp).
+  static bool matchNoteAcc(const std::string& s, size_t k, size_t* k_out,
+                           std::string* acc) {
+    auto isNote = [&](size_t q) {
+      return q < s.size() && strchr("ABCDEFGabcdefg", s[q]);
+    };
+    char c = (k < s.size()) ? s[k] : '\0';
+    if (c == '^' || c == '_') {
+      if (k + 1 < s.size() && s[k + 1] == c && isNote(k + 2)) {
+        *acc = std::string(2, c);
+        *k_out = k + 2;
+        return true;
+      }
+      if (isNote(k + 1)) {
+        *acc = std::string(1, c);
+        *k_out = k + 1;
+        return true;
+      }
+      return false;
+    }
+    if (c == '=') {
+      if (isNote(k + 1)) {
+        *acc = "=";
+        *k_out = k + 1;
+        return true;
+      }
+      return false;
+    }
+    if (isNote(k)) {
+      acc->clear();
+      *k_out = k;
+      return true;
+    }
+    return false;
   }
 
   void emit(int pitch, Frac dur, VoiceState& st, int vidx) {
@@ -541,11 +642,9 @@ struct Parser {
         size_t k = 0;
         while (k < inner.size()) {
           std::string acc;
-          while (k < inner.size() &&
-                 (inner[k] == '^' || inner[k] == '_' || inner[k] == '=')) {
-            acc.push_back(inner[k++]);
-          }
-          if (k < inner.size() && strchr("ABCDEFGabcdefg", inner[k])) {
+          size_t after_acc = k;
+          if (matchNoteAcc(inner, k, &after_acc, &acc)) {
+            k = after_acc;
             char letter = inner[k++];
             int octMarks = 0;
             while (k < inner.size() && (inner[k] == ',' || inner[k] == '\'')) {
@@ -691,8 +790,8 @@ struct Parser {
         int count = 0;
         while (i < text.size() && text[i] == b) { count++; i++; }
         st->pendingBroken = b;
-        st->brokenCount = count;
-        continue;
+        st->brokenCount = std::min(count, 30);  // 1<<(k+1) UB guard; both
+        continue;                               // compilers cap at 30
       }
       if (ch == '-') {
         if (!st->lastGroup.empty()) st->tiePendingIdx = st->lastGroup.back();
@@ -711,27 +810,16 @@ struct Parser {
           size_t k = 0;
           while (k < inner.size()) {
             std::string acc;
-            while (k < inner.size() && (inner[k] == '^' || inner[k] == '_' || inner[k] == '=')) {
-              acc.push_back(inner[k++]);
-            }
-            if (k < inner.size() && isalpha((unsigned char)inner[k]) &&
-                strchr("ABCDEFGabcdefg", inner[k])) {
+            size_t after_acc = k;
+            if (matchNoteAcc(inner, k, &after_acc, &acc)) {
+              k = after_acc;
               char letter = inner[k++];
               int octMarks = 0;
               while (k < inner.size() && (inner[k] == ',' || inner[k] == '\'')) {
                 octMarks += (inner[k] == '\'') ? 1 : -1;
                 k++;
               }
-              // inner length
-              std::string innerText = inner;
-              size_t save_i = i;
-              std::string save_text = text;
-              text = inner;
-              i = k;
-              Frac innerLen = parseLen();
-              k = i;
-              text = save_text;
-              i = save_i;
+              Frac innerLen = parseLenAt(inner, k);
               int pitch = notePitch(letter, acc, octMarks, *st);
               Frac d = innerLen * unitQl * outerLen;
               chordNotes.emplace_back(pitch, d);
@@ -801,17 +889,27 @@ struct Parser {
       if (ch == 'z' || ch == 'x' || ch == 'Z' || ch == 'X') {
         char kind = ch;
         if (kind == 'Z' || kind == 'X') {
-          // Z takes an INTEGER bar count; 'Z/2' is malformed — skip the Z
-          // and rescan the remainder (parser.py parity)
-          if (i + 1 < text.size() && text[i + 1] == '/') {
-            i++;
+          // Z takes an INTEGER bar count. Tokenize like _REST_RE's len
+          // group (\d+/\d+|/\d+|\d+|/+): a matched token containing '/'
+          // is malformed -> consume ONLY the Z (the token rescans as
+          // unknown chars, like Python's int() failure path); pure digits
+          // are the bar count. The old scan normalized 'Z4/2' to 2 bars
+          // and swallowed 'Z3/' digits Python leaves (review finding).
+          size_t k = i + 1;
+          Frac len = parseLenAt(text, k);
+          bool has_digits = k > i + 1 && isdigit((unsigned char)text[i + 1]);
+          bool fractional =
+              (k > i + 1) &&
+              std::string_view(text).substr(i + 1, k - i - 1).find('/') !=
+                  std::string_view::npos;
+          if (fractional) {
+            i++;  // malformed: skip Z only
             continue;
           }
-          i++;
-          Frac len = parseLen();
-          if (len.den != 1) continue;  // 'Z3/4' malformed: emit nothing
+          i = k;
+          Frac bars = has_digits ? len : Frac(1);
           Frac barQl(4LL * meterNum, meterDen);
-          emit(-1, barQl * len, *st, vidx);
+          emit(-1, barQl * bars, *st, vidx);
         } else {
           i++;
           Frac len = parseLen();
@@ -822,11 +920,9 @@ struct Parser {
       // note
       {
         std::string acc;
-        size_t save = i;
-        while (i < text.size() && (text[i] == '^' || text[i] == '_' || text[i] == '=')) {
-          acc.push_back(text[i++]);
-        }
-        if (i < text.size() && strchr("ABCDEFGabcdefg", text[i])) {
+        size_t after_acc = i;
+        if (matchNoteAcc(text, i, &after_acc, &acc)) {
+          i = after_acc;
           char letter = text[i++];
           int octMarks = 0;
           while (i < text.size() && (text[i] == ',' || text[i] == '\'')) {
@@ -838,7 +934,6 @@ struct Parser {
           emit(pitch, len * unitQl, *st, vidx);
           continue;
         }
-        i = save;
       }
       i++;  // unknown char
     }

@@ -28,11 +28,13 @@ N_CODEC_CASES = 200
 # ----------------------------------------------------------- ABC generator
 
 LETTERS = "CDEFGABcdefgab"
-ACCIDENTALS = ["", "", "", "", "^", "_", "=", "^^", "__"]
+ACCIDENTALS = ["", "", "", "", "^", "_", "=", "^^", "__",
+               "^^^", "^_", "=^"]  # over-long/mixed runs: regex backtracks
 OCTAVES = ["", "", "", "'", ",", "''", ",,"]
-LENGTHS = ["", "", "", "2", "3", "4", "/2", "/", "3/2", "//", "/4", "3/4"]
+LENGTHS = ["", "", "", "2", "3", "4", "/2", "/", "3/2", "//", "/4", "3/4",
+           "3/", "//2"]  # stray-slash forms: length token ends at the digits
 KEYS = ["C", "G", "D", "A", "E", "F", "Bb", "Eb", "Am", "Em", "Dm",
-        "Ador", "Amix", "Gm", "F#m"]
+        "Ador", "Amix", "Gm", "F#m", "Hm", "B#m"]  # unknown tonics -> 0
 METERS = ["4/4", "3/4", "2/4", "6/8", "C", "C|", "5/4"]
 UNITS = ["1/8", "1/16", "1/4"]
 DECOS = ["!trill!", "!fermata!", ".", "~", "u", "v", "H", "T"]
@@ -81,10 +83,11 @@ def _rand_element(rng: random.Random, depth: int = 0) -> str:
         return rng.choice(DECOS) + _rand_note(rng)
     if r < 0.92:
         return f'"{rng.choice(CHORD_SYMS)}"' + _rand_note(rng)
-    if r < 0.96:  # inline field
+    if r < 0.96:  # inline field (incl. unknown/ignored and malformed ones)
         tag = rng.choice([f"[M:{rng.choice(['3/4', '4/4', '6/8'])}]",
                           f"[L:{rng.choice(UNITS)}]",
-                          f"[K:{rng.choice(KEYS)}]"])
+                          f"[K:{rng.choice(KEYS)}]",
+                          "[r:remark eb]", "[I:linebreak]", "[M:bad]"])
         return tag + " " + _rand_note(rng)
     return "(" + _rand_note(rng) + _rand_note(rng) + ")"  # slur
 
@@ -94,7 +97,9 @@ def random_tune(seed: int) -> str:
     rng = random.Random(seed)
     lines = ["X:1", f"L:{rng.choice(UNITS)}", f"M:{rng.choice(METERS)}"]
     if rng.random() < 0.3:
-        lines.append(f"Q:1/4={rng.randint(60, 200)}")
+        lines.append(rng.choice([
+            f"Q:1/4={rng.randint(60, 200)}", "Q:0", "Q:90 apprx",
+            f"Q:{rng.randint(60, 200)}"]))
     if rng.random() < 0.15:  # comment / directive lines are stripped
         lines.append(rng.choice(["% a comment", "%%MIDI program 0"]))
     lines.append(f"K:{rng.choice(KEYS)}")
@@ -109,7 +114,8 @@ def random_tune(seed: int) -> str:
             return f"M:{rng.choice(['3/4', '4/4', '6/8'])}"
         if roll < 0.75:
             return rng.choice(["T:some title", "R:reel", "N:note text"])
-        return rng.choice(["Z/2 " + _rand_note(rng), "Z3/4",
+        return rng.choice(["Z/2 " + _rand_note(rng), "Z3/4", "Z4/2",
+                           "Z3/" + rng.choice("CDE"),
                            f"Z{rng.randint(1, 2)}"])
 
     def measures(k: int) -> str:

@@ -147,3 +147,37 @@ def test_native_matches_python_gchord(native_parser, abc):
     cc = NativeAbcParser(gchord=True).parse(abc)
     assert_tunes_equal(py, cc, abc)
     assert py.accomp_voice == cc.accomp_voice
+
+
+@pytest.mark.parametrize("abc,expect", [
+    # tempo guards (ref _parse_tempo + falsy check): zero/garbage ignored
+    ("X:1\nQ:0\nK:C\nC\n", 120.0),
+    ("X:1\nQ:90 apprx\nK:C\nC\n", 120.0),
+    ("X:1\nQ:1/4=120\nK:C\nC\n", 120.0),
+    ("X:1\nQ:1/8=120\nK:C\nC\n", 60.0),
+    ("X:1\nQ:90\nK:C\nC\n", 90.0),
+])
+def test_tempo_guard_parity(native_parser, abc, expect):
+    """Q: values that parser.py ignores must be ignored natively too — a
+    sscanf-based parse accepted 'Q:0' (ZeroDivision downstream) and
+    'Q:90 apprx' (review finding)."""
+    from ai_music_generation_tpu.abcnotation.parser import AbcParser
+
+    assert AbcParser().parse(abc).tempo_bpm == expect
+    assert native_parser.parse(abc).tempo_bpm == expect
+
+
+def test_unknown_tonic_and_meter_fallback(native_parser):
+    """K: with a non-A-G (or untabled) tonic is 0 sharps with NO mode
+    offset; a malformed M: resets to 4/4 — both mirroring parser.py."""
+    from ai_music_generation_tpu.abcnotation.parser import AbcParser
+
+    for abc in ("X:1\nK:Hm\nEAB\n", "X:1\nK:B#m\nEAB\n"):
+        a, b = AbcParser().parse(abc), native_parser.parse(abc)
+        assert a.sharps == b.sharps == 0
+        assert [n.pitch for n in a.notes] == [n.pitch for n in b.notes]
+    abc = "X:1\nM:6/8\nK:C\nZ [M:bad] Z\n"
+    a, b = AbcParser().parse(abc), native_parser.parse(abc)
+    assert a.meter == b.meter == (4, 4)
+    assert [(n.start, n.duration) for n in a.notes] == \
+           [(n.start, n.duration) for n in b.notes]
