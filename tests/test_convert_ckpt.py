@@ -1,0 +1,295 @@
+"""Two-way reference-checkpoint conversion (models/nanogpt_ckpt.py,
+models/tunesformer_export.py, cli/convert_ckpt.py).
+
+Orientation anchor: nanoGPT's from_pretrained defines its Linear layout as
+the TRANSPOSE of HF GPT-2's Conv1D layout (ref: nanoGPT/model.py:236-256),
+and params_from_hf_state is already numerically verified against HF — so
+``params_from_nanogpt_state(transpose(hf_state)) == params_from_hf_state
+(hf_state)`` pins the nanoGPT mapping to HF ground truth, and export is
+tested as the exact inverse (round-trip identity). The TunesFormer import
+is anchored against a torch replica in test_tunesformer_import.py; the
+export here round-trips through it.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+
+from ai_music_generation_tpu.models.gpt import GPT, GPTConfig
+from ai_music_generation_tpu.models.hf_import import params_from_hf_state
+from ai_music_generation_tpu.models.nanogpt_ckpt import (
+    config_from_model_args,
+    load_reference_ckpt,
+    nanogpt_state_from_params,
+    params_from_nanogpt_state,
+    save_reference_ckpt,
+    strip_compile_prefix,
+)
+from ai_music_generation_tpu.models.tunesformer import TunesFormer, TunesFormerConfig
+from ai_music_generation_tpu.models.tunesformer_export import (
+    save_reference_checkpoint,
+    tunesformer_state_from_params,
+)
+from ai_music_generation_tpu.models.tunesformer_import import (
+    params_from_tunesformer_state,
+)
+
+CFG = GPTConfig(block_size=16, vocab_size=64, n_layer=2, n_head=2, n_embd=16,
+                dropout=0.0, bias=True, dtype=jnp.float32)
+CFG_NOBIAS = GPTConfig(block_size=16, vocab_size=64, n_layer=2, n_head=2,
+                       n_embd=16, dropout=0.0, bias=False, dtype=jnp.float32)
+
+
+def _init_gpt(cfg):
+    model = GPT(cfg)
+    return model.init(jax.random.PRNGKey(0),
+                      jnp.zeros((1, cfg.block_size), jnp.int32))
+
+
+def _trees_equal(a, b):
+    flat_a = {jax.tree_util.keystr(k): np.asarray(v)
+              for k, v in jax.tree_util.tree_flatten_with_path(a)[0]}
+    flat_b = {jax.tree_util.keystr(k): np.asarray(v)
+              for k, v in jax.tree_util.tree_flatten_with_path(b)[0]}
+    assert flat_a.keys() == flat_b.keys()
+    for k in flat_a:
+        np.testing.assert_allclose(flat_a[k], flat_b[k], rtol=0, atol=0,
+                                   err_msg=k)
+
+
+@pytest.mark.parametrize("cfg", [CFG, CFG_NOBIAS], ids=["bias", "nobias"])
+def test_gpt_export_import_round_trip(cfg):
+    params = _init_gpt(cfg)
+    state = nanogpt_state_from_params(params, cfg)
+    back = params_from_nanogpt_state(state, cfg)
+    _trees_equal(params, back)
+
+
+def test_gpt_export_key_set_and_tying():
+    params = _init_gpt(CFG)
+    state = nanogpt_state_from_params(params, CFG)
+    assert "lm_head.weight" in state
+    assert state["lm_head.weight"] is state["transformer.wte.weight"]
+    expected = {"transformer.wte.weight", "transformer.wpe.weight",
+                "transformer.ln_f.weight", "transformer.ln_f.bias",
+                "lm_head.weight"}
+    for i in range(CFG.n_layer):
+        for mod, names in (("ln_1", ["weight", "bias"]),
+                           ("attn.c_attn", ["weight", "bias"]),
+                           ("attn.c_proj", ["weight", "bias"]),
+                           ("ln_2", ["weight", "bias"]),
+                           ("mlp.c_fc", ["weight", "bias"]),
+                           ("mlp.c_proj", ["weight", "bias"])):
+            for n in names:
+                expected.add(f"transformer.h.{i}.{mod}.{n}")
+    assert set(state) == expected
+    # torch Linear orientation: c_fc maps E -> 4E, stored [out, in]
+    assert state["transformer.h.0.mlp.c_fc.weight"].shape == (
+        4 * CFG.n_embd, CFG.n_embd)
+    # no-bias configs emit no bias keys (nanoGPT bias=False music configs)
+    state_nb = nanogpt_state_from_params(_init_gpt(CFG_NOBIAS), CFG_NOBIAS)
+    assert not any(k.endswith("bias") for k in state_nb)
+
+
+def test_gpt_import_orientation_anchored_to_hf():
+    """nanoGPT layout == transpose of HF Conv1D (ref model.py:236-256);
+    params_from_hf_state is the numerically-verified anchor."""
+    from transformers import GPT2Config, GPT2LMHeadModel
+
+    hf = GPT2LMHeadModel(GPT2Config(
+        n_layer=2, n_head=2, n_embd=16, n_positions=16, vocab_size=64,
+        resid_pdrop=0.0, embd_pdrop=0.0, attn_pdrop=0.0))
+    hf_state = {k: v for k, v in hf.state_dict().items()}
+    via_hf = params_from_hf_state(dict(hf_state), CFG)
+
+    transposed = ("attn.c_attn.weight", "attn.c_proj.weight",
+                  "mlp.c_fc.weight", "mlp.c_proj.weight")
+    nanogpt_state = {}
+    for k, v in hf_state.items():
+        if k.endswith(".attn.bias") or k.endswith(".attn.masked_bias"):
+            continue  # HF mask buffers; nanoGPT flash ckpts lack them
+        v = v.detach().numpy()
+        if any(k.endswith(s) for s in transposed):
+            v = v.T  # ref from_pretrained transposes these into Linear layout
+        nanogpt_state[k] = v
+    via_nanogpt = params_from_nanogpt_state(nanogpt_state, CFG)
+    _trees_equal(via_hf, via_nanogpt)
+
+
+def test_gpt_import_strips_compile_prefix():
+    params = _init_gpt(CFG)
+    state = nanogpt_state_from_params(params, CFG)
+    prefixed = {"_orig_mod." + k: v for k, v in state.items()}
+    assert strip_compile_prefix(prefixed).keys() == state.keys()
+    back = params_from_nanogpt_state(prefixed, CFG)
+    _trees_equal(params, back)
+
+
+def test_gpt_ckpt_pt_file_round_trip(tmp_path):
+    params = _init_gpt(CFG)
+    path = str(tmp_path / "ckpt.pt")
+    save_reference_ckpt(path, params, CFG, iter_num=123, best_val_loss=1.5,
+                        train_config={"dataset": "bach", "learning_rate": 1e-3})
+    cfg2, params2, meta = load_reference_ckpt(path)
+    assert cfg2.n_layer == CFG.n_layer and cfg2.vocab_size == CFG.vocab_size
+    assert meta["iter_num"] == 123 and meta["best_val_loss"] == 1.5
+    assert meta["config"]["dataset"] == "bach"
+    _trees_equal(params, params2)
+
+
+def test_gpt_exported_optimizer_loads_like_reference_resume():
+    """The reference resume does optimizer.load_state_dict(ckpt['optimizer'])
+    unconditionally (ref nanoGPT/train.py:216) with decay/no-decay groups
+    from configure_optimizers (ref model.py:263-287). Rebuild that exact
+    group structure over the exported tensors and load."""
+    import tempfile
+
+    params = _init_gpt(CFG)
+    with tempfile.NamedTemporaryFile(suffix=".pt") as f:
+        save_reference_ckpt(f.name, params, CFG, train_config={})
+        ckpt = torch.load(f.name, map_location="cpu", weights_only=False)
+    ckpt_opt = ckpt["optimizer"]
+
+    # nanoGPT's partition: dim >= 2 decays, else not — over deduped params
+    seen, decay, nodecay = set(), [], []
+    for k, v in ckpt["model"].items():
+        if v.data_ptr() in seen:
+            continue
+        seen.add(v.data_ptr())
+        p = torch.nn.Parameter(v.clone())
+        (decay if p.dim() >= 2 else nodecay).append(p)
+    opt = torch.optim.AdamW(
+        [{"params": decay, "weight_decay": 0.1},
+         {"params": nodecay, "weight_decay": 0.0}],
+        lr=6e-4, betas=(0.9, 0.95))
+    opt.load_state_dict(ckpt_opt)  # must not raise (group sizes must match)
+    assert len(opt.param_groups) == 2
+
+
+def test_gpt_imported_params_run_forward(tmp_path):
+    params = _init_gpt(CFG)
+    path = str(tmp_path / "ckpt.pt")
+    save_reference_ckpt(path, params, CFG)
+    cfg2, params2, _ = load_reference_ckpt(path, dtype=jnp.float32)
+    x = jnp.zeros((1, 8), jnp.int32)
+    a = GPT(CFG).apply(params, x)[0]
+    b = GPT(cfg2).apply(params2, x)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+TCFG = TunesFormerConfig(patch_length=8, patch_size=16, patch_layers=2,
+                         char_layers=2, n_embd=32, n_head=2, dropout=0.0,
+                         share_weights=False, dtype=jnp.float32)
+TCFG_SHARED = TunesFormerConfig(patch_length=8, patch_size=16, patch_layers=2,
+                                char_layers=2, n_embd=32, n_head=2,
+                                dropout=0.0, share_weights=True,
+                                dtype=jnp.float32)
+
+
+def _init_tunes(cfg):
+    model = TunesFormer(cfg)
+    patches = jnp.ones((1, cfg.patch_length, cfg.patch_size), jnp.int32)
+    return model, model.init(jax.random.PRNGKey(1), patches)
+
+
+@pytest.mark.parametrize("cfg", [TCFG, TCFG_SHARED], ids=["split", "shared"])
+def test_tunesformer_export_import_round_trip(cfg):
+    _, params = _init_tunes(cfg)
+    state = tunesformer_state_from_params(params, cfg)
+    back = params_from_tunesformer_state(state, cfg)
+    _trees_equal(params, back)
+
+
+def test_tunesformer_shared_export_aliases_both_prefixes():
+    _, params = _init_tunes(TCFG_SHARED)
+    state = tunesformer_state_from_params(params, TCFG_SHARED)
+    a = state["patch_level_decoder.base.h.0.attn.c_attn.weight"]
+    b = state["char_level_decoder.base.transformer.h.0.attn.c_attn.weight"]
+    assert a is b  # the reference aliases the modules (ref utils.py:207-208)
+    assert state["patch_level_decoder.base.wte.weight"] is \
+        state["char_level_decoder.base.transformer.wte.weight"]
+
+
+def test_tunesformer_weights_pth_loadable_by_reference_reader(tmp_path):
+    """generate.py reads checkpoint['model'] and strips attn buffer keys
+    (ref generate.py:87-89); train.py additionally restores optimizer and
+    lr_sched (ref train.py:161-172)."""
+    _, params = _init_tunes(TCFG)
+    path = str(tmp_path / "weights.pth")
+    save_reference_checkpoint(path, params, TCFG, epoch=7, best_epoch=5,
+                              min_eval_loss=0.42)
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    assert set(ckpt) == {"model", "optimizer", "lr_sched", "epoch",
+                         "best_epoch", "min_eval_loss"}
+    assert ckpt["epoch"] == 7 and ckpt["min_eval_loss"] == 0.42
+    back = params_from_tunesformer_state(ckpt["model"], TCFG)
+    _, orig = _init_tunes(TCFG)
+    # torch Linear orientation of the patch embedding
+    assert tuple(ckpt["model"]
+                 ["patch_level_decoder.patch_embedding.weight"].shape) == (
+        TCFG.n_embd, TCFG.patch_size * 128)
+    # optimizer/lr_sched load into a fresh single-group AdamW (ref setup)
+    tensors = list(ckpt["model"].values())
+    seen, ps = set(), []
+    for t in tensors:
+        if t.data_ptr() in seen:
+            continue
+        seen.add(t.data_ptr())
+        ps.append(torch.nn.Parameter(t.clone()))
+    opt = torch.optim.AdamW(ps, lr=5e-5)
+    opt.load_state_dict(ckpt["optimizer"])
+    sched = torch.optim.lr_scheduler.LambdaLR(opt, lambda _: 1.0)
+    sched.load_state_dict(ckpt["lr_sched"])
+
+
+def test_cli_gpt_both_directions(tmp_path):
+    from ai_music_generation_tpu.cli.convert_ckpt import main as convert_main
+    from ai_music_generation_tpu.train import checkpoint as ckpt_lib
+
+    out_dir = str(tmp_path / "out")
+    params = _init_gpt(CFG)
+    ckpt_lib.save_checkpoint(
+        out_dir, ckpt_lib.BEST, {"params": params},
+        model_args=dict(n_layer=2, n_head=2, n_embd=16, block_size=16,
+                        bias=True, vocab_size=64),
+        iter_num=9, best_val_loss=2.0, config={"dataset": "bach"})
+    pt = str(tmp_path / "ckpt.pt")
+    convert_main(["gpt", "to-torch", "--out_dir", out_dir, "--out", pt])
+
+    out2 = str(tmp_path / "out2")
+    convert_main(["gpt", "from-torch", "--ckpt", pt, "--out_dir", out2])
+    state, meta = ckpt_lib.load_checkpoint(out2, ckpt_lib.BEST)
+    assert meta["model_args"]["vocab_size"] == 64
+    assert meta["iter_num"] == 9 and meta["config"]["dataset"] == "bach"
+    _trees_equal(state["params"], params)
+
+
+def test_cli_tunesformer_both_directions(tmp_path):
+    from ai_music_generation_tpu.cli.convert_ckpt import main as convert_main
+    from ai_music_generation_tpu.models.tunesformer import load_tunesformer
+    from ai_music_generation_tpu.train import checkpoint as ckpt_lib
+
+    out_dir = str(tmp_path / "tunes")
+    _, params = _init_tunes(TCFG)
+    ckpt_lib.save_checkpoint(
+        out_dir, "weights", {"params": params},
+        model_args=dict(patch_length=8, patch_size=16, patch_layers=2,
+                        char_layers=2, n_embd=32, n_head=2,
+                        share_weights=False),
+        iter_num=3, best_val_loss=0.5, config={"best_epoch": 2})
+    pth = str(tmp_path / "weights.pth")
+    convert_main(["tunesformer", "to-torch", "--out_dir", out_dir,
+                  "--out", pth])
+
+    out2 = str(tmp_path / "tunes2")
+    convert_main(["tunesformer", "from-torch", "--ckpt", pth,
+                  "--out_dir", out2, "--patch_length", "8", "--n_head", "2"])
+    model, params2, meta = load_tunesformer(out2)
+    assert meta["model_args"] == dict(
+        patch_length=8, patch_size=16, patch_layers=2, char_layers=2,
+        n_embd=32, n_head=2, share_weights=False)
+    _trees_equal(params2, {"params": params["params"]})
