@@ -76,6 +76,17 @@ def load_model(out_dir: str, dtype: str = "bfloat16", init_from: str = "resume",
         config, params = from_pretrained(init_from)
         config = dataclasses.replace(config, dtype=jdtype)
         return GPT(config), params, {"model_args": {}, "config": {}}
+    torch_ckpt = os.path.join(out_dir, "ckpt.pt")
+    if not ckpt_lib.checkpoint_exists(out_dir, ckpt_lib.BEST) and os.path.exists(torch_ckpt):
+        # a reference nanoGPT out_dir: auto-import ckpt.pt in memory so a
+        # migrating user can point --out_dir at it unchanged
+        # (format: ref nanoGPT/train.py:316-329)
+        from ai_music_generation_tpu.models.nanogpt_ckpt import load_reference_ckpt
+
+        print(f"no orbax checkpoint in {out_dir}; importing {torch_ckpt}")
+        config, params, meta = load_reference_ckpt(
+            torch_ckpt, dtype=jdtype, kv_quantized=kv_quantized)
+        return GPT(config), params, meta
     state, meta = ckpt_lib.load_checkpoint(out_dir, ckpt_lib.BEST)
     config = GPTConfig(dropout=0.0, dtype=jdtype, kv_quantized=kv_quantized,
                        **meta["model_args"])

@@ -268,6 +268,25 @@ def test_cli_gpt_both_directions(tmp_path):
     _trees_equal(state["params"], params)
 
 
+def test_sample_load_model_autoimports_reference_out_dir(tmp_path):
+    """Pointing cli.sample --out_dir at a reference nanoGPT out_dir (ckpt.pt,
+    no orbax checkpoint) imports it in memory."""
+    from ai_music_generation_tpu.cli.sample import load_model
+
+    params = _init_gpt(CFG)
+    out_dir = str(tmp_path)
+    save_reference_ckpt(str(tmp_path / "ckpt.pt"), params, CFG, iter_num=11,
+                        train_config={"dataset": "bach"})
+    model, params2, meta = load_model(out_dir, dtype="float32")
+    assert meta["iter_num"] == 11 and meta["config"]["dataset"] == "bach"
+    _trees_equal(params, params2)
+    x = jnp.zeros((1, 4), jnp.int32)
+    a = GPT(CFG).apply(params, x)[0]
+    b = model.apply(params2, x)[0]
+    np.testing.assert_allclose(np.asarray(a, np.float32),
+                               np.asarray(b, np.float32), atol=1e-5)
+
+
 def test_cli_tunesformer_both_directions(tmp_path):
     from ai_music_generation_tpu.cli.convert_ckpt import main as convert_main
     from ai_music_generation_tpu.models.tunesformer import load_tunesformer
