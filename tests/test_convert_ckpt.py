@@ -268,6 +268,42 @@ def test_cli_gpt_both_directions(tmp_path):
     _trees_equal(state["params"], params)
 
 
+@pytest.mark.parametrize("seed", range(6))
+def test_gpt_bridge_property_random_configs(seed):
+    """Round-trip identity over randomly drawn architectures (layers, heads,
+    widths, bias) — the shape/keyset logic must hold across the config
+    space, not just the two fixtures."""
+    rng = np.random.RandomState(seed)
+    n_head = int(rng.choice([1, 2, 4]))
+    cfg = GPTConfig(
+        block_size=int(rng.choice([8, 32])),
+        vocab_size=int(rng.randint(8, 128)),
+        n_layer=int(rng.randint(1, 4)),
+        n_head=n_head,
+        n_embd=n_head * int(rng.choice([4, 8])),
+        dropout=0.0, bias=bool(rng.randint(2)), dtype=jnp.float32)
+    params = _init_gpt(cfg)
+    state = nanogpt_state_from_params(params, cfg)
+    _trees_equal(params, params_from_nanogpt_state(state, cfg))
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_tunesformer_bridge_property_random_configs(seed):
+    rng = np.random.RandomState(100 + seed)
+    n_head = int(rng.choice([1, 2]))
+    cfg = TunesFormerConfig(
+        patch_length=int(rng.choice([4, 8])),
+        patch_size=int(rng.choice([8, 16])),
+        patch_layers=int(rng.randint(1, 3)),
+        char_layers=int(rng.randint(1, 3)),
+        n_embd=n_head * int(rng.choice([8, 16])),
+        n_head=n_head, dropout=0.0,
+        share_weights=bool(rng.randint(2)), dtype=jnp.float32)
+    _, params = _init_tunes(cfg)
+    state = tunesformer_state_from_params(params, cfg)
+    _trees_equal(params, params_from_tunesformer_state(state, cfg))
+
+
 def test_sample_load_model_autoimports_reference_out_dir(tmp_path):
     """Pointing cli.sample --out_dir at a reference nanoGPT out_dir (ckpt.pt,
     no orbax checkpoint) imports it in memory."""
