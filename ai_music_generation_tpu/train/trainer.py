@@ -164,6 +164,20 @@ class Trainer:
                 n_embd=hf_config.n_embd, block_size=hf_config.block_size,
                 bias=hf_config.bias, vocab_size=hf_config.vocab_size,
             )
+        elif c["init_from"].endswith(".pt"):
+            # fine-tune init from a reference nanoGPT ckpt.pt (format: ref
+            # train.py:316-329): weights + architecture come from the torch
+            # checkpoint, optimizer/iter start fresh — the migration analog
+            # of the reference's cross-dataset transfer runs
+            # (ref config/bach_from_irishman_512_context.py:5)
+            from ai_music_generation_tpu.models.nanogpt_ckpt import (
+                load_reference_ckpt)
+
+            t_config, hf_params, t_meta = load_reference_ckpt(
+                c["init_from"], dropout=c["dropout"])
+            model_args.update({k: t_meta["model_args"][k] for k in ARCH_KEYS})
+            print(f"initializing from reference checkpoint {c['init_from']} "
+                  f"(trained to iter {t_meta['iter_num']})")
 
         dtype = jnp.bfloat16 if c["dtype"] == "bfloat16" else jnp.float32
         self.model_args = model_args

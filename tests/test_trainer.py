@@ -148,3 +148,32 @@ def test_train_on_uint32_corpus(tmp_path):
     t = Trainer(c)
     assert t.train_data.dtype == np.uint32
     t.run()
+
+
+def test_init_from_reference_ckpt_pt(tiny_dataset, tmp_path):
+    """--init_from=<path>.pt fine-tunes from a reference nanoGPT checkpoint:
+    architecture + weights come from the torch file, iter starts fresh."""
+    torch = pytest.importorskip("torch")
+    import jax
+    import jax.numpy as jnp
+
+    from ai_music_generation_tpu.models.gpt import GPT, GPTConfig
+    from ai_music_generation_tpu.models.nanogpt_ckpt import save_reference_ckpt
+
+    root, tok = tiny_dataset
+    vocab = len(tok.meta()["itos"])
+    # a "reference-trained" checkpoint at a DIFFERENT width than the config
+    # asks for — arch must come from the checkpoint, like resume does
+    cfg = GPTConfig(block_size=32, vocab_size=vocab, n_layer=2, n_head=2,
+                    n_embd=48, dropout=0.0, bias=False, dtype=jnp.float32)
+    src = GPT(cfg).init(jax.random.PRNGKey(9), jnp.zeros((1, 32), jnp.int32))
+    pt = str(tmp_path / "ref_ckpt.pt")
+    save_reference_ckpt(pt, src, cfg, iter_num=500)
+
+    out = str(tmp_path / "out")
+    t = Trainer(make_config(root, out, max_iters=2, init_from=pt, n_embd=32))
+    assert t.model_args["n_embd"] == 48  # overridden from the checkpoint
+    assert t.iter_num == 0  # fine-tune init, not a resume
+    got = np.asarray(t.state.params["params"]["wte"]["embedding"])
+    np.testing.assert_allclose(got, np.asarray(src["params"]["wte"]["embedding"]))
+    t.run()  # one eval+step cycle works end to end
