@@ -52,6 +52,9 @@ DEFAULTS = dict(
     n_head=12,
     share_weights=False,
     load_from_checkpoint=False,
+    torch_init="",  # path to a reference weights.pth to fine-tune from
+    # (weights only, fresh optimizer/epoch — the analog of resuming from the
+    # released checkpoint, ref tunesformer/train.py:161-172 / generate.py:87)
     patch_sampling_batch_size=0,  # ref config.py:9; 0 = full context
     n_model=1,  # tensor-parallel mesh axis (1 = pure DP, the ref's layout)
     seed=42,
@@ -125,11 +128,19 @@ def main(argv=None):
     )
     model = TunesFormer(cfg)
     B = c["batch_size"]
-    dummy = jnp.zeros((1, c["patch_length"], c["patch_size"]), jnp.int32)
-    params = jax.jit(model.init, static_argnums=(2,))(
-        {"params": jax.random.PRNGKey(c["seed"]), "dropout": jax.random.PRNGKey(1)},
-        dummy, False,
-    )
+    if c["torch_init"]:
+        from ai_music_generation_tpu.models.tunesformer_import import (
+            load_reference_checkpoint)
+
+        params = load_reference_checkpoint(c["torch_init"], cfg)
+        print(f"initialized from reference checkpoint {c['torch_init']}")
+    else:
+        dummy = jnp.zeros((1, c["patch_length"], c["patch_size"]), jnp.int32)
+        params = jax.jit(model.init, static_argnums=(2,))(
+            {"params": jax.random.PRNGKey(c["seed"]),
+             "dropout": jax.random.PRNGKey(1)},
+            dummy, False,
+        )
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
     print(f"Parameter Number: {n_params}")
 

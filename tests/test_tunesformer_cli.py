@@ -100,3 +100,39 @@ def test_tunesformer_train_runs_on_multi_device_mesh(tiny_data, tmp_path):
         "--n_embd=32", "--n_head=2", "--dtype=float32",
     ])
     assert loss < 100
+
+
+def test_train_torch_init_from_reference_weights(tiny_data, tmp_path):
+    """--torch_init=<weights.pth> fine-tunes from a reference checkpoint
+    (weights in, fresh optimizer/epoch)."""
+    pytest.importorskip("torch")
+    import jax
+    import jax.numpy as jnp
+
+    from ai_music_generation_tpu.models.tunesformer import (
+        TunesFormer, TunesFormerConfig)
+    from ai_music_generation_tpu.models.tunesformer_export import (
+        save_reference_checkpoint)
+
+    root, data_path = tiny_data
+    cfg = TunesFormerConfig(patch_length=16, patch_size=16, patch_layers=2,
+                            char_layers=2, n_embd=32, n_head=2, dropout=0.0,
+                            share_weights=False, dtype=jnp.float32)
+    model = TunesFormer(cfg)
+    src = model.init(jax.random.PRNGKey(11),
+                     jnp.ones((1, 16, 16), jnp.int32))
+    pth = str(tmp_path / "weights.pth")
+    save_reference_checkpoint(pth, src, cfg, epoch=9)
+
+    out = str(tmp_path / "tf_ft")
+    loss = train_main([
+        f"--data_path={data_path}", f"--out_dir={out}",
+        f"--torch_init={pth}",
+        "--num_epochs=1", "--batch_size=4", "--patch_length=16",
+        "--patch_size=16", "--patch_layers=2", "--char_layers=2",
+        "--n_embd=32", "--n_head=2", "--dtype=float32",
+    ])
+    assert loss < 100
+    # fresh epoch counter: trained exactly epoch 1, not 10
+    logs = open(os.path.join(out, "logs.txt")).read()
+    assert "Epoch 1" in logs and "Epoch 10" not in logs
