@@ -65,51 +65,19 @@ def _gpt_to_torch(args) -> None:
           f"({config.n_layer}L/{config.n_head}H/{config.n_embd}d)")
 
 
-def _tunes_config_from_state(state, args):
-    """Infer TunesFormerConfig from a reference state dict (shape-driven),
-    with CLI overrides for what shapes cannot tell us (patch_length)."""
-    import numpy as np
-
-    from ai_music_generation_tpu.models.tunesformer import TunesFormerConfig
-
-    w = state["patch_level_decoder.patch_embedding.weight"]
-    n_embd, flat = int(w.shape[0]), int(w.shape[1])
-    patch_size = flat // 128
-    def n_layers(prefix):
-        head = prefix + "h."
-        return 1 + max(
-            int(k[len(head):].split(".")[0]) for k in state
-            if k.startswith(head))
-    patch_layers = n_layers("patch_level_decoder.base.")
-    char_layers = n_layers("char_level_decoder.base.transformer.")
-    # shared models alias the two cores: same tensor values under both
-    # prefixes AND the patch wte is the 128-vocab char wte
-    patch_wte = state["patch_level_decoder.base.wte.weight"]
-    share = int(patch_wte.shape[0]) == 128 and patch_layers == char_layers
-    if share:
-        a = np.asarray(state["patch_level_decoder.base.h.0.ln_1.weight"])
-        b = np.asarray(state["char_level_decoder.base.transformer.h.0.ln_1.weight"])
-        share = a.shape == b.shape and bool(np.array_equal(a, b))
-    n_head = args.n_head
-    return TunesFormerConfig(
-        patch_length=args.patch_length, patch_size=patch_size,
-        patch_layers=patch_layers, char_layers=char_layers,
-        n_embd=n_embd, n_head=n_head, share_weights=share,
-    )
-
-
 def _tunes_from_torch(args) -> None:
     import torch
 
     from ai_music_generation_tpu.models.tunesformer_import import (
-        params_from_tunesformer_state)
+        config_from_reference_state, params_from_tunesformer_state)
 
     ckpt = torch.load(args.ckpt, map_location="cpu", weights_only=False)
     state = ckpt["model"] if isinstance(ckpt, dict) and "model" in ckpt else ckpt
     state = {k: v for k, v in state.items()
              if not k.endswith(".attn.bias")
              and not k.endswith(".attn.masked_bias")}
-    cfg = _tunes_config_from_state(state, args)
+    cfg = config_from_reference_state(
+        state, patch_length=args.patch_length, n_head=args.n_head)
     params = params_from_tunesformer_state(state, cfg)
     os.makedirs(args.out_dir, exist_ok=True)
     ckpt_lib.save_checkpoint(

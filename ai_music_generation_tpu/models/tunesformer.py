@@ -242,7 +242,45 @@ def load_tunesformer(out_dir: str, name: str = "weights",
     generate / batch-sampling / serving CLIs (was triplicated; a new
     model_arg added to one site and not the others silently loaded a
     wrong config)."""
+    import os
+
     from ai_music_generation_tpu.train import checkpoint as ckpt_lib
+
+    torch_ckpt = os.path.join(out_dir, "weights.pth")
+    if not ckpt_lib.checkpoint_exists(out_dir, name) and os.path.exists(torch_ckpt):
+        # a reference TunesFormer directory: auto-import weights.pth in
+        # memory so migrating users can point the generate/sampling/serving
+        # CLIs at it unchanged (format: ref tunesformer/train.py:189-208;
+        # patch_length/n_head are not in the tensors — reference defaults
+        # assumed, use cli.convert_ckpt from-torch for other values)
+        import dataclasses
+
+        import torch
+
+        from ai_music_generation_tpu.models.tunesformer_import import (
+            config_from_reference_state, params_from_tunesformer_state)
+
+        print(f"no orbax checkpoint in {out_dir}; importing {torch_ckpt}")
+        ckpt = torch.load(torch_ckpt, map_location="cpu", weights_only=False)
+        sd = ckpt["model"] if isinstance(ckpt, dict) and "model" in ckpt else ckpt
+        sd = {k: v for k, v in sd.items()
+              if not k.endswith(".attn.bias")
+              and not k.endswith(".attn.masked_bias")}
+        cfg = dataclasses.replace(
+            config_from_reference_state(sd, dtype=dtype), dropout=0.0)
+        params = params_from_tunesformer_state(sd, cfg)
+        meta = {
+            "model_args": dict(
+                patch_length=cfg.patch_length, patch_size=cfg.patch_size,
+                patch_layers=cfg.patch_layers, char_layers=cfg.char_layers,
+                n_embd=cfg.n_embd, n_head=cfg.n_head,
+                share_weights=cfg.share_weights),
+            "iter_num": int(ckpt.get("epoch", 0)) if isinstance(ckpt, dict) else 0,
+            "best_val_loss": float(ckpt.get("min_eval_loss", 100.0))
+            if isinstance(ckpt, dict) else 100.0,
+            "config": {},
+        }
+        return TunesFormer(cfg), params, meta
 
     state, meta = ckpt_lib.load_checkpoint(out_dir, name)
     ma = meta["model_args"]

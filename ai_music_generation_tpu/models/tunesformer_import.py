@@ -110,3 +110,40 @@ def load_reference_checkpoint(path: str, config: TunesFormerConfig) -> dict:
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
     state = ckpt["model"] if isinstance(ckpt, dict) and "model" in ckpt else ckpt
     return params_from_tunesformer_state(state, config)
+
+
+def config_from_reference_state(
+    state: Mapping[str, Any], patch_length: int = 128, n_head: int = 12,
+    dtype: Any = None,
+) -> TunesFormerConfig:
+    """Infer a TunesFormerConfig from a reference state dict (shape-driven).
+
+    ``patch_length`` and ``n_head`` are not recoverable from tensor shapes —
+    defaults are the reference's published config (ref tunesformer/
+    config.py:1-4). Weight sharing is detected by the aliased stacks: the
+    patch core's wte is the 128-vocab char wte and layer 0 tensors match.
+    """
+    w = _to_np(state["patch_level_decoder.patch_embedding.weight"])
+    n_embd, flat = int(w.shape[0]), int(w.shape[1])
+
+    def n_layers(prefix):
+        head = prefix + "h."
+        return 1 + max(int(k[len(head):].split(".")[0]) for k in state
+                       if k.startswith(head))
+
+    patch_layers = n_layers("patch_level_decoder.base.")
+    char_layers = n_layers("char_level_decoder.base.transformer.")
+    patch_wte = _to_np(state["patch_level_decoder.base.wte.weight"])
+    share = int(patch_wte.shape[0]) == 128 and patch_layers == char_layers
+    if share:
+        a = _to_np(state["patch_level_decoder.base.h.0.ln_1.weight"])
+        b = _to_np(state["char_level_decoder.base.transformer.h.0.ln_1.weight"])
+        share = a.shape == b.shape and bool(np.array_equal(a, b))
+    kwargs: dict[str, Any] = {}
+    if dtype is not None:
+        kwargs["dtype"] = dtype
+    return TunesFormerConfig(
+        patch_length=patch_length, patch_size=flat // 128,
+        patch_layers=patch_layers, char_layers=char_layers,
+        n_embd=n_embd, n_head=n_head, share_weights=share, **kwargs,
+    )

@@ -323,6 +323,30 @@ def test_sample_load_model_autoimports_reference_out_dir(tmp_path):
                                np.asarray(b, np.float32), atol=1e-5)
 
 
+def test_load_tunesformer_autoimports_reference_dir(tmp_path):
+    """Pointing the TunesFormer CLIs at a reference directory (weights.pth,
+    no orbax checkpoint) imports it in memory, with config inferred from
+    tensor shapes (reference-default patch_length/n_head assumed)."""
+    from ai_music_generation_tpu.models.tunesformer import load_tunesformer
+
+    # reference defaults for the non-inferable fields so inference matches
+    cfg = TunesFormerConfig(patch_length=128, patch_size=16, patch_layers=2,
+                            char_layers=3, n_embd=24, n_head=12, dropout=0.0,
+                            share_weights=False, dtype=jnp.float32)
+    model = TunesFormer(cfg)
+    patches = jnp.ones((1, cfg.patch_length, cfg.patch_size), jnp.int32)
+    params = model.init(jax.random.PRNGKey(4), patches)
+    save_reference_checkpoint(str(tmp_path / "weights.pth"), params, cfg,
+                              epoch=6, min_eval_loss=0.9)
+
+    m2, params2, meta = load_tunesformer(str(tmp_path), dtype=jnp.float32)
+    ma = meta["model_args"]
+    assert (ma["patch_size"], ma["patch_layers"], ma["char_layers"],
+            ma["n_embd"], ma["share_weights"]) == (16, 2, 3, 24, False)
+    assert meta["iter_num"] == 6 and meta["best_val_loss"] == 0.9
+    _trees_equal(params, params2)
+
+
 def test_cli_tunesformer_both_directions(tmp_path):
     from ai_music_generation_tpu.cli.convert_ckpt import main as convert_main
     from ai_music_generation_tpu.models.tunesformer import load_tunesformer
