@@ -151,8 +151,18 @@ class Trainer:
             # architecture comes from the checkpoint (ref: train.py:181-185)
             model_args.update({k: meta["model_args"][k] for k in ARCH_KEYS})
         elif c["init_from"] == "resume":
+            hint = ""
+            if os.path.exists(os.path.join(c["out_dir"], "ckpt.pt")):
+                hint = (" — found a reference ckpt.pt there; to fine-tune "
+                        "from it pass --init_from="
+                        f"{os.path.join(c['out_dir'], 'ckpt.pt')}")
+            elif ckpt_lib.checkpoint_exists(c["out_dir"], ckpt_lib.BEST):
+                hint = (" — only a best-val checkpoint exists (e.g. from "
+                        "cli.convert_ckpt from-torch, which carries no "
+                        "optimizer state); resume needs last_iter_ckpt, "
+                        "fine-tune inits go via --init_from=<path>.pt")
             raise FileNotFoundError(
-                f"init_from=resume but no checkpoint in {c['out_dir']}"
+                f"init_from=resume but no checkpoint in {c['out_dir']}{hint}"
             )
         elif c["init_from"].startswith("gpt2"):
             # HF GPT-2 weight import (ref: train.py:196-203)
