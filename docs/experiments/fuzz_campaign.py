@@ -136,3 +136,6 @@ if __name__ == "__main__":
 #   filter_allowed_parts dropped all-rest parts (reference behavior,
 #   ref quantized_converter.py:838). tests/test_fuzz.py::_note_set now
 #   applies the same filter.
+# 2026-08-18 (round 3, final HEAD): 30,000 ABC differential cases — 0
+#   divergences (24 s); 3x1,500 codec round trips — 0 failures. Post-
+#   dates the ten-fix native review batch (c9b897f) and everything after.
