@@ -20,6 +20,7 @@ import os
 from typing import Any, Optional
 
 import jax
+import numpy as np
 import orbax.checkpoint as ocp
 
 BEST = "ckpt"
@@ -55,20 +56,48 @@ def load_checkpoint(
     out_dir: str,
     name: str = BEST,
     target: Optional[Any] = None,
+    shardings: Optional[Any] = None,
 ) -> tuple[Any, dict]:
-    """Returns (state_pytree, meta dict)."""
+    """Returns (state_pytree, meta dict).
+
+    ``shardings`` (a pytree of jax.sharding.Sharding matching ``target``)
+    makes restore topology-explicit: a checkpoint saved on one mesh restores
+    directly into ANY other mesh layout — the TPU operational analogue of the
+    reference's topology-free resume (ref: nanoGPT/train.py:173-195). Without
+    it, shardings are taken from the target's own arrays; only a bare
+    host-array target with no shardings at all falls back to
+    sharding-from-file (orbax warns there — pass shardings to avoid it).
+    ``target`` leaves may be real arrays or jax.ShapeDtypeStruct (abstract
+    restore: nothing is materialized twice).
+    """
     path = os.path.abspath(os.path.join(out_dir, name))
     with open(os.path.join(path, "meta.json")) as f:
         meta = json.load(f)
     ckptr = ocp.PyTreeCheckpointer()
     if target is not None:
-        restore_args = jax.tree_util.tree_map(
-            lambda x: ocp.ArrayRestoreArgs(dtype=x.dtype, sharding=getattr(x, "sharding", None)),
-            target,
-        )
+        if shardings is not None:
+            restore_args = jax.tree_util.tree_map(
+                lambda x, s: ocp.ArrayRestoreArgs(dtype=x.dtype, sharding=s),
+                target, shardings,
+            )
+        else:
+            restore_args = jax.tree_util.tree_map(
+                lambda x: ocp.ArrayRestoreArgs(
+                    dtype=x.dtype, sharding=getattr(x, "sharding", None)),
+                target,
+            )
         state = ckptr.restore(path, item=target, restore_args=restore_args)
     else:
-        state = ckptr.restore(path)
+        # Host restore to numpy: no device placement and no sharding-from-file
+        # read (the checkpoint's save-time mesh is irrelevant to a host dump,
+        # and orbax's cross-topology warning never fires).
+        md = ckptr.metadata(path).item_metadata.tree
+        is_arr = lambda x: hasattr(x, "shape") and hasattr(x, "dtype")  # noqa: E731
+        item = jax.tree_util.tree_map(
+            lambda m: np.zeros(m.shape, m.dtype), md, is_leaf=is_arr)
+        restore_args = jax.tree_util.tree_map(
+            lambda _: ocp.RestoreArgs(restore_type=np.ndarray), item)
+        state = ckptr.restore(path, item=item, restore_args=restore_args)
     return state, meta
 
 

@@ -218,15 +218,23 @@ class Trainer:
             opt_state=pmesh.shardings_for_tree(self.mesh, state.opt_state),
             step=pmesh.replicated(self.mesh),
         )
-        self.state = jax.device_put(state, self.state_shardings)
-
         if resuming:
+            # Abstract cross-topology restore: the checkpoint may have been
+            # written from ANY mesh shape; explicit shardings put every leaf
+            # straight into THIS mesh's layout (no sharding-from-file
+            # fallback, no double materialization of the fresh-init state).
+            abstract = jax.tree_util.tree_map(
+                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), state)
             restored, meta = ckpt_lib.load_checkpoint(
-                c["out_dir"], ckpt_lib.LAST, target=_as_tree(self.state)
+                c["out_dir"], ckpt_lib.LAST,
+                target=_as_tree(abstract),
+                shardings=_as_tree(self.state_shardings),
             )
             self.state = TrainState(**restored)
             self.iter_num = meta["iter_num"]
             self.best_val_loss = meta["best_val_loss"]
+        else:
+            self.state = jax.device_put(state, self.state_shardings)
 
         self.n_params = num_params(self.state.params)
         print(f"number of parameters: {self.n_params/1e6:.2f}M")

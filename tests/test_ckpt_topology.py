@@ -1,0 +1,190 @@
+"""Cross-topology checkpoint restore.
+
+The reference's resume is topology-free — a ckpt.pt written by an 8-GPU DDP
+run resumes on 1 GPU and vice versa (ref: nanoGPT/train.py:173-195,316-329).
+The TPU-native equivalent: a sharded orbax checkpoint saved on mesh A must
+restore bit-exactly onto mesh B (different factorization, or a single
+device) when explicit shardings are passed, with no orbax
+sharding-from-file fallback warning, and training must resume on the new
+mesh.
+"""
+
+import logging
+import warnings
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ai_music_generation_tpu.models.gpt import GPT, GPTConfig
+from ai_music_generation_tpu.parallel import mesh as pmesh
+from ai_music_generation_tpu.train import checkpoint as ckpt_lib
+from ai_music_generation_tpu.train.optimizer import (
+    cosine_warmup_schedule,
+    make_optimizer,
+)
+from ai_music_generation_tpu.train.step import TrainState, make_train_step
+
+
+def _tiny_model():
+    config = GPTConfig(block_size=16, vocab_size=64, n_layer=2, n_head=2,
+                       n_embd=32, dropout=0.0, dtype=jnp.float32)
+    model = GPT(config)
+    schedule = cosine_warmup_schedule(1e-3, 2, 10, 1e-4)
+    tx = make_optimizer(schedule, 0.1, 0.9, 0.95, 1.0)
+    return config, model, schedule, tx
+
+
+def _state_shardings(mesh, state):
+    return TrainState(
+        params=pmesh.shardings_for_tree(mesh, state.params),
+        opt_state=pmesh.shardings_for_tree(mesh, state.opt_state),
+        step=pmesh.replicated(mesh),
+    )
+
+
+def _as_dict(state):
+    return {"params": state.params, "opt_state": state.opt_state,
+            "step": state.step}
+
+
+def _train_one_step(model, tx, schedule, mesh, state, seed):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    state_sh = _state_shardings(mesh, state)
+    accum_sh = NamedSharding(mesh, P(None, pmesh.DATA_AXIS))
+    rng = np.random.default_rng(seed)
+    x = rng.integers(0, model.config.vocab_size, (1, 8, 16)).astype(np.int32)
+    y = np.roll(x, -1, axis=-1)
+    step = jax.jit(
+        make_train_step(model, tx, schedule),
+        in_shardings=(state_sh, accum_sh, accum_sh, None),
+        out_shardings=(state_sh, None),
+    )
+    return step(state, jax.device_put(x, accum_sh), jax.device_put(y, accum_sh),
+                jax.random.PRNGKey(seed))
+
+
+@pytest.fixture(scope="module")
+def saved_ckpt(tmp_path_factory):
+    """Train one step on an 8x1 (pure-DP) mesh and save."""
+    out = str(tmp_path_factory.mktemp("topo_ckpt"))
+    config, model, schedule, tx = _tiny_model()
+    mesh_a = pmesh.make_mesh(n_data=8, n_model=1)
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((8, 16), jnp.int32))
+    state = jax.device_put(
+        TrainState.create(jax.device_get(params), tx),
+        _state_shardings(mesh_a, TrainState.create(jax.device_get(params), tx)))
+    state, metrics = _train_one_step(model, tx, schedule, mesh_a, state, 1)
+    ckpt_lib.save_checkpoint(
+        out, ckpt_lib.LAST, _as_dict(state),
+        model_args=dict(block_size=16, vocab_size=64, n_layer=2, n_head=2,
+                        n_embd=32, bias=True),
+        iter_num=1, best_val_loss=float(metrics["loss"]), config={})
+    return out, jax.device_get(_as_dict(state))
+
+
+@pytest.mark.parametrize("n_data,n_model", [(4, 2), (2, 4), (1, 1)])
+def test_restore_onto_different_mesh_is_bit_exact(saved_ckpt, n_data, n_model,
+                                                  caplog):
+    out, host_state = saved_ckpt
+    config, model, schedule, tx = _tiny_model()
+    devices = jax.devices()[: n_data * n_model]
+    mesh_b = pmesh.make_mesh(n_data=n_data, n_model=n_model, devices=devices)
+
+    template = TrainState(
+        params=host_state["params"], opt_state=host_state["opt_state"],
+        step=host_state["step"])
+    shardings = _state_shardings(mesh_b, template)
+    abstract = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype),
+        _as_dict(template))
+
+    with warnings.catch_warnings(record=True) as caught, \
+            caplog.at_level(logging.WARNING):
+        warnings.simplefilter("always")
+        restored, meta = ckpt_lib.load_checkpoint(
+            out, ckpt_lib.LAST, target=abstract,
+            shardings=_as_dict(shardings))
+
+    topo_msgs = [str(w.message) for w in caught if "topolog" in str(w.message)]
+    topo_msgs += [r.getMessage() for r in caplog.records
+                  if "topolog" in r.getMessage()]
+    assert not topo_msgs, f"orbax topology fallback fired: {topo_msgs}"
+
+    assert meta["iter_num"] == 1
+    # bit-exact across topologies
+    flat_a, _ = jax.tree_util.tree_flatten(host_state)
+    flat_b, _ = jax.tree_util.tree_flatten(jax.device_get(restored))
+    assert len(flat_a) == len(flat_b)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # every leaf landed in the requested mesh layout
+    def check_sharding(leaf, want):
+        assert leaf.sharding.mesh.shape == mesh_b.shape
+        assert leaf.sharding.spec == want.spec, (leaf.sharding, want)
+
+    jax.tree_util.tree_map(
+        check_sharding, restored["params"], _as_dict(shardings)["params"])
+
+    # training RESUMES on the new mesh
+    state = TrainState(**restored)
+    new_state, metrics = _train_one_step(model, tx, schedule, mesh_b, state, 2)
+    loss = float(metrics["loss"])
+    assert loss == loss
+    assert int(jax.device_get(new_state.step)) == 2
+
+
+@pytest.mark.slow
+def test_trainer_resume_crosses_mesh(tmp_path):
+    """End-to-end: Trainer saves on an 8x1 mesh, resumes on 2x4 (different
+    n_model) with bit-equal params and continues training."""
+    from ai_music_generation_tpu.data.memmap import write_bin, write_meta
+    from ai_music_generation_tpu.tokenizers.simple import CharTokenizer
+    from ai_music_generation_tpu.train.trainer import DEFAULTS, Trainer
+
+    out = str(tmp_path / "out")
+    data_dir = tmp_path / "data" / "tinytopo"
+    data_dir.mkdir(parents=True)
+    text = "abcdefg|ABCDEFG|" * 1000
+    tok = CharTokenizer.from_text(text)
+    ids = np.asarray(tok.encode(text), np.uint16)
+    write_bin(ids[: int(0.9 * len(ids))], str(data_dir / "train.bin"))
+    write_bin(ids[int(0.9 * len(ids)):], str(data_dir / "val.bin"))
+    write_meta(tok.meta(), str(data_dir / "meta.pkl"))
+
+    base = dict(
+        dataset="tinytopo", data_root=str(tmp_path / "data"), out_dir=out,
+        n_layer=2, n_head=2, n_embd=32, block_size=16, batch_size=1,
+        gradient_accumulation_steps=1, max_iters=2, eval_interval=2,
+        eval_iters=1, log_interval=1, warmup_iters=1, lr_decay_iters=4,
+        learning_rate=1e-3, min_lr=1e-4, dtype="float32", dropout=0.0,
+        always_save_checkpoint=True,
+    )
+    c1 = dict(DEFAULTS)
+    c1.update(base)
+    c1.update(n_model=1)  # 8x1 pure-DP mesh
+    t1 = Trainer(c1)
+    t1.run()
+    assert ckpt_lib.checkpoint_exists(out, ckpt_lib.LAST)
+    # compare against the checkpoint CONTENTS (the trainer runs one more
+    # train step after the final save, reference loop semantics)
+    saved_state, _ = ckpt_lib.load_checkpoint(out, ckpt_lib.LAST)
+    saved_params = saved_state["params"]
+
+    c2 = dict(DEFAULTS)
+    c2.update(base)
+    c2.update(init_from="resume", n_model=4, max_iters=4)  # 2x4 mesh
+    t2 = Trainer(c2)
+    resumed_params = jax.device_get(t2.state.params)
+    flat_a, _ = jax.tree_util.tree_flatten(saved_params)
+    flat_b, _ = jax.tree_util.tree_flatten(resumed_params)
+    assert len(flat_a) == len(flat_b)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert t2.iter_num == 2
+    t2.run()
+    assert int(jax.device_get(t2.state.step)) >= 2
