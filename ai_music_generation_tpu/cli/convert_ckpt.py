@@ -60,6 +60,7 @@ def _gpt_to_torch(args) -> None:
         args.out, state["params"], config,
         iter_num=meta["iter_num"], best_val_loss=meta["best_val_loss"],
         train_config=meta.get("config", {}),
+        mask_buffers=args.mask_buffers,
     )
     print(f"exported {args.out_dir}/{args.name} -> {args.out} "
           f"({config.n_layer}L/{config.n_head}H/{config.n_embd}d)")
@@ -131,6 +132,12 @@ def main(argv=None) -> None:
     g_to.add_argument("--out_dir", required=True)
     g_to.add_argument("--name", default=ckpt_lib.BEST)
     g_to.add_argument("--out", required=True, help="output ckpt.pt path")
+    g_to.add_argument("--mask_buffers", action="store_true",
+                      help="also emit transformer.h.*.attn.bias causal-mask "
+                           "buffers for NON-flash torch (<2.0) reference "
+                           "builds whose strict load_state_dict needs them; "
+                           "flash builds (torch>=2.0) must load without "
+                           "this flag (or use strict=False)")
     g_to.set_defaults(fn=_gpt_to_torch)
 
     tf = sub.add_parser("tunesformer").add_subparsers(dest="direction",

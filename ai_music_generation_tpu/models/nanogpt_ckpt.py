@@ -127,6 +127,10 @@ def nanogpt_state_from_params(
     flash-attention torch build (the reference's own checkpoints on
     torch >= 2.0 — no ``attn.bias`` mask buffers), including the tied
     ``lm_head.weight`` sharing storage with ``transformer.wte.weight``.
+    A torch < 2.0 reference build registers persistent causal-mask buffers
+    and its strict ``load_state_dict`` would report them missing — pass
+    ``mask_buffers=True`` to :func:`save_reference_ckpt` (or load with
+    ``strict=False``) there.
     """
     p = params["params"] if "params" in params else params
 
@@ -201,9 +205,18 @@ def save_reference_ckpt(
     iter_num: int = 0,
     best_val_loss: float = 1e9,
     train_config: Mapping[str, Any] | None = None,
+    mask_buffers: bool = False,
 ) -> None:
     """Write a ``ckpt.pt`` the reference's train.py/sample.py load as-is
-    (ref: nanoGPT/train.py:173-216, sample.py:55-66)."""
+    (ref: nanoGPT/train.py:173-216, sample.py:55-66).
+
+    ``mask_buffers=True`` additionally emits the persistent causal-mask
+    buffers ``transformer.h.<i>.attn.bias`` (tril ones, [1,1,T,T]) that a
+    NON-flash torch (< 2.0) reference build registers
+    (ref: nanoGPT/model.py:45-50) — without them its strict
+    ``load_state_dict`` fails with missing keys. Flash builds (torch >= 2.0)
+    must NOT get them (unexpected keys): leave the default off there.
+    """
     import torch
 
     train_config = dict(train_config or {})
@@ -223,8 +236,16 @@ def save_reference_ckpt(
                 np.array(v, np.float32, copy=True))
         return tcache[id(v)]
 
+    model_sd = {k: as_tensor(v) for k, v in state.items()}
+    if mask_buffers:
+        # one shared tril tensor for all layers (buffers, NOT parameters —
+        # they stay out of the optimizer groups built from `state` below)
+        tril = torch.tril(torch.ones(config.block_size, config.block_size)
+                          ).view(1, 1, config.block_size, config.block_size)
+        for i in range(config.n_layer):
+            model_sd[f"transformer.h.{i}.attn.bias"] = tril
     ckpt = {
-        "model": {k: as_tensor(v) for k, v in state.items()},
+        "model": model_sd,
         "optimizer": _fresh_adamw_state_dict(
             state,
             learning_rate=float(train_config.get("learning_rate", 6e-4)),

@@ -104,11 +104,31 @@ def params_from_tunesformer_state(
 
 
 def load_reference_checkpoint(path: str, config: TunesFormerConfig) -> dict:
-    """Load a reference ``weights.pth`` (torch CPU) and convert."""
+    """Load a reference ``weights.pth`` (torch CPU) and convert.
+
+    The requested ``config`` is cross-checked against the architecture the
+    checkpoint's tensor shapes imply (config_from_reference_state) — a
+    deeper checkpoint silently truncated to fewer configured layers, or a
+    share_weights mismatch, mis-maps weights without any error otherwise
+    (advisor finding r3)."""
     import torch
 
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
     state = ckpt["model"] if isinstance(ckpt, dict) and "model" in ckpt else ckpt
+    inferred = config_from_reference_state(state)
+    mismatches = {
+        field: (getattr(config, field), getattr(inferred, field))
+        for field in ("patch_size", "patch_layers", "char_layers", "n_embd",
+                      "share_weights")
+        if getattr(config, field) != getattr(inferred, field)
+    }
+    if mismatches:
+        detail = ", ".join(f"{k}: configured {a} != checkpoint {b}"
+                           for k, (a, b) in mismatches.items())
+        raise ValueError(
+            f"{path} does not match the configured architecture ({detail}); "
+            "pass model args matching the checkpoint (the auto-import paths "
+            "infer them via config_from_reference_state)")
     return params_from_tunesformer_state(state, config)
 
 

@@ -11,6 +11,8 @@ is anchored against a torch replica in test_tunesformer_import.py; the
 export here round-trips through it.
 """
 
+import dataclasses
+
 import numpy as np
 import pytest
 
@@ -372,3 +374,63 @@ def test_cli_tunesformer_both_directions(tmp_path):
         patch_length=8, patch_size=16, patch_layers=2, char_layers=2,
         n_embd=32, n_head=2, share_weights=False)
     _trees_equal(params2, {"params": params["params"]})
+
+
+def test_gpt_export_mask_buffers_for_noflash_builds(tmp_path):
+    """--mask_buffers emits the persistent causal-mask buffers a NON-flash
+    (torch < 2.0) reference build registers (ref: nanoGPT/model.py:45-50),
+    so its strict load_state_dict sees no missing keys; default export
+    stays flash-shaped (no such keys) and the import path still strips
+    them (advisor finding r3)."""
+    params = _init_gpt(CFG)
+    plain, masked = str(tmp_path / "plain.pt"), str(tmp_path / "masked.pt")
+    save_reference_ckpt(plain, params, CFG)
+    save_reference_ckpt(masked, params, CFG, mask_buffers=True)
+
+    sd_plain = torch.load(plain, map_location="cpu",
+                          weights_only=False)["model"]
+    assert not any(k.endswith(".attn.bias") and ".c_" not in k
+                   for k in sd_plain)
+
+    ckpt = torch.load(masked, map_location="cpu", weights_only=False)
+    sd = ckpt["model"]
+    tril = np.tril(np.ones((CFG.block_size, CFG.block_size), np.float32))
+    for i in range(CFG.n_layer):
+        buf = sd[f"transformer.h.{i}.attn.bias"]
+        assert tuple(buf.shape) == (1, 1, CFG.block_size, CFG.block_size)
+        np.testing.assert_array_equal(buf.numpy()[0, 0], tril)
+    # exactly the non-flash key set: flash key set + n_layer buffers
+    assert set(sd) == set(sd_plain) | {
+        f"transformer.h.{i}.attn.bias" for i in range(CFG.n_layer)}
+    # buffers are NOT parameters: optimizer groups unchanged
+    assert ckpt["optimizer"]["param_groups"][0]["params"] == \
+        torch.load(plain, map_location="cpu",
+                   weights_only=False)["optimizer"]["param_groups"][0]["params"]
+    # our own importer still strips them (like ref generate.py:87-89)
+    cfg2, params2, _ = load_reference_ckpt(masked, dtype=jnp.float32)
+    _trees_equal(params, params2)
+
+
+def test_tunesformer_torch_init_arch_mismatch_raises(tmp_path):
+    """load_reference_checkpoint cross-checks the configured architecture
+    against the checkpoint's tensor shapes instead of silently truncating
+    a deeper checkpoint (advisor finding r3)."""
+    from ai_music_generation_tpu.models.tunesformer_import import (
+        load_reference_checkpoint)
+
+    _, params = _init_tunes(TCFG)
+    path = str(tmp_path / "weights.pth")
+    save_reference_checkpoint(path, params, TCFG, epoch=1, best_epoch=1,
+                              min_eval_loss=1.0)
+
+    # matching config loads
+    out = load_reference_checkpoint(path, TCFG)
+    assert "params" in out
+
+    wrong_layers = dataclasses.replace(TCFG, char_layers=1)
+    with pytest.raises(ValueError, match="char_layers: configured 1"):
+        load_reference_checkpoint(path, wrong_layers)
+
+    wrong_share = dataclasses.replace(TCFG, share_weights=True)
+    with pytest.raises(ValueError, match="share_weights"):
+        load_reference_checkpoint(path, wrong_share)
