@@ -45,9 +45,27 @@ from ai_music_generation_tpu.models.gpt import (
 from ai_music_generation_tpu.train.optimizer import make_optimizer
 from ai_music_generation_tpu.train.step import TrainState, make_train_step
 
-B, T = 12, 1024
-CFG = GPTConfig(block_size=T, vocab_size=50304, n_layer=12, n_head=12,
-                n_embd=768, dropout=0.0, bias=False)
+# --model=124m (default): the GPT-2 sweep from round 2.
+# --model=music: the baby-GPT shape every music experiment trains
+#   (6L/6H/384d, batch 64, block 256, vocab 95 — ref:
+#   nanoGPT/config/bach_512_context_augmented.py:1-37 family), the
+#   most-used training shape (VERDICT r3 #6: it ran at ~29% MFU with no
+#   decomposition evidence). Batch-scaling probes go UP here (128/256/512)
+#   since under-filled MXU is the suspected cause.
+_MODEL = "124m"
+for _a in sys.argv[1:]:
+    if _a.startswith("--model="):
+        _MODEL = _a.split("=", 1)[1]
+if _MODEL == "music":
+    B, T = 64, 256
+    CFG = GPTConfig(block_size=T, vocab_size=95, n_layer=6, n_head=6,
+                    n_embd=384, dropout=0.0, bias=False)
+    BIG_BATCHES = (512, 256, 128)
+else:
+    B, T = 12, 1024
+    CFG = GPTConfig(block_size=T, vocab_size=50304, n_layer=12, n_head=12,
+                    n_embd=768, dropout=0.0, bias=False)
+    BIG_BATCHES = (24, 16)
 
 
 def batches(rng, n, batch, start=0):
@@ -200,7 +218,7 @@ def main():
         results["full step, block remat"] = (dt, B)
         state_r = None
 
-    for big in (24, 16) if want("big") else ():
+    for big in BIG_BATCHES if want("big") else ():
         state_b = TrainState.create(jax.tree_util.tree_map(jnp.copy, params), tx)
 
         def full_b(x, y, it):
