@@ -61,8 +61,11 @@ c.update(dataset="int8_ds", data_root="/tmp", out_dir="/tmp/int8_out",
          eval_iters=20, log_interval=250, warmup_iters=40,
          lr_decay_iters=1500, learning_rate=1e-3, min_lr=1e-4,
          dtype="bfloat16", dropout=0.0)
+if "--reuse" in sys.argv and os.path.exists("/tmp/int8_out/last_iter_ckpt"):
+    c.update(init_from="resume", max_iters=0)  # load, don't retrain
 t = Trainer(c)
-t.run()
+if t.iter_num < 1500:
+    t.run()
 params = jax.device_get(t.state.params)
 
 import dataclasses
@@ -101,7 +104,9 @@ score_model = model_bf16
 
 @jax.jit
 def seq_nll(p, toks):
-    logits, _, _ = score_model.apply(p, toks[:, :-1])
+    # pass targets to get ALL-position logits (targets=None is the
+    # last-position-only inference fast path, models/gpt.py:392-396)
+    logits, _, _ = score_model.apply(p, toks[:, :-1], toks[:, 1:])
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     nll = -jnp.take_along_axis(logp, toks[:, 1:, None], axis=2)[..., 0]
     return nll[:, PROMPT - 1:]  # NLL of generated positions only

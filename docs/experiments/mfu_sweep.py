@@ -246,7 +246,7 @@ def main():
         full_dt = results[need[0]][0]
         bwdonly = results[need[1]][0] - results[need[2]][0]
         opt = full_dt - results[need[1]][0]
-        print(f"\nbreakdown @ B=12: fwd {results[need[2]][0]*1e3:.1f} ms, "
+        print(f"\nbreakdown @ B={B}: fwd {results[need[2]][0]*1e3:.1f} ms, "
               f"bwd {bwdonly*1e3:.1f} ms, optimizer+state {opt*1e3:.1f} ms")
 
 

@@ -63,6 +63,7 @@ def _flax_cfg(stable: bool) -> WavLMConfig:
 
 @pytest.mark.parametrize("stable", [False, True],
                          ids=["base-postnorm", "large-prenorm"])
+@pytest.mark.nightly
 def test_flax_wavlm_matches_hf(stable):
     hf = _hf_model(stable)
     wave = np.random.default_rng(1).normal(size=(2, 2000)).astype(np.float32)
@@ -120,6 +121,7 @@ def test_head_key_hints_map_mlp_heads():
         np.asarray(params["params"]["head_PQ_0"]["kernel"]), 0.5)
 
 
+@pytest.mark.nightly
 def test_predictor_end_to_end_jsonl(tmp_path):
     """Full compute path with random weights: chunking, batching, masking,
     JSONL schema — same row shape as the audio-aes CLI output."""
@@ -220,6 +222,7 @@ def test_resample_path():
     np.testing.assert_allclose(_to_mono_16k(stereo, 44100), out, atol=1e-6)
 
 
+@pytest.mark.nightly
 def test_audio_aes_cli_drop_in(tmp_path, monkeypatch, capsys):
     """cli/audio_aes.py reproduces the audio-aes command surface: positional
     input.jsonl, --batch-size, one stdout JSON line per input line, NaN row

@@ -138,6 +138,7 @@ def test_restore_onto_different_mesh_is_bit_exact(saved_ckpt, n_data, n_model,
     assert int(jax.device_get(new_state.step)) == 2
 
 
+@pytest.mark.nightly
 @pytest.mark.slow
 def test_trainer_resume_crosses_mesh(tmp_path):
     """End-to-end: Trainer saves on an 8x1 mesh, resumes on 2x4 (different

@@ -270,6 +270,7 @@ def test_cli_gpt_both_directions(tmp_path):
     _trees_equal(state["params"], params)
 
 
+@pytest.mark.nightly
 @pytest.mark.parametrize("seed", range(6))
 def test_gpt_bridge_property_random_configs(seed):
     """Round-trip identity over randomly drawn architectures (layers, heads,
@@ -289,6 +290,7 @@ def test_gpt_bridge_property_random_configs(seed):
     _trees_equal(params, params_from_nanogpt_state(state, cfg))
 
 
+@pytest.mark.nightly
 @pytest.mark.parametrize("seed", range(4))
 def test_tunesformer_bridge_property_random_configs(seed):
     rng = np.random.RandomState(100 + seed)
@@ -325,6 +327,7 @@ def test_sample_load_model_autoimports_reference_out_dir(tmp_path):
                                np.asarray(b, np.float32), atol=1e-5)
 
 
+@pytest.mark.nightly
 def test_load_tunesformer_autoimports_reference_dir(tmp_path):
     """Pointing the TunesFormer CLIs at a reference directory (weights.pth,
     no orbax checkpoint) imports it in memory, with config inferred from

@@ -87,6 +87,7 @@ def test_windowed_refresh_beyond_block_size(model_and_params):
     np.testing.assert_array_equal(out, out2)
 
 
+@pytest.mark.nightly
 def test_greedy_matches_naive_recompute(model_and_params):
     """KV-cache decode must equal the reference-style full-reforward loop."""
     model, params = model_and_params

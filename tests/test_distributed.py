@@ -18,6 +18,7 @@ from ai_music_generation_tpu.parallel.worker_smoke import (
 )
 
 
+@pytest.mark.nightly
 @pytest.mark.slow
 def test_two_process_train_step_matches_single_process(tmp_path):
     reports = launch_multiprocess_smoke(

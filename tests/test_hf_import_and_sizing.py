@@ -72,6 +72,7 @@ def test_sizing_report_and_projection(capsys):
     assert "flops/token" in out
 
 
+@pytest.mark.nightly
 def test_train_bench_simple_mode(capsys):
     from ai_music_generation_tpu.cli.train_bench import main
 

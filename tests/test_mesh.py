@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from jax.sharding import PartitionSpec as P
 
 from ai_music_generation_tpu.models.gpt import GPT, GPTConfig
@@ -23,6 +24,7 @@ def test_param_rules():
     assert pmesh.spec_for_param("params/wte/embedding") == P("model", None)
 
 
+@pytest.mark.nightly
 def test_sharded_forward_matches_replicated(mesh8):
     cfg = GPTConfig(block_size=16, vocab_size=64, n_layer=2, n_head=2,
                     n_embd=32, dtype=jnp.float32)
@@ -46,6 +48,7 @@ def test_sharded_forward_matches_replicated(mesh8):
     np.testing.assert_allclose(float(loss_ref), float(loss_sh), rtol=1e-5)
 
 
+@pytest.mark.nightly
 def test_sharded_batched_decode(mesh8):
     """Generation with the batch sharded over the data axis (v5e-8 story):
     SPMD decode must produce the same tokens as single-device decode."""

@@ -22,6 +22,7 @@ def tiny():
     return cfg, model, params
 
 
+@pytest.mark.nightly
 @pytest.mark.parametrize("quantized", [False, True])
 def test_vector_cache_matches_scalar_and_batch1(tiny, quantized):
     """Per-row cache lengths: uniform == lockstep scalar; staggered rows ==
@@ -239,6 +240,7 @@ def test_http_server_generate_and_health(tiny):
         runner.shutdown()
 
 
+@pytest.mark.nightly
 def test_engine_sharded_over_mesh(tiny, mesh8):
     """DP serving: slot state sharded over the mesh data axis, params
     replicated (or TP-sharded) — same bytes as the single-device engine."""
@@ -342,6 +344,7 @@ def test_tunes_submit_validates_ranges():
     assert len(done) == 1 and done[0].id == rid
 
 
+@pytest.mark.nightly
 def test_prewarm_compiles_and_leaves_engine_clean(tiny):
     """prewarm() walks every (wave, bucket) admission program and returns
     the engine to an empty state; traffic afterwards behaves identically

@@ -26,7 +26,7 @@ import pytest
 from ai_music_generation_tpu.models.gpt import GPT, GPTConfig
 from ai_music_generation_tpu.serve.engine import GenerationServer
 
-pytestmark = pytest.mark.slow  # many distinct tiny-program compiles
+pytestmark = [pytest.mark.slow, pytest.mark.nightly]  # fuzz workloads: many distinct tiny-program compiles
 
 
 @pytest.fixture(scope="module")

@@ -29,6 +29,7 @@ def tiny_model():
     return model, params
 
 
+@pytest.mark.nightly
 def test_tunes_server_batch_composition_independence(tiny_model):
     """A request's tune depends only on its own fields — rerunning it alone
     (different slot population) reproduces the crowded output."""
@@ -76,6 +77,7 @@ def test_tunes_server_control_code_filtering(tiny_model):
     assert strip(done[rid_show].text) == done[rid_hide].text
 
 
+@pytest.mark.nightly
 def test_bar_scan_finite_at_full_scale():
     """Full-scale (9+3/768) jitted bar_scan must produce finite logits and
     varied sampled chars. Guards the scan body whose TPU compilation

@@ -32,6 +32,7 @@ def test_sharded_render_matches_single_device(mesh8):
         np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.nightly
 def test_pipeline_shard_synth_flag(tmp_path):
     from ai_music_generation_tpu.eval.pipeline import (
         EvalPipeline,
@@ -65,6 +66,7 @@ def test_pipeline_shard_synth_flag(tmp_path):
         np.testing.assert_allclose(a, b, atol=2.5 / 32768, err_msg=name)
 
 
+@pytest.mark.nightly
 @pytest.mark.slow
 def test_render_scaling_over_device_counts(capsys):
     """Per-device-count render throughput on the virtual CPU mesh.

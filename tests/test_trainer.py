@@ -102,6 +102,7 @@ def test_train_loss_decreases(tiny_dataset, tmp_path):
     assert os.path.exists(os.path.join(out, "last_iter_ckpt", "meta.json"))
 
 
+@pytest.mark.nightly
 def test_resume_continues(tiny_dataset, tmp_path):
     root, _ = tiny_dataset
     out = str(tmp_path / "out_resume")
@@ -115,6 +116,7 @@ def test_resume_continues(tiny_dataset, tmp_path):
     assert t2.iter_num == 16
 
 
+@pytest.mark.nightly
 def test_resume_forces_arch_from_checkpoint(tiny_dataset, tmp_path):
     root, _ = tiny_dataset
     out = str(tmp_path / "out_arch")
@@ -125,6 +127,7 @@ def test_resume_forces_arch_from_checkpoint(tiny_dataset, tmp_path):
     assert t2.model_args["n_embd"] == 32
 
 
+@pytest.mark.nightly
 def test_train_on_uint32_corpus(tmp_path):
     """Large-vocab (uint32 bin) corpora must flow through the trainer
     (the reference keys dtype off out_dir; here it comes from meta)."""

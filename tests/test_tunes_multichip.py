@@ -63,6 +63,7 @@ def test_sharded_train_step_matches_single_device(tiny, mesh8):
                                    rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.nightly
 def test_sharded_eval_and_patch_sampling(tiny, mesh8):
     model, params = tiny
     tx = optax.adam(1e-3)
@@ -86,6 +87,7 @@ def test_sharded_eval_and_patch_sampling(tiny, mesh8):
     np.testing.assert_allclose(float(loss_ref), float(loss_sh), rtol=2e-5)
 
 
+@pytest.mark.nightly
 @pytest.mark.slow
 def test_tunes_server_on_mesh_matches_single_device(tiny, mesh8):
     """Bar engine with slot state on the data axis + TP params produces

@@ -58,6 +58,7 @@ def test_train_and_generate(tiny_data, tmp_path):
     assert "K:C" in text
 
 
+@pytest.mark.nightly
 def test_sample_tunesformer_batch(tiny_data, tmp_path):
     """Batch sampler over validation leadsheets -> sample_<id>.abc files."""
     root, data_path = tiny_data
@@ -88,6 +89,7 @@ def test_sample_tunesformer_batch(tiny_data, tmp_path):
     assert text.startswith("X:t1\n")
 
 
+@pytest.mark.nightly
 def test_tunesformer_train_runs_on_multi_device_mesh(tiny_data, tmp_path):
     """The DP-sharded TunesFormer train step must run across the 8-device
     virtual mesh (batch divisible by device count)."""
@@ -102,6 +104,7 @@ def test_tunesformer_train_runs_on_multi_device_mesh(tiny_data, tmp_path):
     assert loss < 100
 
 
+@pytest.mark.nightly
 def test_train_torch_init_from_reference_weights(tiny_data, tmp_path):
     """--torch_init=<weights.pth> fine-tunes from a reference checkpoint
     (weights in, fresh optimizer/epoch)."""
