@@ -1,0 +1,316 @@
+"""Distribution-exact speculative decoding with prompt-lookup drafting.
+
+Decode throughput at eval-protocol batch sizes is bound by the per-step KV
+cache read (docs/PERF.md "Known roofline positions"), which is paid ONCE per
+step regardless of how many query tokens the step carries. Speculative
+decoding exploits that: each step verifies ``n_draft`` cheap draft tokens
+plus samples one token in a single forward, committing between 1 and
+``n_draft + 1`` tokens for one cache read. ABC music text is highly
+repetitive (bars, refrains, ``|``-delimited cells), so drafts looked up from
+the sequence's own history have high acceptance on trained models.
+
+Two properties make this a free lunch rather than a quality trade:
+
+- **Drafting is prompt-lookup** (self n-gram): the most recent earlier
+  occurrence of the last two committed tokens proposes the tokens that
+  followed it. No draft model, no extra weights, no extra HBM traffic
+  beyond a [B, total] integer scan per step.
+- **Acceptance is exact rejection sampling** (the Leviathan et al. /
+  Chen et al. scheme specialised to a deterministic point-mass proposal):
+  draft token d with model probability p(d) is accepted with probability
+  p(d); on rejection the replacement is drawn from the residual
+  distribution p with d masked out and renormalised. The committed token's
+  marginal distribution is exactly p — the SAME temperature/top-k
+  distribution ``decode.generate.sample_logits`` draws from — so the output
+  distribution is identical to non-speculative decoding (verified
+  empirically in tests/test_speculative.py; with ``temperature=0`` the
+  output is token-for-token identical to the plain Generator inside one
+  context window).
+
+The whole loop is ONE jitted program: drafting, the (n_draft+1)-token
+verify forward, acceptance, residual sampling, and buffer writes all run on
+device inside a ``lax.while_loop`` — zero host round-trips per step, same
+as decode/generate.py.
+
+Rows accept different numbers of drafts per step, so the batch
+desynchronises — yet every step still writes all rows' new K/V as one
+contiguous slab (the 25x scatter lesson, models/gpt.py KVCache docstring)
+using the spec cache mode: per-column logical positions (``col_pos``)
+express each row's attendable history, and rejected drafts' columns are
+simply marked invalid. Cache columns are consumed at n_draft+1 per step
+regardless of acceptance; the windowed refresh (same window contract as
+decode/generate.py) re-prefills the last ``block_size - refresh`` committed
+tokens, which also compacts the invalid columns away.
+
+The reference has no speculative decoding (its sampler re-runs the full
+forward per token with no KV cache at all, ref: nanoGPT/model.py:305-330);
+this is a new capability measured in docs/PERF.md.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ai_music_generation_tpu.models.gpt import GPT, KVCache
+
+Array = jax.Array
+
+
+def prompt_lookup_drafts(tokens: Array, lens: Array, prompt_lens: Array,
+                         n_draft: int) -> tuple[Array, Array]:
+    """Propose ``n_draft`` draft tokens per row from the sequence's own
+    history, plus the forced (teacher-forcing) mask for in-prompt positions.
+
+    The most recent position m in [1, lens-2] whose bigram
+    ``(tokens[m-1], tokens[m])`` equals the final committed bigram proposes
+    ``tokens[m+1 : m+1+n_draft]``; rows with no match repeat their last
+    token (a cheap proposal that simply gets rejected). Positions still
+    inside the prompt draft the known prompt token and are force-accepted.
+    """
+    B, total = tokens.shape
+    K = n_draft
+    last1 = jnp.take_along_axis(tokens, (lens - 1)[:, None], 1)
+    last2 = jnp.take_along_axis(
+        tokens, jnp.maximum(lens - 2, 0)[:, None], 1)
+    # match position m in [1, lens-2]: committed bigram equal to the
+    # final bigram (m == lens-1 is the final bigram itself)
+    m_idx = jnp.arange(1, total)
+    match = ((tokens[:, 1:] == last1) & (tokens[:, :-1] == last2)
+             & (m_idx[None, :] <= (lens - 2)[:, None])
+             & (lens[:, None] >= 3))
+    best = jnp.max(jnp.where(match, m_idx[None, :], 0), axis=1)
+    has = best > 0
+    idx = jnp.clip(
+        best[:, None] + 1 + jnp.arange(K)[None, :], 0, total - 1)
+    cand = jnp.take_along_axis(tokens, idx, 1)
+    drafts = jnp.where(has[:, None], cand, last1)  # fallback: repeat
+    # teacher forcing: positions still inside the prompt draft the
+    # known prompt token and are force-accepted (same conditioning
+    # semantics as Generator's in-prompt commit)
+    pos = lens[:, None] + jnp.arange(K)[None, :]
+    forced = pos < prompt_lens[:, None]
+    prompt_tok = jnp.take_along_axis(
+        tokens, jnp.clip(pos, 0, total - 1), 1)
+    return jnp.where(forced, prompt_tok, drafts), forced
+
+
+class SpecGenerator:
+    """Compiled batched speculative generator for a GPT model.
+
+    Drop-in alternative to :class:`decode.generate.Generator` (same public
+    ``generate`` contract) committing up to ``n_draft + 1`` tokens per model
+    step. The sampled-token distribution is exactly the Generator's
+    (temperature + top-k); the token STREAM at a given seed differs because
+    the RNG is consumed per step rather than per position.
+    """
+
+    def __init__(
+        self,
+        model: GPT,
+        max_new_tokens: int = 500,
+        temperature: float = 0.8,
+        top_k: Optional[int] = 200,
+        n_draft: int = 4,
+        refresh: Optional[int] = None,
+    ):
+        assert n_draft >= 1
+        self.model = model
+        self.block_size = model.config.block_size
+        self.max_new_tokens = max_new_tokens
+        self.temperature = temperature
+        self.top_k = top_k
+        self.n_draft = n_draft
+        self.refresh = refresh or max(1, self.block_size // 2)
+        # context re-prefilled at refresh — same window as Generator
+        self.window = self.block_size - self.refresh
+        assert self.window >= 1
+        assert self.window + n_draft + 1 <= self.block_size, (
+            "refresh window leaves no room for a draft chain; "
+            "lower n_draft or raise refresh")
+
+    # value-keyed jit cache (see decode/generate.py Generator._jit_key)
+    def _jit_key(self):
+        return (self.model, self.max_new_tokens, self.temperature,
+                self.top_k, self.n_draft, self.refresh)
+
+    def __eq__(self, other):
+        return (type(other) is SpecGenerator and
+                self._jit_key() == other._jit_key())
+
+    def __hash__(self):
+        return hash(self._jit_key())
+
+    # -- jitted core -------------------------------------------------------
+
+    @functools.partial(jax.jit, static_argnums=(0, 4))
+    def _generate(self, params, prompts, prompt_lens, prefill_len, rng):
+        model, cfg = self.model, self.model.config
+        B, P = prompts.shape
+        K = self.n_draft
+        T = K + 1
+        S = self.block_size
+        C = self.window
+        V = cfg.vocab_size
+        F = prefill_len  # static; 1 <= F <= min(prompt_lens)
+        total = P + self.max_new_tokens
+
+        tokens = jnp.zeros((B, total), jnp.int32).at[:, :P].set(prompts)
+        # every row fills the whole buffer — shorter prompts generate more
+        # than max_new tokens, matching Generator's lockstep contract
+        targets = jnp.full((B,), total, jnp.int32)
+
+        # Invariant maintained throughout: the cache holds K/V for the
+        # window-relative positions [0, length[i]) of row i's committed
+        # tokens, and the LAST committed token (buffer index lens[i]-1,
+        # window position length[i]) is NOT yet cached — it is always this
+        # step's first input, because every step ends with a freshly
+        # sampled token (replacement on rejection, bonus on full
+        # acceptance) whose K/V has not been computed.
+        cache = KVCache.create(cfg, B, max_len=S, spec=True)
+        if F >= 2:
+            _, _, cache = model.apply(params, tokens[:, :F - 1], cache=cache)
+        lens0 = jnp.full((B,), F, jnp.int32)
+
+        def spec_step(state):
+            tokens, lens, cache, ctr = state
+            step_rng = jax.random.fold_in(rng, ctr)
+            r_acc, r_sample = jax.random.split(step_rng)
+
+            drafts, forced = prompt_lookup_drafts(
+                tokens, lens, prompt_lens, K)  # [B, K]
+            tok0 = jnp.take_along_axis(tokens, (lens - 1)[:, None], 1)
+            x = jnp.concatenate([tok0, drafts], axis=1)  # [B, T]
+
+            logits, _, new_cache = model.apply(
+                params, x, cache=cache, return_all_logits=True)
+            lg = logits.astype(jnp.float32)
+            if self.temperature > 0:
+                lg = lg / self.temperature
+                if self.top_k is not None and self.top_k < V:
+                    kth = jax.lax.top_k(lg, self.top_k)[0][..., -1:]
+                    lg = jnp.where(lg < kth, -jnp.inf, lg)
+                probs = jax.nn.softmax(lg, axis=-1)  # [B, T, V]
+                # p_{j-1}(d_j): the model's probability of draft j under the
+                # SAME temp/top-k transform sample_logits applies
+                p_draft = jnp.take_along_axis(
+                    probs[:, :K, :], drafts[:, :, None], 2)[..., 0]
+            else:
+                am = jnp.argmax(lg, axis=-1)  # [B, T]
+                p_draft = (drafts == am[:, :K]).astype(jnp.float32)
+
+            # exact rejection sampling with a point-mass proposal:
+            # accept draft d with probability p(d) ...
+            u = jax.random.uniform(r_acc, (B, K))
+            ok = forced | (u < p_draft)
+            a = jnp.sum(jnp.cumprod(ok.astype(jnp.int32), axis=1), axis=1)
+
+            # ... on rejection, sample the replacement from the residual
+            # p with d masked out and renormalised (categorical over the
+            # -inf-masked logits IS that residual); on full acceptance,
+            # sample the bonus token from the unmasked distribution at K
+            lg_a = jnp.take_along_axis(lg, a[:, None, None], axis=1)[:, 0]
+            rej_tok = jnp.take_along_axis(
+                drafts, jnp.minimum(a, K - 1)[:, None], 1)[:, 0]
+            lg_res = jnp.where(
+                (a < K)[:, None] & (jnp.arange(V)[None, :] == rej_tok[:, None]),
+                -jnp.inf, lg_a)
+            if self.temperature > 0:
+                s = jax.random.categorical(r_sample, lg_res).astype(jnp.int32)
+            else:
+                s = jnp.argmax(lg_res, axis=-1).astype(jnp.int32)
+            # teacher forcing for the sampled slot too, if still in-prompt
+            s_pos = lens + a
+            prompt_next = jnp.take_along_axis(
+                tokens, jnp.clip(s_pos, 0, total - 1)[:, None], 1)[:, 0]
+            s = jnp.where(s_pos < prompt_lens, prompt_next, s)
+
+            # rows at their target stop committing (and stop advancing)
+            commits = jnp.minimum(a + 1, jnp.maximum(targets - lens, 0))
+
+            # committed tokens -> buffer positions lens .. lens+commits-1:
+            # offsets 0..commits-1 hold d_1..d_a then the sampled token
+            j_rel = jnp.arange(total)[None, :] - lens[:, None]
+            wmask = (j_rel >= 0) & (j_rel < commits[:, None])
+            wvals = jnp.take_along_axis(
+                drafts, jnp.clip(j_rel, 0, K - 1), axis=1)
+            wvals = jnp.where(j_rel == a[:, None], s[:, None], wvals)
+            tokens = jnp.where(wmask, wvals, tokens)
+
+            # cache bookkeeping: the model tentatively marked all T new
+            # columns valid; keep exactly the first `commits` of them
+            # (input0 + accepted drafts short of the commit clamp — the
+            # LAST committed token stays uncached per the invariant) and
+            # rewind length to the next step's first-query position
+            patch_j = jnp.arange(T)[None, :]
+            patch = jnp.where(
+                patch_j < commits[:, None],
+                cache.length[:, None] + patch_j,
+                KVCache.INVALID_POS).astype(jnp.int32)
+            col_pos = jax.lax.dynamic_update_slice(
+                new_cache.col_pos, patch, (0, cache.cursor))
+            cache = dataclasses.replace(
+                new_cache, length=cache.length + commits, col_pos=col_pos)
+            return (tokens, lens + commits, cache, ctr + 1)
+
+        def refresh_fn(state):
+            """Re-prefill the last `window` committed tokens (minus the
+            always-uncached last one) at window positions 0.. — compacting
+            rejected-draft columns away. Same context-window contract as
+            Generator's windowed refresh."""
+            tokens, lens, cache, ctr = state
+            start = jnp.maximum(lens - 1 - C, 0)
+            idx = start[:, None] + jnp.arange(C)[None, :]
+            ctx = jnp.take_along_axis(
+                tokens, jnp.clip(idx, 0, total - 1), 1)
+            fresh = dataclasses.replace(
+                cache,
+                length=jnp.zeros((B,), jnp.int32),
+                cursor=jnp.zeros((), jnp.int32),
+                col_pos=jnp.full((B, S), KVCache.INVALID_POS, jnp.int32))
+            _, _, cache2 = model.apply(params, ctx, cache=fresh)
+            # rows shorter than the window prefilled garbage past their
+            # length: invalidate those columns and clamp their position
+            nvalid = jnp.minimum(lens - 1, C)
+            col_pos = jnp.where(
+                jnp.arange(S)[None, :] < nvalid[:, None],
+                cache2.col_pos, KVCache.INVALID_POS)
+            cache2 = dataclasses.replace(
+                cache2, length=nvalid, col_pos=col_pos)
+            return (tokens, lens, cache2, ctr)
+
+        def cond(state):
+            return jnp.any(state[1] < targets)
+
+        def body(state):
+            need = state[2].cursor + T > S
+            state = jax.lax.cond(need, refresh_fn, lambda st: st, state)
+            return spec_step(state)
+
+        state = (tokens, lens0, cache, jnp.zeros((), jnp.int32))
+        state = jax.lax.while_loop(cond, body, state)
+        return state[0]
+
+    # -- public API --------------------------------------------------------
+
+    def generate(self, params, prompts, prompt_lens=None, seed: int = 1337):
+        """Same contract as decode.generate.Generator.generate."""
+        prompts = jnp.asarray(prompts, jnp.int32)
+        if prompts.ndim == 1:
+            prompts = prompts[None, :]
+        B, P = prompts.shape
+        if prompt_lens is None:
+            prompt_lens = jnp.full((B,), P, jnp.int32)
+        else:
+            prompt_lens = jnp.asarray(prompt_lens, jnp.int32)
+        prefill_len = int(min(int(jax.device_get(jnp.min(prompt_lens))),
+                              self.window))
+        prefill_len = max(prefill_len, 1)
+        # power-of-two bucket, same rationale as Generator.generate
+        prefill_len = 1 << (prefill_len.bit_length() - 1)
+        rng = jax.random.PRNGKey(seed)
+        return self._generate(params, prompts, prompt_lens, prefill_len, rng)

@@ -101,6 +101,24 @@ class KVCache:
     decode bottleneck — halves. Quantization changes logits slightly, so
     sampled output differs from the bf16 cache (still fully deterministic
     at fixed seed); enable via ``GPTConfig(kv_quantized=True)``.
+
+    SPECULATIVE mode (``col_pos`` is a [B, S] int32 array): rows advance at
+    different rates (speculative decoding commits a variable number of
+    tokens per step, decode/speculative.py) yet every step still writes all
+    rows' T new K/V columns as ONE contiguous slab at the shared scalar
+    ``cursor`` — per-column LOGICAL positions in ``col_pos`` replace the
+    contiguous-suffix assumption of ring mode. Semantics:
+    - ``length[i]`` is the logical position of row i's FIRST query token
+      this call (== the position of its last committed token);
+    - column s of row i is attendable by query j iff
+      ``col_pos[i, s] <= length[i] + j`` (invalid columns hold a large
+      negative sentinel and never match);
+    - the model tentatively marks the T freshly written columns with
+      positions ``length[i] + j`` (correct within-step causal masking);
+      the caller re-marks columns of rejected draft tokens invalid after
+      acceptance is known (decode/speculative.py);
+    - ``cursor`` advances by T WITHOUT wrapping; the caller re-prefills
+      (compacting committed tokens) before the buffer runs out.
     """
 
     k: tuple[Array, ...]
@@ -109,11 +127,14 @@ class KVCache:
     k_scale: Optional[tuple[Array, ...]] = None
     v_scale: Optional[tuple[Array, ...]] = None
     cursor: Optional[Array] = None  # scalar int32 ring write column (vector mode)
+    col_pos: Optional[Array] = None  # [B, S] logical position per cache column
+
+    INVALID_POS = -(1 << 30)  # col_pos sentinel: never <= any real position
 
     @classmethod
     def create(cls, config: GPTConfig, batch: int, max_len: Optional[int] = None,
                dtype: Any = None, quantized: Optional[bool] = None,
-               per_row: bool = False) -> "KVCache":
+               per_row: bool = False, spec: bool = False) -> "KVCache":
         max_len = max_len or config.block_size
         quantized = config.kv_quantized if quantized is None else quantized
         dtype = jnp.int8 if quantized else (dtype or config.dtype)
@@ -123,17 +144,20 @@ class KVCache:
         mks = lambda: tuple(
             jnp.zeros(scale_shape, jnp.bfloat16) for _ in range(config.n_layer)
         )
+        vector = per_row or spec
         return cls(
             k=mk(), v=mk(),
-            length=jnp.zeros((batch,) if per_row else (), jnp.int32),
+            length=jnp.zeros((batch,) if vector else (), jnp.int32),
             k_scale=mks() if quantized else None,
             v_scale=mks() if quantized else None,
-            cursor=jnp.zeros((), jnp.int32) if per_row else None,
+            cursor=jnp.zeros((), jnp.int32) if vector else None,
+            col_pos=jnp.full((batch, max_len), cls.INVALID_POS, jnp.int32)
+            if spec else None,
         )
 
     def tree_flatten(self):
         return (self.k, self.v, self.length, self.k_scale, self.v_scale,
-                self.cursor), None
+                self.cursor, self.col_pos), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -188,6 +212,7 @@ class CausalSelfAttention(nn.Module):
         layer_cache: Optional[tuple[Array, Array]] = None,
         cache_len: Optional[Array] = None,
         cursor: Optional[Array] = None,
+        spec_mask: Optional[Array] = None,
     ):
         cfg = self.config
         B, T, C = x.shape
@@ -238,6 +263,33 @@ class CausalSelfAttention(nn.Module):
             cv_scale = layer_cache[3] if len(layer_cache) > 2 else None
             S = ck.shape[1]
             per_row = cache_len.ndim == 1  # ring mode: per-slot positions
+            if spec_mask is not None:
+                # speculative mode: T >= 1 inputs per row, ALL rows' new K/V
+                # written as one contiguous [B, T, H, D] slab at the shared
+                # scalar ``cursor``; attendability comes entirely from the
+                # precomputed col_pos mask (see KVCache docstring) so rows
+                # at different logical positions share one slab write.
+                assert cursor is not None, "spec mode requires a cursor"
+                if ck_scale is not None:
+                    kq, ks = _quantize_int8(k)
+                    vq, vs = _quantize_int8(v)
+                    ck = jax.lax.dynamic_update_slice(ck, kq, (0, cursor, 0, 0))
+                    cv = jax.lax.dynamic_update_slice(cv, vq, (0, cursor, 0, 0))
+                    ck_scale = jax.lax.dynamic_update_slice(
+                        ck_scale, ks, (0, cursor, 0))
+                    cv_scale = jax.lax.dynamic_update_slice(
+                        cv_scale, vs, (0, cursor, 0))
+                    new_cache = (ck, cv, ck_scale, cv_scale)
+                else:
+                    ck = jax.lax.dynamic_update_slice(
+                        ck, k.astype(ck.dtype), (0, cursor, 0, 0))
+                    cv = jax.lax.dynamic_update_slice(
+                        cv, v.astype(cv.dtype), (0, cursor, 0, 0))
+                    new_cache = (ck, cv)
+                cache4 = (new_cache if len(new_cache) == 4
+                          else (*new_cache, None, None))
+                y = cached_att(spec_mask, *cache4)
+                return self._epilogue(y, deterministic), new_cache
             if per_row:
                 # ring write: ALL rows' new K/V land at buffer column
                 # ``cursor`` as one contiguous slab (see KVCache docstring
@@ -370,14 +422,15 @@ class Block(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic=True, layer_cache=None, cache_len=None,
-                 cursor=None):
+                 cursor=None, spec_mask=None):
         cfg = self.config
         ln = lambda name: nn.LayerNorm(
             use_bias=cfg.bias, dtype=cfg.dtype, param_dtype=cfg.param_dtype,
             epsilon=1e-5, name=name,
         )
         attn_out, new_cache = CausalSelfAttention(cfg, self.layer_idx, name="attn")(
-            ln("ln_1")(x), deterministic, layer_cache, cache_len, cursor
+            ln("ln_1")(x), deterministic, layer_cache, cache_len, cursor,
+            spec_mask,
         )
         x = x + attn_out
         x = x + MLP(cfg, name="mlp")(ln("ln_2")(x), deterministic)
@@ -431,7 +484,22 @@ class GPT(nn.Module):
             embedding_init=_init_normal(0.02), name="wpe",
         )
 
-        if cache is not None and cache.length.ndim == 1:
+        spec_mask = None
+        new_col_pos = None
+        if cache is not None and cache.col_pos is not None:
+            # speculative mode: length[i] is the logical position of row i's
+            # first query token; tentatively mark the T freshly written
+            # columns with their positions (the caller invalidates rejected
+            # draft columns afterwards — decode/speculative.py)
+            q_pos = cache.length[:, None] + jnp.arange(T)[None, :]  # [B, T]
+            new_col_pos = jax.lax.dynamic_update_slice(
+                cache.col_pos, q_pos, (0, cache.cursor))
+            # query j of row i may attend cache column s iff that column's
+            # logical position is <= the query's position
+            spec_mask = (new_col_pos[:, None, None, :]
+                         <= q_pos[:, None, :, None])  # [B, 1, T, S]
+            x = wte(idx) + wpe(q_pos)
+        elif cache is not None and cache.length.ndim == 1:
             # per-row positions (serving): row i's tokens sit at length[i]+t
             pos = cache.length[:, None] + jnp.arange(T)[None, :]  # [B, T]
             x = wte(idx) + wpe(pos)
@@ -447,7 +515,7 @@ class GPT(nn.Module):
         quantized = cache is not None and cache.k_scale is not None
         # remat only makes sense on the training path (no cache to thread)
         block_cls = (
-            nn.remat(Block, static_argnums=(2, 3, 4, 5))
+            nn.remat(Block, static_argnums=(2, 3, 4, 5, 6))
             if cfg.remat and cache is None else Block
         )
         for i in range(cfg.n_layer):
@@ -461,7 +529,7 @@ class GPT(nn.Module):
             cache_len = None if cache is None else cache.length
             x, lc = block_cls(cfg, i, name=f"h_{i}")(
                 x, deterministic, layer_cache, cache_len,
-                None if cache is None else cache.cursor)
+                None if cache is None else cache.cursor, spec_mask)
             if lc is not None:
                 new_k.append(lc[0])
                 new_v.append(lc[1])
@@ -476,12 +544,21 @@ class GPT(nn.Module):
 
         new_cache = None
         if cache is not None:
+            if cache.col_pos is not None:
+                # spec mode: cursor advances WITHOUT wrapping (the caller
+                # re-prefills before overflow); length advances as if every
+                # token were accepted — the caller rewinds it per row
+                new_cursor = cache.cursor + T
+            elif cache.cursor is not None:
+                new_cursor = jnp.mod(cache.cursor + T, new_k[0].shape[1])
+            else:
+                new_cursor = None
             new_cache = KVCache(
                 tuple(new_k), tuple(new_v), cache.length + T,
                 tuple(new_ks) if new_ks else None,
                 tuple(new_vs) if new_vs else None,
-                None if cache.cursor is None
-                else jnp.mod(cache.cursor + T, new_k[0].shape[1]),
+                new_cursor,
+                new_col_pos,
             )
 
         if targets is not None:

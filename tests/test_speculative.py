@@ -1,0 +1,152 @@
+"""Speculative decoding (decode/speculative.py): exactness vs the plain
+Generator, draft lookup semantics, refresh handling.
+
+The core claims under test:
+- greedy (temperature=0) speculative output is token-for-token IDENTICAL to
+  the non-speculative Generator inside one context window (acceptance in
+  greedy mode is exactly "draft == argmax", rejection replays argmax);
+- at temperature > 0 the per-token marginal distribution equals the plain
+  temperature/top-k sampling distribution (rejection-sampling exactness);
+- prompt-lookup drafting proposes the true continuation on periodic text;
+- windowed refresh keeps the run deterministic and prompt-preserving.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ai_music_generation_tpu.decode.generate import Generator
+from ai_music_generation_tpu.decode.speculative import (
+    SpecGenerator,
+    prompt_lookup_drafts,
+)
+from ai_music_generation_tpu.models.gpt import GPT, GPTConfig
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = GPTConfig(block_size=64, vocab_size=32, n_layer=2, n_head=2,
+                    n_embd=32, dropout=0.0, bias=False, dtype=jnp.float32)
+    model = GPT(cfg)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32))
+    return model, params
+
+
+@pytest.mark.parametrize("n_draft", [1, 3])
+@pytest.mark.parametrize("quantized", [False, True])
+def test_greedy_matches_generator(tiny, n_draft, quantized):
+    model, params = tiny
+    cfg = model.config
+    if quantized:
+        import dataclasses
+        model = GPT(dataclasses.replace(cfg, kv_quantized=True))
+    B, P, NEW = 4, 10, 20  # P + NEW <= block_size: single window
+    prompts = jax.random.randint(
+        jax.random.PRNGKey(1), (B, P), 0, cfg.vocab_size)
+    plens = jnp.array([10, 7, 9, 5], jnp.int32)
+
+    g = Generator(model, max_new_tokens=NEW, temperature=0.0, top_k=None)
+    sg = SpecGenerator(model, max_new_tokens=NEW, temperature=0.0,
+                       top_k=None, n_draft=n_draft)
+    out_g = np.asarray(g.generate(params, prompts, plens, seed=7))
+    out_s = np.asarray(sg.generate(params, prompts, plens, seed=7))
+    np.testing.assert_array_equal(out_g, out_s)
+
+
+def test_draft_lookup_on_periodic_sequence():
+    # committed text ... 5 6 7 8 5 6 7 8 5 6 — the last bigram (5, 6)
+    # previously continued with 7 8 5: those must be the drafts
+    row = jnp.array([1, 5, 6, 7, 8, 5, 6, 7, 8, 5, 6, 0, 0, 0], jnp.int32)
+    tokens = jnp.stack([row, jnp.zeros_like(row)])
+    lens = jnp.array([11, 3], jnp.int32)
+    plens = jnp.zeros((2,), jnp.int32)  # no teacher forcing
+    drafts, forced = prompt_lookup_drafts(tokens, lens, plens, 3)
+    np.testing.assert_array_equal(np.asarray(drafts[0]), [7, 8, 5])
+    assert not bool(jnp.any(forced))
+    # row 1 (all zeros): bigram (0,0) matches at m=1, continuation 0 0 0
+    np.testing.assert_array_equal(np.asarray(drafts[1]), [0, 0, 0])
+
+
+def test_draft_lookup_teacher_forces_prompt():
+    row = jnp.arange(14, dtype=jnp.int32) % 9
+    tokens = row[None, :]
+    lens = jnp.array([4], jnp.int32)
+    plens = jnp.array([7], jnp.int32)  # positions 4..6 still in-prompt
+    drafts, forced = prompt_lookup_drafts(tokens, lens, plens, 4)
+    # draft j proposes buffer position lens + j; the first 3 are in-prompt
+    np.testing.assert_array_equal(np.asarray(forced[0]),
+                                  [True, True, True, False])
+    np.testing.assert_array_equal(np.asarray(drafts[0, :3]),
+                                  np.asarray(tokens[0, 4:7]))
+
+
+def test_one_step_marginal_is_exact(tiny):
+    """The committed token's marginal equals the plain temp/top-k sampling
+    distribution (rejection-sampling exactness), measured over many rows."""
+    model, params = tiny
+    cfg = model.config
+    B, P = 4096, 6
+    prompt = jax.random.randint(jax.random.PRNGKey(3), (1, P), 0,
+                                cfg.vocab_size)
+    prompts = jnp.broadcast_to(prompt, (B, P))
+    temperature, top_k = 1.0, 5
+
+    # exact distribution from the model's own logits
+    logits, _, _ = model.apply(params, prompt)
+    lg = np.asarray(logits[0, -1], np.float64) / temperature
+    kth = np.sort(lg)[-top_k]
+    lg = np.where(lg < kth, -np.inf, lg)
+    p_exact = np.exp(lg - lg.max())
+    p_exact /= p_exact.sum()
+
+    sg = SpecGenerator(model, max_new_tokens=1, temperature=temperature,
+                       top_k=top_k, n_draft=3)
+    out = np.asarray(sg.generate(params, prompts, seed=11))
+    tok = out[:, P]
+    emp = np.bincount(tok, minlength=cfg.vocab_size) / B
+    tv = 0.5 * np.abs(emp - p_exact).sum()
+    # binomial noise at B=4096 over <=5 support points is ~0.02 TV
+    assert tv < 0.06, (tv, emp, p_exact)
+    # sanity: only top-k tokens ever sampled
+    assert set(np.nonzero(emp)[0]) <= set(np.nonzero(p_exact > 0)[0])
+
+
+def test_windowed_refresh_determinism_and_prompt_preservation(tiny):
+    """Generation far past block_size: multiple refreshes, ragged prompts.
+    Same seed reproduces bytes; prompts come through untouched."""
+    model, params = tiny
+    cfg = model.config
+    B, P, NEW = 6, 12, 150  # >> block_size 64: several refreshes
+    prompts = jax.random.randint(
+        jax.random.PRNGKey(5), (B, P), 0, cfg.vocab_size)
+    plens = jnp.array([12, 9, 12, 4, 7, 12], jnp.int32)
+
+    sg = SpecGenerator(model, max_new_tokens=NEW, temperature=0.8,
+                       top_k=8, n_draft=4)
+    out1 = np.asarray(sg.generate(params, prompts, plens, seed=13))
+    out2 = np.asarray(sg.generate(params, prompts, plens, seed=13))
+    out3 = np.asarray(sg.generate(params, prompts, plens, seed=14))
+    np.testing.assert_array_equal(out1, out2)
+    assert not np.array_equal(out1, out3)
+    assert out1.shape == (B, P + NEW)
+    assert out1.min() >= 0 and out1.max() < cfg.vocab_size
+    for i in range(B):
+        np.testing.assert_array_equal(out1[i, :int(plens[i])],
+                                      np.asarray(prompts[i, :int(plens[i])]))
+
+
+def test_spec_quantized_long_run(tiny):
+    """int8 spec cache across refreshes stays deterministic and in-range."""
+    import dataclasses
+    model, params = tiny
+    m8 = GPT(dataclasses.replace(model.config, kv_quantized=True))
+    B, P, NEW = 4, 8, 100
+    prompts = jax.random.randint(
+        jax.random.PRNGKey(9), (B, P), 0, m8.config.vocab_size)
+    sg = SpecGenerator(m8, max_new_tokens=NEW, temperature=0.9, top_k=12,
+                       n_draft=3)
+    a = np.asarray(sg.generate(params, prompts, seed=3))
+    b = np.asarray(sg.generate(params, prompts, seed=3))
+    np.testing.assert_array_equal(a, b)
+    assert a.max() < m8.config.vocab_size
