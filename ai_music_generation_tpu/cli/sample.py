@@ -57,6 +57,8 @@ DEFAULTS = dict(
     batch_size=64,  # TPU-native: batched decode width
     dtype="bfloat16",
     kv_quantized=False,  # int8 KV cache (halves decode HBM traffic)
+    speculative=False,  # prompt-lookup speculative decoding (decode/speculative.py)
+    n_draft=4,  # draft chain length when speculative=True
 )
 
 IRISHMAN_BAR_REGEX = re.compile(r"(:\||::|\s\||\|\])")
@@ -194,12 +196,28 @@ def run_sampling(c: dict, write: bool = True) -> list[tuple[object, str]]:
         encode, decode = build_codec(ckpt_meta, c["data_root"], c["tokens_format"])
     prompts = list(prompt_iter(c))
 
-    gen = Generator(
-        model,
-        max_new_tokens=c["max_new_tokens"],
-        temperature=c["temperature"],
-        top_k=c["top_k"],
-    )
+    if c.get("speculative"):
+        # Same temp/top-k output DISTRIBUTION as the plain Generator
+        # (exact rejection sampling, decode/speculative.py), but a different
+        # token stream at a given seed: the RNG advances per verify step,
+        # not per position — so --speculative is part of the byte-level
+        # reproducibility key alongside --seed/--batch_size.
+        from ai_music_generation_tpu.decode.speculative import SpecGenerator
+
+        gen = SpecGenerator(
+            model,
+            max_new_tokens=c["max_new_tokens"],
+            temperature=c["temperature"],
+            top_k=c["top_k"],
+            n_draft=c["n_draft"],
+        )
+    else:
+        gen = Generator(
+            model,
+            max_new_tokens=c["max_new_tokens"],
+            temperature=c["temperature"],
+            top_k=c["top_k"],
+        )
 
     out_dir = os.path.join(c["out_dir"], "samples")
     if write:

@@ -293,12 +293,22 @@ class SpecGenerator:
 
         state = (tokens, lens0, cache, jnp.zeros((), jnp.int32))
         state = jax.lax.while_loop(cond, body, state)
-        return state[0]
+        # n_steps lets callers compute the realized speculation win:
+        # mean committed tokens/step = (total - F) / n_steps (vs 1 for the
+        # plain Generator); returned alongside so instrumentation is free.
+        return state[0], state[3]
 
     # -- public API --------------------------------------------------------
 
     def generate(self, params, prompts, prompt_lens=None, seed: int = 1337):
         """Same contract as decode.generate.Generator.generate."""
+        return self.generate_with_stats(params, prompts, prompt_lens, seed)[0]
+
+    def generate_with_stats(self, params, prompts, prompt_lens=None,
+                            seed: int = 1337):
+        """(tokens, n_steps): n_steps is the number of verify forwards run;
+        committed-per-step = (buffer_len - prefill) / n_steps measures the
+        realized acceptance (1.0 = no speculation win)."""
         prompts = jnp.asarray(prompts, jnp.int32)
         if prompts.ndim == 1:
             prompts = prompts[None, :]

@@ -9,6 +9,15 @@ Axes:
 - ``data``  — batch (data parallel; the reference's only strategy).
 - ``model`` — tensor parallel over attention heads / MLP hidden dim
   (no reference equivalent; optional extra headroom for larger models).
+
+FSDP (``fsdp=True`` in :func:`shardings_for_tree`) additionally shards every
+matrix-shaped parameter — and, via path-suffix matching, its AdamW moment
+buffers — across the ``data`` axis on a dim the TP rules leave free. XLA
+then all-gathers each weight just-in-time for its matmul and reduce-scatters
+its gradient (the ZeRO-3 schedule) with no manual collectives: per-device
+param+optimizer memory drops ~n_data-fold, which is what lets >1 GB-scale
+models train on small-HBM chips. The reference keeps full replicas per rank
+(DDP, ref: nanoGPT/train.py:86-99); this is a strict superset.
 """
 
 from __future__ import annotations
@@ -76,12 +85,18 @@ def _path_str(path) -> str:
     return "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in path)
 
 
-def shardings_for_tree(mesh: Mesh, tree):
+def shardings_for_tree(mesh: Mesh, tree, fsdp: bool = False):
     """NamedSharding pytree for params OR optimizer state.
 
     Rules match on the leaf's tree path, so optax moment buffers (whose paths
     end with the parameter path, e.g. ``1/mu/h_0/attn/c_attn/kernel``) inherit
     their parameter's layout automatically; scalars/counters replicate.
+
+    With ``fsdp=True``, every >=2-D leaf is additionally sharded over the
+    ``data`` axis on the largest evenly-divisible dim its TP spec leaves
+    free (ZeRO-3; see module docstring). 1-D leaves (biases, layernorms)
+    stay replicated — they are a negligible fraction of the state and
+    gathering them per-use costs more latency than the memory saved.
     """
 
     def shard(path, leaf):
@@ -94,12 +109,17 @@ def shardings_for_tree(mesh: Mesh, tree):
         # size from a dataset meta.pkl vs a 2-way model axis) — matches the
         # reference's tolerance for arbitrary meta vocab sizes
         # (ref: nanoGPT/train.py:152-158)
-        fixed = tuple(
+        fixed = list(
             None
             if axis is not None and shape[i] % mesh.shape[axis] != 0
             else axis
             for i, axis in enumerate(tuple(s) + (None,) * (ndim - len(s)))
         )
+        if fsdp and ndim >= 2 and mesh.shape[DATA_AXIS] > 1:
+            free = [i for i, axis in enumerate(fixed)
+                    if axis is None and shape[i] % mesh.shape[DATA_AXIS] == 0]
+            if free:
+                fixed[max(free, key=lambda i: shape[i])] = DATA_AXIS
         return NamedSharding(mesh, P(*fixed))
 
     return jax.tree_util.tree_map_with_path(shard, tree)

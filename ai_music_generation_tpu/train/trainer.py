@@ -81,6 +81,7 @@ DEFAULTS: dict[str, Any] = dict(
     data_root="data",  # datasets live at <data_root>/<dataset>/
     # TPU-native knobs (replace device/dtype/compile/backend):
     n_model=1,  # tensor-parallel mesh axis size
+    fsdp=False,  # ZeRO-3: shard params+opt state over the data axis
     dtype="bfloat16",  # 'bfloat16' | 'float32'
     eval_dataset="",  # optional override of the eval dataset dir
 )
@@ -212,10 +213,13 @@ class Trainer:
             params = jax.jit(self.model.init)(jax.random.PRNGKey(c["seed"]), dummy)
         state = TrainState.create(params, self.tx)
 
-        # shard: params per TP rules, opt-state moments inherit param layout
+        # shard: params per TP rules (+ ZeRO-3 over the data axis when
+        # --fsdp), opt-state moments inherit param layout by path suffix
+        fsdp = bool(c["fsdp"])
         self.state_shardings = TrainState(
-            params=pmesh.shardings_for_tree(self.mesh, params),
-            opt_state=pmesh.shardings_for_tree(self.mesh, state.opt_state),
+            params=pmesh.shardings_for_tree(self.mesh, params, fsdp=fsdp),
+            opt_state=pmesh.shardings_for_tree(
+                self.mesh, state.opt_state, fsdp=fsdp),
             step=pmesh.replicated(self.mesh),
         )
         if resuming:

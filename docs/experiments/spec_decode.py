@@ -1,0 +1,137 @@
+"""Speculative decoding on a TRAINED model at the headline bench config.
+
+The 448k tok/s headline (bench.py) decodes one token per cache read with
+random weights — where prompt-lookup drafts are worthless. This experiment
+measures what decode/speculative.py buys on a trained model, where ABC
+text's bar-level repetition gives the self n-gram drafter real acceptance:
+
+  1. trains the bench-config GPT (6L/6H/384d, block 256, vocab padded to
+     the bench's 128) on a 3,000-tune generated ABC corpus (same recipe as
+     refresh_quality.py) on the real chip;
+  2. times the plain int8-cache Generator vs SpecGenerator at
+     n_draft in {4, 8}, batch 4096 x 500 new tokens (the bench protocol),
+     with per-iteration varied seeds/prompts (axon relay result cache) and
+     value-fetch barriers (block_until_ready is not a barrier here —
+     verify skill, round-3 additions);
+  3. reports the realized committed-tokens-per-step from
+     SpecGenerator.generate_with_stats.
+
+Output distribution is exactly the plain sampler's (rejection-sampling
+exactness, tests/test_speculative.py) so tok/s is the only axis.
+"""
+import os
+import random
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ai_music_generation_tpu.cli.random_baselines import (
+    KEY_SIGNATURES, TIME_SIGNATURES, random_note_seq)
+from ai_music_generation_tpu.data.memmap import write_bin, write_meta
+from ai_music_generation_tpu.tokenizers.simple import CharTokenizer
+
+# ---- corpus (refresh_quality.py recipe), vocab padded to the bench's 128
+rng = random.Random(7)
+tunes = []
+for i in range(3000):
+    measures = [" ".join(random_note_seq(rng, rng.randint(3, 6)))
+                for _ in range(rng.randint(8, 24))]
+    tunes.append(
+        f"X:{i}\nL:1/8\nM:{rng.choice(TIME_SIGNATURES)}\n"
+        f"K:{rng.choice(KEY_SIGNATURES)}\n" + " | ".join(measures) + " |")
+text = "\n\n".join(tunes)
+tok = CharTokenizer.from_text(text)
+meta = tok.meta()
+# pad itos/stoi with unused codepoints so the MODEL cost matches the
+# bench config's vocab 128 (int8 KV pays off at vocab>=128; PERF.md)
+pad_start = 0x2500
+while meta["vocab_size"] < 128:
+    ch = chr(pad_start + meta["vocab_size"])
+    meta["itos"][meta["vocab_size"]] = ch
+    meta["stoi"][ch] = meta["vocab_size"]
+    meta["vocab_size"] += 1
+ds = "/tmp/spec_ds"
+os.makedirs(ds, exist_ok=True)
+ids = np.asarray(tok.encode(text), np.uint16)
+split = int(0.9 * len(ids))
+write_bin(ids[:split], os.path.join(ds, "train.bin"))
+write_bin(ids[split:], os.path.join(ds, "val.bin"))
+write_meta(meta, os.path.join(ds, "meta.pkl"))
+
+from ai_music_generation_tpu.train.trainer import DEFAULTS, Trainer
+
+c = dict(DEFAULTS)
+c.update(dataset="spec_ds", data_root="/tmp", out_dir="/tmp/spec_out",
+         n_layer=6, n_head=6, n_embd=384, block_size=256, batch_size=64,
+         gradient_accumulation_steps=1, max_iters=1500, eval_interval=500,
+         eval_iters=20, log_interval=250, warmup_iters=50,
+         lr_decay_iters=1500, learning_rate=1e-3, min_lr=1e-4,
+         dtype="bfloat16", dropout=0.0)
+t = Trainer(c)
+t.run()
+params = t.state.params
+
+import dataclasses
+
+from ai_music_generation_tpu.decode.generate import Generator
+from ai_music_generation_tpu.decode.speculative import SpecGenerator
+from ai_music_generation_tpu.models.gpt import GPT
+
+model = GPT(dataclasses.replace(t.model.config, kv_quantized=True))
+
+# bench protocol: batch 4096, 500 new tokens, T=0.8, top_k 200 (> vocab:
+# full softmax, same as bench.py), prompts = val-corpus slices
+val = np.memmap(os.path.join(ds, "val.bin"), dtype=np.uint16, mode="r")
+BATCH, PROMPT, NEW = 4096, 8, 500
+salt = int(time.time()) & 0x7FFFFFFF
+r = np.random.default_rng(salt)
+
+
+def fresh_prompts():
+    starts = r.integers(0, len(val) - PROMPT - 1, size=BATCH)
+    return jnp.asarray(
+        np.stack([val[s:s + PROMPT] for s in starts]).astype(np.int32))
+
+
+def barrier(x):
+    return float(jnp.sum(x[:, -1]))
+
+
+def bench(gen, label, reps=3, stats=False):
+    # compile
+    out = gen.generate(params, fresh_prompts(), seed=salt)
+    barrier(out)
+    t0, steps = time.time(), None
+    for i in range(reps):
+        if stats:
+            out, n = gen.generate_with_stats(
+                params, fresh_prompts(), seed=salt + 1 + i)
+            barrier(out)
+            steps = int(n)
+        else:
+            barrier(gen.generate(params, fresh_prompts(), seed=salt + 1 + i))
+    dt = (time.time() - t0) / reps
+    tps = BATCH * NEW / dt
+    extra = ""
+    if steps is not None:
+        committed = PROMPT + NEW - 8  # prefill bucket = 8
+        extra = f"  committed/step={committed / steps:.2f} ({steps} steps)"
+    print(f"{label}: {dt * 1000:.0f} ms -> {tps / 1000:.0f}k tok/s{extra}",
+          flush=True)
+    return tps
+
+
+print(f"devices={jax.devices()} salt={salt}", flush=True)
+base = bench(Generator(model, max_new_tokens=NEW, temperature=0.8,
+                       top_k=200), "plain int8")
+for k in (4, 8):
+    sg = SpecGenerator(model, max_new_tokens=NEW, temperature=0.8,
+                       top_k=200, n_draft=k)
+    tps = bench(sg, f"spec n_draft={k}", stats=True)
+    print(f"  speedup vs plain: {tps / base:.2f}x", flush=True)
+print("DONE")

