@@ -72,9 +72,28 @@ c.update(dataset="spec_ds", data_root="/tmp", out_dir="/tmp/spec_out",
          eval_iters=20, log_interval=250, warmup_iters=50,
          lr_decay_iters=1500, learning_rate=1e-3, min_lr=1e-4,
          dtype="bfloat16", dropout=0.0)
-t = Trainer(c)
-t.run()
-params = t.state.params
+from ai_music_generation_tpu.train import checkpoint as ckpt_lib
+
+if ckpt_lib.checkpoint_exists("/tmp/spec_out", ckpt_lib.BEST):
+    # resume the measurement phase without retraining (TPU-worker crashes
+    # under the axon relay lose the process but not /tmp)
+    state, meta = ckpt_lib.load_checkpoint("/tmp/spec_out", ckpt_lib.BEST)
+    import dataclasses as _dc
+    from ai_music_generation_tpu.models.gpt import GPT as _GPT, GPTConfig as _Cfg
+    import jax.numpy as _jnp
+
+    class _T:  # minimal stand-in for the Trainer fields used below
+        pass
+    t = _T()
+    t.model = _GPT(_Cfg(dropout=0.0, dtype=_jnp.bfloat16,
+                        **meta["model_args"]))
+    t_params = state["params"]
+    params = jax.device_put(t_params)
+    t.state = _T(); t.state.params = params
+else:
+    t = Trainer(c)
+    t.run()
+    params = t.state.params
 
 import dataclasses
 
