@@ -51,6 +51,13 @@ class GPTConfig:
     remat: bool = False  # rematerialize each Block in the backward pass:
     # ~+1/3 FLOPs for O(layers) less saved-activation HBM — the standard
     # jax.checkpoint trade for models that don't fit 16 GB at full batch
+    seq_axis: Optional[str] = None  # sequence/context parallelism: name of
+    # the mesh axis the [B, T] inputs are sharded over (set by
+    # parallel/sequence.py, which applies the model under shard_map).
+    # Training path only: positions offset by the shard index, attention
+    # runs the ppermute ring (ops/ring_attention.py), the loss mean psums
+    # across the axis. No reference analogue (nanoGPT replicates the full
+    # sequence per rank, ref: nanoGPT/model.py:60-76).
 
     @property
     def head_dim(self) -> int:
@@ -353,6 +360,21 @@ class CausalSelfAttention(nn.Module):
             cache4 = (new_cache if len(new_cache) == 4
                       else (*new_cache, None, None))
             y = cached_att(mask[None, None, :, :], *cache4)
+        elif cfg.seq_axis is not None:
+            # sequence-parallel training: this device holds a contiguous
+            # [B, Tl] chunk of the global sequence; K/V blocks ring-rotate
+            # over the seq axis (ops/ring_attention.py). Falling through to
+            # the einsum path here would silently attend within the local
+            # chunk only — structurally wrong, hence a dedicated branch.
+            if not deterministic and cfg.dropout > 0.0:
+                raise NotImplementedError(
+                    "attention-prob dropout is not expressible under ring "
+                    "attention; train sequence-parallel with dropout=0")
+            from ai_music_generation_tpu.ops.ring_attention import (
+                ring_attention,
+            )
+
+            y = ring_attention(q, k, v, cfg.seq_axis).reshape(B, T, C)
         elif (
             cfg.attn_impl == "flash"
             and jax.default_backend() == "tpu"
@@ -503,6 +525,16 @@ class GPT(nn.Module):
             # per-row positions (serving): row i's tokens sit at length[i]+t
             pos = cache.length[:, None] + jnp.arange(T)[None, :]  # [B, T]
             x = wte(idx) + wpe(pos)
+        elif cfg.seq_axis is not None:
+            if cache is not None:
+                raise NotImplementedError(
+                    "seq_axis is a training-path knob; decode stays on the "
+                    "data/model axes (parallel/sequence.py docstring)")
+            # local row t is global position axis_index*T + t; the caller
+            # (parallel/sequence.py) asserts global T <= block_size — the
+            # trace-time check above only sees the local chunk
+            pos = jax.lax.axis_index(cfg.seq_axis) * T + jnp.arange(T)
+            x = wte(idx) + wpe(pos)[None, :, :]
         else:
             pos = cache.length + jnp.arange(T) if cache is not None else jnp.arange(T)
             x = wte(idx) + wpe(pos)[None, :, :]
@@ -563,7 +595,8 @@ class GPT(nn.Module):
 
         if targets is not None:
             logits = wte.attend(x)  # weight tying (ref: model.py:138)
-            loss = cross_entropy_ignore_index(logits, targets)
+            loss = cross_entropy_ignore_index(
+                logits, targets, axis_name=cfg.seq_axis)
             return logits, loss, new_cache
 
         if return_all_logits:
@@ -575,7 +608,12 @@ class GPT(nn.Module):
         return logits, None, new_cache
 
 
-def cross_entropy_ignore_index(logits: Array, targets: Array, ignore_index: int = -1) -> Array:
+def cross_entropy_ignore_index(
+    logits: Array,
+    targets: Array,
+    ignore_index: int = -1,
+    axis_name: Optional[str] = None,
+) -> Array:
     """Mean token cross-entropy skipping ``ignore_index`` targets (fp32 accumulation).
 
     Computed as ``logsumexp(logits) - logits[target]`` — identical math to
@@ -583,6 +621,12 @@ def cross_entropy_ignore_index(logits: Array, targets: Array, ignore_index: int 
     [B, T, V] log-probability tensor (at GPT-2's 50304 vocab that tensor is
     the single largest activation; skipping it is a measured MFU win, see
     docs/PERF.md round-2 notes).
+
+    With ``axis_name`` (sequence parallelism), the nll total and the
+    non-ignored count are psum'd across that mesh axis before dividing, so
+    every shard returns the GLOBAL mean — bit-identical in expectation to
+    the unsharded loss regardless of how ignore_index tokens distribute
+    across shards.
     """
     logits = logits.astype(jnp.float32)
     mask = targets != ignore_index
@@ -591,8 +635,11 @@ def cross_entropy_ignore_index(logits: Array, targets: Array, ignore_index: int 
     tgt = jnp.take_along_axis(logits, safe_targets[..., None], axis=-1)[..., 0]
     nll = lse - tgt
     total = jnp.sum(nll * mask)
-    count = jnp.maximum(jnp.sum(mask), 1)
-    return total / count
+    count = jnp.sum(mask)
+    if axis_name is not None:
+        total = jax.lax.psum(total, axis_name)
+        count = jax.lax.psum(count, axis_name)
+    return total / jnp.maximum(count, 1)
 
 
 def num_params(params, non_embedding: bool = True) -> int:
