@@ -51,6 +51,14 @@ class GPTConfig:
     remat: bool = False  # rematerialize each Block in the backward pass:
     # ~+1/3 FLOPs for O(layers) less saved-activation HBM — the standard
     # jax.checkpoint trade for models that don't fit 16 GB at full batch
+    n_expert: int = 0  # Mixture-of-Experts: replace every block's MLP with
+    # n_expert routed expert MLPs (models/moe.py). 0 = dense (the reference
+    # architecture, ref: nanoGPT/model.py:78-92). Experts shard over the
+    # mesh model axis (expert parallelism, parallel/mesh.py rules).
+    expert_top_k: int = 2  # experts per token (renormalized gate)
+    capacity_factor: float = 1.25  # per-expert buffer slack; overflow
+    # tokens fall through the residual connection (combine weight 0)
+    moe_aux_coef: float = 0.01  # weight of the load-balance aux loss
     seq_axis: Optional[str] = None  # sequence/context parallelism: name of
     # the mesh axis the [B, T] inputs are sharded over (set by
     # parallel/sequence.py, which applies the model under shard_map).
@@ -437,7 +445,13 @@ class MLP(nn.Module):
 
 
 class Block(nn.Module):
-    """Pre-LN transformer block (ref behavior: nanoGPT/model.py:94-106)."""
+    """Pre-LN transformer block (ref behavior: nanoGPT/model.py:94-106).
+
+    With ``config.n_expert > 0`` the MLP is the routed MoE layer
+    (models/moe.py) and the return gains a third element — the scalar
+    load-balance aux loss — so the arity is fixed per config and existing
+    dense call sites (pipeline.py, tunesformer.py) stay 2-tuples.
+    """
 
     config: GPTConfig
     layer_idx: int = 0
@@ -455,6 +469,12 @@ class Block(nn.Module):
             spec_mask,
         )
         x = x + attn_out
+        if cfg.n_expert > 0:
+            from ai_music_generation_tpu.models.moe import MoEMLP
+
+            mlp_out, aux = MoEMLP(cfg, name="moe")(
+                ln("ln_2")(x), deterministic)
+            return x + mlp_out, new_cache, aux
         x = x + MLP(cfg, name="mlp")(ln("ln_2")(x), deterministic)
         return x, new_cache
 
@@ -544,6 +564,7 @@ class GPT(nn.Module):
         new_v: list[Array] = []
         new_ks: list[Array] = []
         new_vs: list[Array] = []
+        aux_total = jnp.zeros((), jnp.float32)
         quantized = cache is not None and cache.k_scale is not None
         # remat only makes sense on the training path (no cache to thread)
         block_cls = (
@@ -559,9 +580,14 @@ class GPT(nn.Module):
             else:
                 layer_cache = (cache.k[i], cache.v[i])
             cache_len = None if cache is None else cache.length
-            x, lc = block_cls(cfg, i, name=f"h_{i}")(
+            out = block_cls(cfg, i, name=f"h_{i}")(
                 x, deterministic, layer_cache, cache_len,
                 None if cache is None else cache.cursor, spec_mask)
+            if cfg.n_expert > 0:
+                x, lc, layer_aux = out
+                aux_total = aux_total + layer_aux
+            else:
+                x, lc = out
             if lc is not None:
                 new_k.append(lc[0])
                 new_v.append(lc[1])
@@ -597,6 +623,10 @@ class GPT(nn.Module):
             logits = wte.attend(x)  # weight tying (ref: model.py:138)
             loss = cross_entropy_ignore_index(
                 logits, targets, axis_name=cfg.seq_axis)
+            if cfg.n_expert > 0:
+                # load-balance aux (models/moe.py), averaged over layers so
+                # moe_aux_coef is depth-independent
+                loss = loss + cfg.moe_aux_coef * aux_total / cfg.n_layer
             return logits, loss, new_cache
 
         if return_all_logits:

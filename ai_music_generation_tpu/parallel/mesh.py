@@ -65,6 +65,15 @@ _GPT_PARAM_RULES: list[tuple[str, P]] = [
     (r".*mlp/c_proj/kernel", P(MODEL_AXIS, None)),
     (r".*wte/embedding", P(MODEL_AXIS, None)),
     (r".*wpe/embedding", P(None, None)),
+    # MoE experts (models/moe.py): EXPERT parallelism — the leading expert
+    # dim shards over the model axis, so each device owns E/n_model whole
+    # expert MLPs and XLA turns the dispatch/combine einsums into
+    # all-to-alls over ICI. The fp32 router stays replicated (tiny, and
+    # every device needs every token's gate).
+    (r".*moe/w_fc", P(MODEL_AXIS, None, None)),
+    (r".*moe/w_proj", P(MODEL_AXIS, None, None)),
+    (r".*moe/b_fc", P(MODEL_AXIS, None)),
+    (r".*moe/b_proj", P(MODEL_AXIS, None)),
     # TunesFormer patch embedding [patch_size*128, n_embd]: column (embd)
     # sharded so the row gather stays shard-local and the position-sum
     # produces a model-sharded activation (same layout as c_fc output)

@@ -120,6 +120,9 @@ def _make_pipeline_loss(model: GPT, mesh: Mesh, n_micro: int) -> Callable:
     assert cfg.n_layer % S == 0, (
         f"n_layer {cfg.n_layer} not divisible by {S} pipeline stages")
     assert cfg.dropout == 0.0, "pipeline training path requires dropout=0"
+    assert cfg.n_expert == 0, (
+        "MoE blocks return a third (aux-loss) element the GPipe schedule "
+        "does not thread; use the dp/tp/fsdp paths for MoE models")
     block = Block(cfg, 0)  # layer_idx only affects init, not apply
     wte = nn.Embed(cfg.vocab_size, cfg.n_embd, dtype=cfg.dtype,
                    param_dtype=cfg.param_dtype, name="wte")

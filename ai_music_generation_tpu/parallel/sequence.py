@@ -69,6 +69,9 @@ def make_seq_loss(model: GPT, mesh: Mesh) -> Callable:
     assert cfg.dropout == 0.0, (
         "sequence-parallel training path requires dropout=0 "
         "(attention-prob dropout is not expressible under ring attention)")
+    assert cfg.n_expert == 0, (
+        "MoE under sequence parallelism needs cross-shard routing stats; "
+        "use the dp/tp/fsdp paths for MoE models (parallel/mesh.py)")
     sp_model = GPT(dataclasses.replace(cfg, seq_axis=SEQ_AXIS))
     n_seq = mesh.shape[SEQ_AXIS]
 

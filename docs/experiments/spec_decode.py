@@ -106,7 +106,14 @@ model = GPT(dataclasses.replace(t.model.config, kv_quantized=True))
 # bench protocol: batch 4096, 500 new tokens, T=0.8, top_k 200 (> vocab:
 # full softmax, same as bench.py), prompts = val-corpus slices
 val = np.memmap(os.path.join(ds, "val.bin"), dtype=np.uint16, mode="r")
-BATCH, PROMPT, NEW = 4096, 8, 500
+# SPEC_BATCH: the spec program at batch 4096 crashes the axon TPU worker
+# (reproducibly, 2026-08-18; plain decode at 4096 is fine) — measure at the
+# largest batch the worker survives and report it as such.
+BATCH = int(os.environ.get("SPEC_BATCH", "4096"))
+PROMPT, NEW = 8, 500
+RUN_PLAIN = os.environ.get("SPEC_RUN_PLAIN", "1") == "1"
+DRAFTS = tuple(int(k) for k in
+               os.environ.get("SPEC_DRAFTS", "4,8").split(","))
 salt = int(time.time()) & 0x7FFFFFFF
 r = np.random.default_rng(salt)
 
@@ -145,12 +152,15 @@ def bench(gen, label, reps=3, stats=False):
     return tps
 
 
-print(f"devices={jax.devices()} salt={salt}", flush=True)
-base = bench(Generator(model, max_new_tokens=NEW, temperature=0.8,
-                       top_k=200), "plain int8")
-for k in (4, 8):
+print(f"devices={jax.devices()} salt={salt} batch={BATCH}", flush=True)
+base = None
+if RUN_PLAIN:
+    base = bench(Generator(model, max_new_tokens=NEW, temperature=0.8,
+                           top_k=200), "plain int8")
+for k in DRAFTS:
     sg = SpecGenerator(model, max_new_tokens=NEW, temperature=0.8,
                        top_k=200, n_draft=k)
     tps = bench(sg, f"spec n_draft={k}", stats=True)
-    print(f"  speedup vs plain: {tps / base:.2f}x", flush=True)
+    if base is not None:
+        print(f"  speedup vs plain: {tps / base:.2f}x", flush=True)
 print("DONE")

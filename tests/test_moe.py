@@ -1,0 +1,171 @@
+"""Mixture-of-Experts (models/moe.py) + expert parallelism (parallel/mesh.py).
+
+The claims under test, on the 8-device virtual CPU mesh:
+- with all experts initialized IDENTICALLY and capacity >= all tokens, the
+  MoE layer equals the dense MLP exactly (the renormalized top-k gate
+  contract) — fwd and grads;
+- capacity overflow drops tokens to the residual (combine weight 0), never
+  corrupts other tokens;
+- the aux load-balance loss is exactly E * sum f*p (hand-computed oracle)
+  and is minimal (1.0) under perfectly uniform routing;
+- a full MoE GPT trains (loss decreases) and decodes with a KV cache,
+  matching greedy decode with/without expert sharding;
+- expert-parallel sharding: loss parity replicated vs experts sharded over
+  the model axis, with expert weights ACTUALLY distributed.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ai_music_generation_tpu.models.gpt import GPT, GPTConfig, MLP
+from ai_music_generation_tpu.models.moe import MoEMLP
+from ai_music_generation_tpu.parallel import mesh as pmesh
+from ai_music_generation_tpu.train.step import TrainState, make_train_step
+from ai_music_generation_tpu.train.optimizer import (
+    cosine_warmup_schedule,
+    make_optimizer,
+)
+
+CFG = GPTConfig(block_size=16, vocab_size=64, n_layer=2, n_head=2, n_embd=32,
+                dropout=0.0, bias=True, dtype=jnp.float32,
+                n_expert=4, expert_top_k=2, capacity_factor=2.0)
+
+
+def _tile_dense_into_experts(moe_params, dense_params, E):
+    """Copy one dense MLP's weights into every expert slot."""
+    p = dict(moe_params)
+    p["w_fc"] = jnp.tile(dense_params["c_fc"]["kernel"][None], (E, 1, 1))
+    p["w_proj"] = jnp.tile(dense_params["c_proj"]["kernel"][None], (E, 1, 1))
+    p["b_fc"] = jnp.tile(dense_params["c_fc"]["bias"][None], (E, 1))
+    p["b_proj"] = jnp.tile(dense_params["c_proj"]["bias"][None], (E, 1))
+    return p
+
+
+def test_identical_experts_equal_dense_mlp():
+    cfg = CFG
+    layer = MoEMLP(cfg)
+    dense = MLP(cfg)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 16, 32)),
+                    jnp.float32)
+    mp = layer.init(jax.random.PRNGKey(0), x)["params"]
+    dp = dense.init(jax.random.PRNGKey(1), x)["params"]
+    mp = _tile_dense_into_experts(mp, dp, cfg.n_expert)
+
+    y_moe, aux = layer.apply({"params": mp}, x)
+    y_dense = dense.apply({"params": dp}, x)
+    np.testing.assert_allclose(np.asarray(y_moe), np.asarray(y_dense),
+                               rtol=2e-5, atol=2e-6)
+    assert np.isfinite(float(aux))
+
+    # grads w.r.t. x agree too (the renormalized gate sums to 1, so the
+    # router contributes zero gradient through identical experts up to fp32)
+    g_moe = jax.grad(lambda x: jnp.sum(layer.apply({"params": mp}, x)[0] ** 2))(x)
+    g_dense = jax.grad(lambda x: jnp.sum(dense.apply({"params": dp}, x) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(g_moe), np.asarray(g_dense),
+                               rtol=1e-3, atol=1e-5)
+
+
+def test_capacity_overflow_drops_to_residual():
+    # capacity_factor tiny -> almost every token overflows -> output ~ 0
+    # for the dropped tokens (they ride the residual in the Block)
+    cfg = dataclasses.replace(CFG, capacity_factor=0.01, expert_top_k=1)
+    layer = MoEMLP(cfg)
+    x = jnp.asarray(np.random.default_rng(1).normal(size=(1, 16, 32)),
+                    jnp.float32)
+    params = layer.init(jax.random.PRNGKey(0), x)
+    y, _ = layer.apply(params, x)
+    # capacity = ceil(0.01 * 16 / 4) = 1 slot per expert: at most
+    # n_expert tokens produce nonzero output, the rest are exactly 0
+    nonzero_rows = np.count_nonzero(
+        np.abs(np.asarray(y[0])).sum(-1) > 1e-9)
+    assert nonzero_rows <= cfg.n_expert
+
+
+def test_aux_loss_oracle():
+    cfg = dataclasses.replace(CFG, expert_top_k=1)
+    layer = MoEMLP(cfg)
+    x = jnp.asarray(np.random.default_rng(2).normal(size=(2, 8, 32)),
+                    jnp.float32)
+    params = layer.init(jax.random.PRNGKey(3), x)
+    _, aux = layer.apply(params, x)
+
+    # hand-compute E * sum_e f_e * p_e from the router's own outputs
+    logits = x.reshape(-1, 32).astype(jnp.float32) @ \
+        params["params"]["router"]["kernel"]
+    probs = jax.nn.softmax(logits, -1)
+    top = jnp.argmax(probs, -1)
+    f = np.asarray([(np.asarray(top) == e).mean()
+                    for e in range(cfg.n_expert)])
+    p = np.asarray(probs.mean(0))
+    np.testing.assert_allclose(float(aux), cfg.n_expert * float((f * p).sum()),
+                               rtol=1e-5)
+    # perfectly uniform routing gives the minimum value 1.0
+    assert float(aux) >= 1.0 - 1e-5
+
+
+def _init_gpt(cfg, batch=4):
+    model = GPT(cfg)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.integers(0, cfg.vocab_size, (batch, cfg.block_size)),
+                    jnp.int32)
+    y = jnp.roll(x, -1, axis=1)
+    params = model.init(jax.random.PRNGKey(0), x)
+    return model, params, x, y
+
+
+@pytest.mark.slow
+def test_moe_gpt_trains_and_decodes():
+    model, params, x, y = _init_gpt(CFG)
+    schedule = cosine_warmup_schedule(1e-3, 2, 20, 1e-4)
+    tx = make_optimizer(schedule, 0.1, 0.9, 0.95, 1.0)
+    state = TrainState.create(params, tx)
+    step = jax.jit(make_train_step(model, tx, schedule))
+    xb, yb = x[None], y[None]
+    losses = []
+    rng = jax.random.PRNGKey(1)
+    for i in range(8):
+        state, metrics = step(state, xb, yb, jax.random.fold_in(rng, i))
+        losses.append(float(metrics["loss"]))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
+
+    # KV-cache decode runs and matches the no-cache forward greedily
+    from ai_music_generation_tpu.decode.generate import Generator
+
+    gen = Generator(model, max_new_tokens=4, temperature=1.0, top_k=1)
+    toks = jax.device_get(gen.generate(state.params, x[:, :4], seed=0))
+    assert toks.shape == (x.shape[0], 8)
+    # oracle: greedy next token from the full forward at each step
+    ref = np.asarray(x[:, :4])
+    p = state.params
+    for _ in range(4):
+        logits = model.apply(p, jnp.asarray(ref))[0][:, -1]
+        ref = np.concatenate(
+            [ref, np.asarray(jnp.argmax(logits, -1))[:, None]], 1)
+    np.testing.assert_array_equal(toks, ref)
+
+
+@pytest.mark.slow
+def test_expert_parallel_sharding_parity():
+    model, params, x, y = _init_gpt(CFG, batch=8)
+    loss_ref = float(model.apply(params, x, y)[1])
+
+    mesh = pmesh.make_mesh(n_data=2, n_model=4)
+    shardings = pmesh.shardings_for_tree(mesh, params)
+    sp = jax.device_put(params, shardings)
+    w = sp["params"]["h_0"]["moe"]["w_fc"]
+    assert w.addressable_shards[0].data.shape[0] == CFG.n_expert // 4, (
+        "experts not actually distributed over the model axis")
+    loss_sh = float(jax.jit(
+        lambda p, x, y: model.apply(p, x, y)[1],
+        in_shardings=(shardings, NamedSharding(mesh, P(pmesh.DATA_AXIS)),
+                      NamedSharding(mesh, P(pmesh.DATA_AXIS))),
+    )(sp, x, y))
+    assert abs(loss_sh - loss_ref) < 1e-4 * max(1.0, abs(loss_ref)), (
+        f"expert-sharded loss {loss_sh} != replicated {loss_ref}")
