@@ -137,6 +137,10 @@ def nanogpt_state_from_params(
     def npf(x):
         return np.asarray(x, np.float32)
 
+    if getattr(config, "n_expert", 0) > 0:
+        raise ValueError(
+            "MoE models cannot export to the reference ckpt.pt format — "
+            "nanoGPT has no MoE layer (ref: nanoGPT/model.py:78-92)")
     wte = npf(p["wte"]["embedding"])
     out: dict[str, np.ndarray] = {
         "transformer.wte.weight": wte,

@@ -82,11 +82,19 @@ DEFAULTS: dict[str, Any] = dict(
     # TPU-native knobs (replace device/dtype/compile/backend):
     n_model=1,  # tensor-parallel mesh axis size
     fsdp=False,  # ZeRO-3: shard params+opt state over the data axis
+    n_expert=0,  # Mixture-of-Experts: experts per block MLP (0 = dense;
+    # experts shard over the model axis — models/moe.py)
+    expert_top_k=2,
+    capacity_factor=1.25,
+    moe_aux_coef=0.01,
     dtype="bfloat16",  # 'bfloat16' | 'float32'
     eval_dataset="",  # optional override of the eval dataset dir
 )
 
 ARCH_KEYS = ("n_layer", "n_head", "n_embd", "block_size", "bias", "vocab_size")
+# MoE architecture keys ride model_args only when n_expert > 0, so dense
+# checkpoints (and reference-bridge ones) keep their exact key set
+MOE_KEYS = ("n_expert", "expert_top_k", "capacity_factor", "moe_aux_coef")
 
 
 class Trainer:
@@ -132,10 +140,13 @@ class Trainer:
     def _model_args(self) -> dict:
         c = self.c
         vocab = self.meta_vocab_size or 50304  # (ref: nanoGPT/train.py:165-168)
-        return dict(
+        args = dict(
             n_layer=c["n_layer"], n_head=c["n_head"], n_embd=c["n_embd"],
             block_size=c["block_size"], bias=c["bias"], vocab_size=vocab,
         )
+        if c["n_expert"] > 0:
+            args.update({k: c[k] for k in MOE_KEYS})
+        return args
 
     def _build_model_and_state(self):
         c = self.c
@@ -151,6 +162,9 @@ class Trainer:
             meta = ckpt_lib.load_meta(c["out_dir"], ckpt_lib.LAST)
             # architecture comes from the checkpoint (ref: train.py:181-185)
             model_args.update({k: meta["model_args"][k] for k in ARCH_KEYS})
+            for k in MOE_KEYS:  # only present on MoE checkpoints
+                if k in meta["model_args"]:
+                    model_args[k] = meta["model_args"][k]
         elif c["init_from"] == "resume":
             hint = ""
             if os.path.exists(os.path.join(c["out_dir"], "ckpt.pt")):

@@ -110,7 +110,7 @@ val = np.memmap(os.path.join(ds, "val.bin"), dtype=np.uint16, mode="r")
 # (reproducibly, 2026-08-18; plain decode at 4096 is fine) — measure at the
 # largest batch the worker survives and report it as such.
 BATCH = int(os.environ.get("SPEC_BATCH", "4096"))
-PROMPT, NEW = 8, 500
+PROMPT, NEW = 8, int(os.environ.get("SPEC_NEW", "500"))
 RUN_PLAIN = os.environ.get("SPEC_RUN_PLAIN", "1") == "1"
 DRAFTS = tuple(int(k) for k in
                os.environ.get("SPEC_DRAFTS", "4,8").split(","))

@@ -196,3 +196,25 @@ def test_train_fsdp_smoke(tiny_dataset, tmp_path):
     losses = [json.loads(l) for l in
               open(os.path.join(c["out_dir"], "losses.jsonl"))]
     assert best < losses[0]["val/loss"]
+
+
+def test_train_moe_smoke_and_resume_arch(tiny_dataset, tmp_path):
+    """--n_expert=2 trains end-to-end (MoE blocks + aux loss in the total),
+    the checkpoint carries the MoE architecture, and resume restores it even
+    when the resume config says dense (arch-from-checkpoint contract)."""
+    root, _ = tiny_dataset
+    out = str(tmp_path / "out_moe")
+    c = make_config(root, out, max_iters=10, n_expert=2, expert_top_k=1,
+                    gradient_accumulation_steps=1)
+    t1 = Trainer(c)
+    assert "moe" in t1.state.params["params"]["h_0"], "MoE layer not built"
+    best = t1.run()
+    assert np.isfinite(best)
+
+    t2 = Trainer(make_config(root, out, max_iters=12, init_from="resume",
+                             gradient_accumulation_steps=1))  # dense config
+    assert t2.gpt_config.n_expert == 2, "MoE arch lost on resume"
+    assert t2.gpt_config.expert_top_k == 1
+    t2.run()
+    # runs through max_iters inclusive (same as test_resume_continues)
+    assert t2.iter_num == 13
