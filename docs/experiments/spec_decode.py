@@ -101,7 +101,8 @@ from ai_music_generation_tpu.decode.generate import Generator
 from ai_music_generation_tpu.decode.speculative import SpecGenerator
 from ai_music_generation_tpu.models.gpt import GPT
 
-model = GPT(dataclasses.replace(t.model.config, kv_quantized=True))
+SPEC_INT8 = os.environ.get("SPEC_INT8", "1") == "1"
+model = GPT(dataclasses.replace(t.model.config, kv_quantized=SPEC_INT8))
 
 # bench protocol: batch 4096, 500 new tokens, T=0.8, top_k 200 (> vocab:
 # full softmax, same as bench.py), prompts = val-corpus slices
