@@ -35,12 +35,24 @@ from ai_music_generation_tpu.cli.random_baselines import (
 from ai_music_generation_tpu.data.memmap import write_bin, write_meta
 from ai_music_generation_tpu.tokenizers.simple import CharTokenizer
 
-# ---- corpus (refresh_quality.py recipe), vocab padded to the bench's 128
+# ---- corpus: REPETITIVE tunes, vocab padded to the bench's 128.
+# refresh_quality.py's corpus is measure-wise random — real ABC repeats
+# bars (AABA phrases, |: :| strains), which is exactly what prompt-lookup
+# drafting exploits, so an all-unique-measures corpus would understate
+# acceptance unrealistically. Here each tune draws 2-5 unique measures and
+# arranges them in repeated phrases (the IrishMAN-style structure the
+# drafter is designed for); the trained model then actually emits
+# repetitive continuations. Honest caveat: acceptance on this corpus is
+# indicative, not a measurement of real-IrishMAN acceptance (no real data
+# in env — cli/replay_goldens.py replays this when data exists).
 rng = random.Random(7)
 tunes = []
 for i in range(3000):
-    measures = [" ".join(random_note_seq(rng, rng.randint(3, 6)))
-                for _ in range(rng.randint(8, 24))]
+    uniq = [" ".join(random_note_seq(rng, rng.randint(3, 6)))
+            for _ in range(rng.randint(2, 5))]
+    phrase = [rng.choice(uniq) for _ in range(rng.randint(2, 4))]
+    reps = rng.randint(2, 6)
+    measures = phrase * reps
     tunes.append(
         f"X:{i}\nL:1/8\nM:{rng.choice(TIME_SIGNATURES)}\n"
         f"K:{rng.choice(KEY_SIGNATURES)}\n" + " | ".join(measures) + " |")
