@@ -127,7 +127,7 @@ class KVCache:
       this call (== the position of its last committed token);
     - column s of row i is attendable by query j iff
       ``col_pos[i, s] <= length[i] + j`` (invalid columns hold a large
-      negative sentinel and never match);
+      positive sentinel and never match);
     - the model tentatively marks the T freshly written columns with
       positions ``length[i] + j`` (correct within-step causal masking);
       the caller re-marks columns of rejected draft tokens invalid after
@@ -144,7 +144,12 @@ class KVCache:
     cursor: Optional[Array] = None  # scalar int32 ring write column (vector mode)
     col_pos: Optional[Array] = None  # [B, S] logical position per cache column
 
-    INVALID_POS = -(1 << 30)  # col_pos sentinel: never <= any real position
+    # col_pos sentinel for dead columns: LARGE POSITIVE so that the
+    # attendability test ``col_pos[s] <= q_pos`` is false for every real
+    # query position (a negative sentinel would satisfy <= and leak the
+    # zero-K/V columns into every softmax — caught by
+    # tests/test_spec_attention.py::test_model_spec_path_uses_flat_cache)
+    INVALID_POS = 1 << 30
 
     @classmethod
     def create(cls, config: GPTConfig, batch: int, max_len: Optional[int] = None,
@@ -153,8 +158,18 @@ class KVCache:
         max_len = max_len or config.block_size
         quantized = config.kv_quantized if quantized is None else quantized
         dtype = jnp.int8 if quantized else (dtype or config.dtype)
-        shape = (batch, max_len, config.n_head, config.head_dim)
-        scale_shape = (batch, max_len, config.n_head)
+        if spec:
+            # spec mode stores the cache FLAT [B, S, H*D] with TRANSPOSED
+            # [B, H, S] scales: every read goes through the Pallas verify
+            # kernel (ops/spec_attention.py), whose operands keep the
+            # default layout — the XLA T>1 einsum would pin an S-minor
+            # layout and turn each slab write into a full-buffer rewrite
+            # (measured; see the kernel docstring)
+            shape = (batch, max_len, config.n_head * config.head_dim)
+            scale_shape = (batch, config.n_head, max_len)
+        else:
+            shape = (batch, max_len, config.n_head, config.head_dim)
+            scale_shape = (batch, max_len, config.n_head)
         mk = lambda: tuple(jnp.zeros(shape, dtype) for _ in range(config.n_layer))
         mks = lambda: tuple(
             jnp.zeros(scale_shape, jnp.bfloat16) for _ in range(config.n_layer)
@@ -227,7 +242,7 @@ class CausalSelfAttention(nn.Module):
         layer_cache: Optional[tuple[Array, Array]] = None,
         cache_len: Optional[Array] = None,
         cursor: Optional[Array] = None,
-        spec_mask: Optional[Array] = None,
+        spec_col_pos: Optional[Array] = None,
     ):
         cfg = self.config
         B, T, C = x.shape
@@ -278,32 +293,47 @@ class CausalSelfAttention(nn.Module):
             cv_scale = layer_cache[3] if len(layer_cache) > 2 else None
             S = ck.shape[1]
             per_row = cache_len.ndim == 1  # ring mode: per-slot positions
-            if spec_mask is not None:
+            if spec_col_pos is not None:
                 # speculative mode: T >= 1 inputs per row, ALL rows' new K/V
-                # written as one contiguous [B, T, H, D] slab at the shared
-                # scalar ``cursor``; attendability comes entirely from the
-                # precomputed col_pos mask (see KVCache docstring) so rows
-                # at different logical positions share one slab write.
+                # written as one contiguous slab at the shared scalar
+                # ``cursor``; attendability comes entirely from the logical
+                # positions (query t of row i sits at cache_len[i] + t and
+                # may read column s iff spec_col_pos[i, s] <= that — see
+                # KVCache docstring) so rows at different logical positions
+                # share one slab write. The cache is FLAT [B, S, H*D] with
+                # TRANSPOSED [B, H, S] scales, and every read goes through
+                # the Pallas verify kernel: XLA's T>1 einsum would pin the
+                # cache to an S-minor layout and turn this slab write into
+                # a full-buffer rewrite (ops/spec_attention.py docstring).
                 assert cursor is not None, "spec mode requires a cursor"
+                assert deterministic or cfg.dropout == 0.0, (
+                    "speculative decode is an inference path; attention-prob "
+                    "dropout is not applied here")
+                from ai_music_generation_tpu.ops.spec_attention import (
+                    spec_attention,
+                )
+
                 if ck_scale is not None:
-                    kq, ks = _quantize_int8(k)
+                    kq, ks = _quantize_int8(k)  # [B,T,H,D] int8, [B,T,H]
                     vq, vs = _quantize_int8(v)
-                    ck = jax.lax.dynamic_update_slice(ck, kq, (0, cursor, 0, 0))
-                    cv = jax.lax.dynamic_update_slice(cv, vq, (0, cursor, 0, 0))
+                    ck = jax.lax.dynamic_update_slice(
+                        ck, kq.reshape(B, T, C), (0, cursor, 0))
+                    cv = jax.lax.dynamic_update_slice(
+                        cv, vq.reshape(B, T, C), (0, cursor, 0))
                     ck_scale = jax.lax.dynamic_update_slice(
-                        ck_scale, ks, (0, cursor, 0))
+                        ck_scale, jnp.swapaxes(ks, 1, 2), (0, 0, cursor))
                     cv_scale = jax.lax.dynamic_update_slice(
-                        cv_scale, vs, (0, cursor, 0))
+                        cv_scale, jnp.swapaxes(vs, 1, 2), (0, 0, cursor))
                     new_cache = (ck, cv, ck_scale, cv_scale)
                 else:
                     ck = jax.lax.dynamic_update_slice(
-                        ck, k.astype(ck.dtype), (0, cursor, 0, 0))
+                        ck, k.reshape(B, T, C).astype(ck.dtype), (0, cursor, 0))
                     cv = jax.lax.dynamic_update_slice(
-                        cv, v.astype(cv.dtype), (0, cursor, 0, 0))
+                        cv, v.reshape(B, T, C).astype(cv.dtype), (0, cursor, 0))
                     new_cache = (ck, cv)
-                cache4 = (new_cache if len(new_cache) == 4
-                          else (*new_cache, None, None))
-                y = cached_att(spec_mask, *cache4)
+                y = spec_attention(
+                    q.reshape(B, T, C), ck, cv, ck_scale, cv_scale,
+                    spec_col_pos, cache_len, n_head=H)
                 return self._epilogue(y, deterministic), new_cache
             if per_row:
                 # ring write: ALL rows' new K/V land at buffer column
@@ -458,7 +488,7 @@ class Block(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic=True, layer_cache=None, cache_len=None,
-                 cursor=None, spec_mask=None):
+                 cursor=None, spec_col_pos=None):
         cfg = self.config
         ln = lambda name: nn.LayerNorm(
             use_bias=cfg.bias, dtype=cfg.dtype, param_dtype=cfg.param_dtype,
@@ -466,7 +496,7 @@ class Block(nn.Module):
         )
         attn_out, new_cache = CausalSelfAttention(cfg, self.layer_idx, name="attn")(
             ln("ln_1")(x), deterministic, layer_cache, cache_len, cursor,
-            spec_mask,
+            spec_col_pos,
         )
         x = x + attn_out
         if cfg.n_expert > 0:
@@ -526,20 +556,20 @@ class GPT(nn.Module):
             embedding_init=_init_normal(0.02), name="wpe",
         )
 
-        spec_mask = None
+        spec_col_pos = None
         new_col_pos = None
         if cache is not None and cache.col_pos is not None:
             # speculative mode: length[i] is the logical position of row i's
             # first query token; tentatively mark the T freshly written
             # columns with their positions (the caller invalidates rejected
-            # draft columns afterwards — decode/speculative.py)
+            # draft columns afterwards — decode/speculative.py). Query j of
+            # row i may attend cache column s iff col_pos[i, s] <= length[i]
+            # + j — the attention layer (Pallas kernel on TPU) builds that
+            # mask from (col_pos, length) itself.
             q_pos = cache.length[:, None] + jnp.arange(T)[None, :]  # [B, T]
             new_col_pos = jax.lax.dynamic_update_slice(
                 cache.col_pos, q_pos, (0, cache.cursor))
-            # query j of row i may attend cache column s iff that column's
-            # logical position is <= the query's position
-            spec_mask = (new_col_pos[:, None, None, :]
-                         <= q_pos[:, None, :, None])  # [B, 1, T, S]
+            spec_col_pos = new_col_pos
             x = wte(idx) + wpe(q_pos)
         elif cache is not None and cache.length.ndim == 1:
             # per-row positions (serving): row i's tokens sit at length[i]+t
@@ -582,7 +612,7 @@ class GPT(nn.Module):
             cache_len = None if cache is None else cache.length
             out = block_cls(cfg, i, name=f"h_{i}")(
                 x, deterministic, layer_cache, cache_len,
-                None if cache is None else cache.cursor, spec_mask)
+                None if cache is None else cache.cursor, spec_col_pos)
             if cfg.n_expert > 0:
                 x, lc, layer_aux = out
                 aux_total = aux_total + layer_aux

@@ -1,0 +1,251 @@
+"""Pallas multi-query (speculative verify) attention over a flat KV cache.
+
+Why this kernel exists — the one place XLA's fused decode attention breaks
+down. The plain T=1 decode step lowers its cache attention as VPU
+multiply-reduce fusions, so the per-step ``dynamic_update_slice`` cache
+write fuses in-place and the step runs at the HBM cache-read roofline
+(docs/PERF.md). A speculative verify step carries T = n_draft+1 query
+tokens, which XLA lowers as a real MXU dot — and layout assignment then
+pins the cache operand to an S-minor (position-on-lanes) layout. Every
+per-step slab write becomes a full-buffer tile rewrite: measured 5.6-7.4
+ms/step at [1024, 256, 6, 64] bf16 regardless of einsum output order or
+8-aligned cursors (probed 2026-08-18; einsum-order and alignment variants
+all within noise of each other).
+
+Routing every cache READ through this kernel removes the layout pressure:
+Mosaic custom calls take their operands in the default (row-major tiled)
+layout, so the cache carried through the decode ``while_loop`` keeps the
+same layout the plain decoder enjoys and the slab write fuses in-place
+again.
+
+Contract (all shapes static):
+
+- ``q``        [B, T, H*D] — the T verify queries per row;
+- ``k``,``v``  [B, S, H*D] int8 or dense — the flat spec cache
+  (position-major, heads*head_dim on lanes: H*D is a 128-multiple so every
+  slab write is lane-aligned — see ops/decode_attention.py layout notes);
+- ``k_scale``,``v_scale`` [B, H, S] bf16/fp32 or None — per-(position,
+  head) int8 scales, stored TRANSPOSED relative to the XLA path's
+  [B, S, H] so the kernel can slice a clean [1, S] lane-major row per
+  head; factored onto the scores/probs exactly like the in-model XLA
+  dequant (q.(k_int8*ks) == (q.k_int8)*ks, models/gpt.py cached_att);
+- ``col_pos``  [B, S] int32 — logical position of each cache column
+  (KVCache.INVALID_POS marks dead columns);
+- ``lengths``  [B] int32 — logical position of each row's FIRST query
+  (query t sits at position lengths[b] + t, the invariant the model's
+  spec mode maintains — models/gpt.py GPT.__call__ spec branch);
+- attendability: query t of row b may read column s iff
+  ``col_pos[b, s] <= lengths[b] + t`` — identical to the mask the XLA
+  fallback builds.
+
+Mosaic-compatibility notes (probed on v5e via the axon AOT compiler,
+2026-08-18): 4D vectors and sublane-dim reshapes ([R, T] -> [R, T, 1, 1])
+fail ``infer-vector-layout``, so the kernel never forms a rank>3 value.
+Compute is an unrolled loop over (row, head) in pure 2D — per-head masked
+q ([T, HD] with other heads' lanes zeroed) against the full [S, HD] cache
+block, exactly the block-diagonal trick of decode_attention.py unrolled
+one head at a time (identical MXU FLOPs: both inflate Q/PV dots H-fold),
+[1, S] sublane broadcasts for scales/col_pos, and a scalar-prefetch
+``lengths`` read per row. These are the exact patterns the shipping
+decode_attention_int8 multirow kernel compiles with.
+
+The reference has no speculative decoding at all (its sampler re-runs the
+full forward per token, ref: nanoGPT/model.py:305-330); this kernel is the
+TPU mechanism that makes decode/speculative.py profitable.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _pick_rows(B: int, T: int) -> int:
+    """Rows per program: biggest block that divides B, keeps the
+    auto-pipelined VMEM working set (2 double-buffered cache blocks +
+    fp32 scores) under the ~16 MB budget, and bounds the unrolled
+    per-row loop for sane Mosaic compile times."""
+    cap = 16 if T <= 8 else 8 if T <= 32 else 2
+    r = 1
+    for cand in (2, 4, 8, 16):
+        if cand > cap or B % cand:
+            break
+        r = cand
+    return r
+
+
+def _kernel(R: int, S: int, T: int, H: int, HD: int, quantized: bool):
+    D = HD // H
+    sm_scale = 1.0 / math.sqrt(D)
+    Tp = -(-T // 8) * 8  # pad each head's query block to a sublane tile
+
+    def kernel(q_ref, k_ref, v_ref, ks_ref, vs_ref, cp_ref, o_ref):
+        # h-major block-diagonal rows i = h*Tp + t, all slices tile-aligned.
+        # Row i's query index is t = i % Tp (pad rows t >= T are dropped by
+        # the selector E below; their mask stays finite so no NaN rows).
+        t_full = jax.lax.broadcasted_iota(jnp.int32, (H * Tp, S), 0) % Tp
+        # lane -> head map over one [Tp, HD] q block
+        head_of_lane = jax.lax.broadcasted_iota(jnp.int32, (Tp, HD), 1) // D
+        # block-diagonal lane ownership over the full [H*Tp, HD] stack
+        bd_row_head = jax.lax.broadcasted_iota(
+            jnp.int32, (H * Tp, HD), 0) // Tp
+        bd_lane_head = jax.lax.broadcasted_iota(
+            jnp.int32, (H * Tp, HD), 1) // D
+        bd_mask = bd_row_head == bd_lane_head  # [H*Tp, HD]
+        # E folds the per-head diagonal blocks of PV back to [T, HD] in one
+        # tiny dot: out[t] = sum_i pv[i] where i % Tp == t
+        sel_t = jax.lax.broadcasted_iota(jnp.int32, (T, H * Tp), 0)
+        sel_i = jax.lax.broadcasted_iota(jnp.int32, (T, H * Tp), 1)
+        E = (sel_i % Tp == sel_t).astype(jnp.float32)  # [T, H*Tp]
+
+        for r in range(R):
+            q_r = q_ref[r]  # [T, HD]
+            if Tp != T:
+                q_r = jnp.concatenate(
+                    [q_r, jnp.zeros((Tp - T, HD), q_r.dtype)], axis=0)
+            k_r = k_ref[r].astype(q_r.dtype)  # [S, HD]
+            v_r = v_ref[r].astype(q_r.dtype)
+            # query t attends column s iff cp[s] <= t (cp is col_pos with
+            # the row's first-query position pre-subtracted)
+            valid = cp_ref[r] <= t_full  # [1, S] vs [H*Tp, S]
+            # ONE MXU dot for all heads' scores: h-major block-diagonal q
+            # (block h holds q masked to head h's lanes) — built by sublane
+            # concat, no reshapes
+            qb = jnp.concatenate(
+                [jnp.where(head_of_lane == h, q_r, 0) for h in range(H)],
+                axis=0)  # [H*Tp, HD]
+            scores = jax.lax.dot_general(
+                qb, k_r, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [H*Tp, S]
+            if quantized:
+                # full-height per-head scale stacks: H sublane-broadcasts
+                # of [1, S] rows concatenated — never a sublane gather
+                ks = jnp.concatenate(
+                    [jnp.broadcast_to(ks_ref[r, h:h + 1], (Tp, S))
+                     for h in range(H)], axis=0).astype(jnp.float32)
+                scores = scores * ks
+            scores = jnp.where(valid, scores * sm_scale, -jnp.inf)
+            probs = jax.nn.softmax(scores, axis=-1)  # fp32 [H*Tp, S]
+            if quantized:
+                vs = jnp.concatenate(
+                    [jnp.broadcast_to(vs_ref[r, h:h + 1], (Tp, S))
+                     for h in range(H)], axis=0).astype(jnp.float32)
+                probs = probs * vs
+            pv = jax.lax.dot_general(
+                probs.astype(q_r.dtype), v_r, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [H*Tp, HD]; row h*Tp+t wants only head h's lanes
+            pv = jnp.where(bd_mask, pv, 0.0)
+            out = jax.lax.dot_general(
+                E, pv, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [T, HD]
+            o_ref[r] = out.astype(o_ref.dtype)
+
+    return kernel
+
+
+def spec_attention(q, k, v, k_scale, v_scale, col_pos, lengths,
+                   *, n_head: int, interpret: bool = False,
+                   rows: int | None = None):
+    """Masked multi-query attention over the flat spec KV cache.
+
+    q [B, T, HD]; k/v [B, S, HD] (int8 + [B, H, S] bf16 scales, or dense
+    with scales None); col_pos [B, S] int32; lengths [B] int32 (query t of
+    row b sits at logical position lengths[b] + t).
+    Returns [B, T, HD] in q.dtype. Off-TPU this routes to the pure-XLA
+    reference (op-for-op the math models/gpt.py's einsum decode paths run,
+    so CPU-mesh tests keep bit-exact parity with the plain Generator);
+    ``interpret=True`` forces the Pallas kernel in interpret mode for
+    kernel-correctness tests."""
+    if not interpret and jax.default_backend() != "tpu":
+        return spec_attention_reference(
+            q, k, v, k_scale, v_scale, col_pos, lengths, n_head=n_head)
+    quantized = k_scale is not None
+    if not quantized:
+        # uniform kernel signature: dummy [B, 1, 1] scale operands (never
+        # read — `quantized` is static) keep one code path
+        B = q.shape[0]
+        k_scale = jnp.zeros((B, 1, 1), jnp.float32)
+        v_scale = jnp.zeros((B, 1, 1), jnp.float32)
+    return _spec_attention(q, k, v, k_scale, v_scale, col_pos, lengths,
+                           n_head, quantized, interpret, rows)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_head", "quantized", "interpret", "rows"))
+def _spec_attention(q, k, v, k_scale, v_scale, col_pos, lengths,
+                    n_head, quantized, interpret, rows=None):
+    B, T, HD = q.shape
+    S = k.shape[1]
+    H = n_head
+    R = rows or _pick_rows(B, T)
+    sH, sS = k_scale.shape[1], k_scale.shape[2]
+    # fold each row's first-query position into its column positions: the
+    # kernel's mask becomes cp_rel[s] <= t — no per-row scalar operand, no
+    # 4D broadcast (the INVALID_POS sentinel stays far above any t)
+    cp_rel = (jnp.asarray(col_pos, jnp.int32)
+              - jnp.asarray(lengths, jnp.int32)[:, None])
+
+    grid_spec = pl.GridSpec(
+        grid=(B // R,),
+        in_specs=[
+            pl.BlockSpec((R, T, HD), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, S, HD), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, S, HD), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, sH, sS), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, sH, sS), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            # col_pos carried as [B, 1, S]: the trailing (1, S) block dims
+            # equal the array dims, which keeps the block legal at any R
+            # (a [R<8, S] block violates the (8, 128) divisibility rule)
+            pl.BlockSpec((R, 1, S), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((R, T, HD), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        _kernel(R, S, T, H, HD, quantized),
+        out_shape=jax.ShapeDtypeStruct((B, T, HD), q.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(q, k, v, k_scale, v_scale, cp_rel[:, None, :])
+
+
+def spec_attention_reference(q, k, v, k_scale, v_scale, col_pos, lengths,
+                             *, n_head: int):
+    """Pure-XLA reference. Mirrors models/gpt.py ``cached_att`` op-for-op
+    (same op order and dtypes: dot in q.dtype, scale factors cast to
+    q.dtype, fp32 softmax) so that off-TPU the speculative decode path is
+    bit-identical to the plain Generator's einsum decode — the invariant
+    tests/test_speculative.py::test_greedy_matches_generator pins."""
+    B, T, HD = q.shape
+    S = k.shape[1]
+    H = n_head
+    D = HD // H
+    q4 = q.reshape(B, T, H, D)
+    k4 = k.reshape(B, S, H, D).astype(q.dtype)
+    v4 = v.reshape(B, S, H, D).astype(q.dtype)
+    scale = jnp.asarray(1.0 / jnp.sqrt(D), q.dtype)
+    att = jnp.einsum("bthd,bshd->bhts", q4, k4) * scale
+    if k_scale is not None:
+        att = att * k_scale[:, :, None, :].astype(q.dtype)
+    q_pos = lengths[:, None] + jnp.arange(T)[None, :]  # [B, T]
+    mask = col_pos[:, None, None, :] <= q_pos[:, None, :, None]
+    att = jnp.where(mask, att, jnp.asarray(-jnp.inf, att.dtype))
+    att = jax.nn.softmax(att.astype(jnp.float32), axis=-1).astype(q.dtype)
+    if v_scale is not None:
+        att = att * v_scale[:, :, None, :].astype(q.dtype)
+    out = jnp.einsum("bhts,bshd->bthd", att, v4)
+    return out.reshape(B, T, HD)
