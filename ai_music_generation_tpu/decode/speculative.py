@@ -129,7 +129,12 @@ class SpecGenerator:
         # context re-prefilled at refresh — same window as Generator
         self.window = self.block_size - self.refresh
         assert self.window >= 1
-        assert self.window + n_draft + 1 <= self.block_size, (
+        # the cache cursor is 8-aligned (models/gpt.py KVCache): after a
+        # refresh it sits at ceil(window/8)*8, and each step consumes
+        # ceil((n_draft+1)/8)*8 columns — at least one step must fit
+        cw = -(-self.window // 8) * 8
+        tw = -(-(n_draft + 1) // 8) * 8
+        assert cw + tw <= self.block_size, (
             "refresh window leaves no room for a draft chain; "
             "lower n_draft or raise refresh")
 
@@ -245,14 +250,17 @@ class SpecGenerator:
             # columns valid; keep exactly the first `commits` of them
             # (input0 + accepted drafts short of the commit clamp — the
             # LAST committed token stays uncached per the invariant) and
-            # rewind length to the next step's first-query position
-            patch_j = jnp.arange(T)[None, :]
-            patch = jnp.where(
-                patch_j < commits[:, None],
-                cache.length[:, None] + patch_j,
-                KVCache.INVALID_POS).astype(jnp.int32)
-            col_pos = jax.lax.dynamic_update_slice(
-                new_cache.col_pos, patch, (0, cache.cursor))
+            # rewind length to the next step's first-query position.
+            # Elementwise window-select, not a dynamic-update-slice (a DUS
+            # offset on col_pos's lane dim costs ~0.5 ms/step at batch
+            # 4096 — models/gpt.py KVCache docstring)
+            rel = jnp.arange(S)[None, :] - cache.cursor
+            col_pos = jnp.where(
+                (rel >= 0) & (rel < T),
+                jnp.where(rel < commits[:, None],
+                          cache.length[:, None] + rel,
+                          KVCache.INVALID_POS),
+                new_cache.col_pos)
             cache = dataclasses.replace(
                 new_cache, length=cache.length + commits, col_pos=col_pos)
             return (tokens, lens + commits, cache, ctr + 1)
@@ -283,16 +291,52 @@ class SpecGenerator:
                 cache2, length=nvalid, col_pos=col_pos)
             return (tokens, lens, cache2, ctr)
 
-        def cond(state):
+        # The refresh cadence is STATIC (the cursor advances exactly T per
+        # step from a known start), so the loop nest is refresh-free on the
+        # inside: an outer window loop refreshes once, then an inner
+        # while_loop runs verify steps until the buffer fills. A per-step
+        # ``lax.cond(need, refresh_fn, identity)`` measured 4.5 ms/step at
+        # batch 4096 on v5e — XLA copies the whole carried state (caches
+        # included) through the conditional — and it also broke the
+        # in-place slab-write aliasing of the cache dynamic-update-slices
+        # (0.8 ms full-buffer rewrites each); both vanish with the cond.
+        # the cache cursor stays 8-ALIGNED (writes consume Tw = ceil/8
+        # columns, models/gpt.py KVCache docstring), so the per-window
+        # step budget is counted in Tw-column strides
+        Tw = -(-T // 8) * 8
+
+        def window(state, first):
+            start = (-(-(F - 1) // 8) * 8 if F >= 2 else 0) if first \
+                else (-(-C // 8) * 8)
+            n_steps = (S - start) // Tw  # cursor + Tw <= S throughout
+
+            def inner_cond(st):
+                return (st[3] < st[4]) & jnp.any(st[1] < targets)
+
+            def inner_body(st):
+                tokens, lens, cache, i, stop, ctr = (
+                    st[0], st[1], st[2], st[3], st[4], st[5])
+                tokens, lens, cache, ctr = spec_step(
+                    (tokens, lens, cache, ctr))
+                return (tokens, lens, cache, i + 1, stop, ctr)
+
+            tokens, lens, cache, ctr = state
+            st = jax.lax.while_loop(
+                inner_cond,
+                inner_body,
+                (tokens, lens, cache, jnp.zeros((), jnp.int32),
+                 jnp.asarray(n_steps, jnp.int32), ctr))
+            return (st[0], st[1], st[2], st[5])
+
+        def outer_cond(state):
             return jnp.any(state[1] < targets)
 
-        def body(state):
-            need = state[2].cursor + T > S
-            state = jax.lax.cond(need, refresh_fn, lambda st: st, state)
-            return spec_step(state)
+        def outer_body(state):
+            return window(refresh_fn(state), first=False)
 
         state = (tokens, lens0, cache, jnp.zeros((), jnp.int32))
-        state = jax.lax.while_loop(cond, body, state)
+        state = window(state, first=True)
+        state = jax.lax.while_loop(outer_cond, outer_body, state)
         # n_steps lets callers compute the realized speculation win:
         # mean committed tokens/step = (total - F) / n_steps (vs 1 for the
         # plain Generator); returned alongside so instrumentation is free.
@@ -323,4 +367,14 @@ class SpecGenerator:
         # power-of-two bucket, same rationale as Generator.generate
         prefill_len = 1 << (prefill_len.bit_length() - 1)
         rng = jax.random.PRNGKey(seed)
+        # decode-time params live in the model's compute dtype: the
+        # in-model fp32->bf16 casts otherwise re-run INSIDE the decode
+        # while_loop every step (~4.4 ms/step of layout-converting copies
+        # at batch 4096, traced on v5e); pre-casting makes them no-ops.
+        # Values are bit-identical — the model applies the same cast.
+        dt = self.model.config.dtype
+        params = jax.tree_util.tree_map(
+            lambda x: x.astype(dt)
+            if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else x,
+            params)
         return self._generate(params, prompts, prompt_lens, prefill_len, rng)

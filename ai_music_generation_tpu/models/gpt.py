@@ -159,17 +159,26 @@ class KVCache:
         quantized = config.kv_quantized if quantized is None else quantized
         dtype = jnp.int8 if quantized else (dtype or config.dtype)
         if spec:
-            # spec mode stores the cache FLAT [B, S, H*D] with TRANSPOSED
-            # [B, H, S] scales: every read goes through the Pallas verify
-            # kernel (ops/spec_attention.py), whose operands keep the
-            # default layout — the XLA T>1 einsum would pin an S-minor
-            # layout and turn each slab write into a full-buffer rewrite
-            # (measured; see the kernel docstring)
-            shape = (batch, max_len, config.n_head * config.head_dim)
-            scale_shape = (batch, config.n_head, max_len)
+            # spec mode stores the cache FLAT as [B, S//8, 8, H*D] — the
+            # SAME linear bytes as [B, S, H*D] (both are row-major (8, 128)
+            # tilings with H*D a 128-multiple), so the attention layer's
+            # reshape to flat for the Pallas verify kernel is a free
+            # bitcast. The extra split matters for the WRITE: a
+            # dynamic-update-slice whose offset lands on a TILED dim
+            # (sublanes or lanes) measured 0.4-0.8 ms per layer at batch
+            # 4096 on v5e, while a leading-dim offset is a true in-place
+            # slab write — so the cursor stays 8-aligned (writes pad to
+            # Tw = ceil(T/8)*8 columns; col_pos marks pads dead) and
+            # indexes dim 1. The kernel keeps the cache off XLA's einsum
+            # layout assignment entirely (the T>1 einsum would pin an
+            # S-minor layout and rewrite the full buffer every step).
+            # Scales stay position-major [B, S, H]; their per-step update
+            # is an elementwise where (layout-agnostic), never a DUS.
+            assert max_len % 8 == 0, "spec cache length must be 8-aligned"
+            shape = (batch, max_len // 8, 8, config.n_head * config.head_dim)
         else:
             shape = (batch, max_len, config.n_head, config.head_dim)
-            scale_shape = (batch, max_len, config.n_head)
+        scale_shape = (batch, max_len, config.n_head)
         mk = lambda: tuple(jnp.zeros(shape, dtype) for _ in range(config.n_layer))
         mks = lambda: tuple(
             jnp.zeros(scale_shape, jnp.bfloat16) for _ in range(config.n_layer)
@@ -313,26 +322,55 @@ class CausalSelfAttention(nn.Module):
                     spec_attention,
                 )
 
+                # ck/cv are [B, S//8, 8, H*D] (see KVCache.create): the
+                # fresh slab pads T to the 8-aligned write width Tw (pad
+                # columns stay dead in col_pos) so the DUS offset lands on
+                # the LEADING dim — a true in-place slab write
+                S = ck.shape[1] * 8
+                Tw = -(-T // 8) * 8
+                cursor8 = cursor // 8
+
+                def slab(x):  # [B, T, C] -> [B, Tw//8, 8, C]
+                    if Tw != T:
+                        x = jnp.concatenate(
+                            [x, jnp.zeros((B, Tw - T, C), x.dtype)], axis=1)
+                    return x.reshape(B, Tw // 8, 8, C)
+
                 if ck_scale is not None:
                     kq, ks = _quantize_int8(k)  # [B,T,H,D] int8, [B,T,H]
                     vq, vs = _quantize_int8(v)
                     ck = jax.lax.dynamic_update_slice(
-                        ck, kq.reshape(B, T, C), (0, cursor, 0))
+                        ck, slab(kq.reshape(B, T, C)), (0, cursor8, 0, 0))
                     cv = jax.lax.dynamic_update_slice(
-                        cv, vq.reshape(B, T, C), (0, cursor, 0))
-                    ck_scale = jax.lax.dynamic_update_slice(
-                        ck_scale, jnp.swapaxes(ks, 1, 2), (0, 0, cursor))
-                    cv_scale = jax.lax.dynamic_update_slice(
-                        cv_scale, jnp.swapaxes(vs, 1, 2), (0, 0, cursor))
+                        cv, slab(vq.reshape(B, T, C)), (0, cursor8, 0, 0))
+                    # scale updates are elementwise (a DUS whose offset hits
+                    # a tiled dim costs 0.4-0.8 ms/layer — see KVCache):
+                    # scatter the [B, T, H] fresh scales to their columns
+                    # with a tiny one-hot dot, then select inside the window
+                    sidx = jnp.arange(S)
+                    win = ((sidx >= cursor) & (sidx < cursor + T))[None, :, None]
+                    onehot = (sidx[None, :]
+                              == (cursor + jnp.arange(T))[:, None])  # [T, S]
+                    ks_full = jnp.einsum(
+                        "bth,ts->bsh", ks, onehot.astype(ks.dtype))
+                    vs_full = jnp.einsum(
+                        "bth,ts->bsh", vs, onehot.astype(vs.dtype))
+                    ck_scale = jnp.where(win, ks_full, ck_scale)
+                    cv_scale = jnp.where(win, vs_full, cv_scale)
                     new_cache = (ck, cv, ck_scale, cv_scale)
                 else:
                     ck = jax.lax.dynamic_update_slice(
-                        ck, k.reshape(B, T, C).astype(ck.dtype), (0, cursor, 0))
+                        ck, slab(k.reshape(B, T, C)).astype(ck.dtype),
+                        (0, cursor8, 0, 0))
                     cv = jax.lax.dynamic_update_slice(
-                        cv, v.reshape(B, T, C).astype(cv.dtype), (0, cursor, 0))
+                        cv, slab(v.reshape(B, T, C)).astype(cv.dtype),
+                        (0, cursor8, 0, 0))
                     new_cache = (ck, cv)
                 y = spec_attention(
-                    q.reshape(B, T, C), ck, cv, ck_scale, cv_scale,
+                    q.reshape(B, T, C),
+                    ck.reshape(B, S, C), cv.reshape(B, S, C),
+                    None if ck_scale is None else jnp.swapaxes(ck_scale, 1, 2),
+                    None if cv_scale is None else jnp.swapaxes(cv_scale, 1, 2),
                     spec_col_pos, cache_len, n_head=H)
                 return self._epilogue(y, deterministic), new_cache
             if per_row:
@@ -567,8 +605,13 @@ class GPT(nn.Module):
             # + j — the attention layer (Pallas kernel on TPU) builds that
             # mask from (col_pos, length) itself.
             q_pos = cache.length[:, None] + jnp.arange(T)[None, :]  # [B, T]
-            new_col_pos = jax.lax.dynamic_update_slice(
-                cache.col_pos, q_pos, (0, cache.cursor))
+            # elementwise window-select, NOT a dynamic-update-slice: the
+            # DUS offset would land on col_pos's lane dim (a measured
+            # 0.5 ms whole-buffer shift per step at batch 4096)
+            rel = jnp.arange(cache.col_pos.shape[1])[None, :] - cache.cursor
+            new_col_pos = jnp.where(
+                (rel >= 0) & (rel < T),
+                cache.length[:, None] + rel, cache.col_pos)
             spec_col_pos = new_col_pos
             x = wte(idx) + wpe(q_pos)
         elif cache is not None and cache.length.ndim == 1:
@@ -634,9 +677,11 @@ class GPT(nn.Module):
         if cache is not None:
             if cache.col_pos is not None:
                 # spec mode: cursor advances WITHOUT wrapping (the caller
-                # re-prefills before overflow); length advances as if every
-                # token were accepted — the caller rewinds it per row
-                new_cursor = cache.cursor + T
+                # re-prefills before overflow) and stays 8-aligned — the
+                # write consumed Tw = ceil(T/8)*8 columns (pads are dead);
+                # length advances as if every token were accepted — the
+                # caller rewinds it per row
+                new_cursor = cache.cursor + (-(-T // 8) * 8)
             elif cache.cursor is not None:
                 new_cursor = jnp.mod(cache.cursor + T, new_k[0].shape[1])
             else:

@@ -120,18 +120,24 @@ def test_model_spec_path_uses_flat_cache(quantized):
 
     cache = KVCache.create(cfg, B, max_len=cfg.block_size, spec=True)
     HD = cfg.n_head * cfg.head_dim
-    assert cache.k[0].shape == (B, cfg.block_size, HD)
+    # [B, S//8, 8, H*D]: bit-identical to flat [B, S, H*D], but the write
+    # offset lands on a LEADING dim (in-place slab write on TPU)
+    assert cache.k[0].shape == (B, cfg.block_size // 8, 8, HD)
     if quantized:
-        assert cache.k_scale[0].shape == (B, cfg.n_head, cfg.block_size)
+        # scales stay position-major; updated via elementwise where
+        assert cache.k_scale[0].shape == (B, cfg.block_size, cfg.n_head)
 
     logits, _, new_cache = model.apply(
         params, idx, cache=cache, return_all_logits=True)
-    assert new_cache.k[0].shape == (B, cfg.block_size, HD)
-    assert int(new_cache.cursor) == T
-    # fresh columns tentatively marked with their logical positions
+    assert new_cache.k[0].shape == (B, cfg.block_size // 8, 8, HD)
+    # cursor advances by the 8-aligned write width, not T
+    assert int(new_cache.cursor) == -(-T // 8) * 8
+    # fresh columns tentatively marked with their logical positions;
+    # alignment-pad columns stay dead
     np.testing.assert_array_equal(
         np.asarray(new_cache.col_pos[:, :T]),
         np.tile(np.arange(T), (B, 1)))
+    assert int(new_cache.col_pos[0, T]) == KVCache.INVALID_POS
 
     if not quantized:
         # spec-path logits == plain full-forward logits (exact math off-TPU)
