@@ -50,8 +50,17 @@ one head at a time (identical MXU FLOPs: both inflate Q/PV dots H-fold),
 decode_attention_int8 multirow kernel compiles with.
 
 The reference has no speculative decoding at all (its sampler re-runs the
-full forward per token, ref: nanoGPT/model.py:305-330); this kernel is the
-TPU mechanism that makes decode/speculative.py profitable.
+full forward per token, ref: nanoGPT/model.py:305-330). VERDICT (measured
+2026-08-18, docs/PERF.md "Speculative decoding"): 2.0 ms/call device-side
+at [4096, T<=8, 256, 384] int8 — 2x its ~1.0 ms DMA floor (the
+block-diagonal trick pays H-fold MXU inflation plus the int8->bf16 cast);
+end-to-end the verify step is 34.9 ms vs the plain decoder's 8.955, so at
+the bandwidth-bound bench batch speculation currently delivers 0.46x plain
+throughput despite 1.8-2.2 committed tokens/step. The mapped next levers:
+int8xint8 MXU dots (kills the casts, halves MXU time), reduce-window
+quantize on the XLA side, glue diet. The kernel already beats every XLA
+alternative for this read (the einsum path rewrote the cache per step and
+crashed the worker at batch 4096).
 """
 
 from __future__ import annotations

@@ -119,9 +119,10 @@ model = GPT(dataclasses.replace(t.model.config, kv_quantized=SPEC_INT8))
 # bench protocol: batch 4096, 500 new tokens, T=0.8, top_k 200 (> vocab:
 # full softmax, same as bench.py), prompts = val-corpus slices
 val = np.memmap(os.path.join(ds, "val.bin"), dtype=np.uint16, mode="r")
-# SPEC_BATCH: the spec program at batch 4096 crashes the axon TPU worker
-# (reproducibly, 2026-08-18; plain decode at 4096 is fine) — measure at the
-# largest batch the worker survives and report it as such.
+# SPEC_BATCH: with the old 4D spec cache the verify program crashed the
+# axon TPU worker at batch 4096; the flat cache + Pallas verify kernel
+# (ops/spec_attention.py) runs the full bench batch. Measured ladder and
+# verdict: docs/PERF.md "Speculative decoding".
 BATCH = int(os.environ.get("SPEC_BATCH", "4096"))
 PROMPT, NEW = 8, int(os.environ.get("SPEC_NEW", "500"))
 RUN_PLAIN = os.environ.get("SPEC_RUN_PLAIN", "1") == "1"
