@@ -4,6 +4,8 @@ Parity surface:
 - flags: out_dir, init_from, start (incl. ``FILE:`` prefix), num_samples,
   max_new_tokens, temperature, top_k, seed, use_validation_prefixes, dataset,
   tokens_format (char|midi), validation_path, n_conditional_measures
+  (+ framework extensions beyond the reference: ``top_p`` nucleus sampling,
+  ``speculative``/``n_draft``, ``kv_quantized``, ``batch_size``)
 - meta.pkl encode/decode: char join vs whitespace join (ref :76-100)
 - prompt modes (ref :103-142):
   * fixed ``start`` prompt × num_samples
@@ -52,6 +54,7 @@ DEFAULTS = dict(
     max_new_tokens=500,
     temperature=0.8,
     top_k=200,
+    top_p=1.0,  # nucleus sampling; 1.0 = off (framework extension, no ref analogue)
     seed=1337,
     data_root="data",
     batch_size=64,  # TPU-native: batched decode width
@@ -210,6 +213,7 @@ def run_sampling(c: dict, write: bool = True) -> list[tuple[object, str]]:
             temperature=c["temperature"],
             top_k=c["top_k"],
             n_draft=c["n_draft"],
+            top_p=None if c["top_p"] >= 1.0 else c["top_p"],
         )
     else:
         gen = Generator(
@@ -217,6 +221,7 @@ def run_sampling(c: dict, write: bool = True) -> list[tuple[object, str]]:
             max_new_tokens=c["max_new_tokens"],
             temperature=c["temperature"],
             top_k=c["top_k"],
+            top_p=None if c["top_p"] >= 1.0 else c["top_p"],
         )
 
     out_dir = os.path.join(c["out_dir"], "samples")

@@ -39,13 +39,30 @@ from ai_music_generation_tpu.models.gpt import GPT, KVCache
 Array = jax.Array
 
 
+def apply_top_p(logits: Array, top_p: float) -> Array:
+    """Nucleus truncation: keep the smallest token set whose probability
+    mass reaches ``top_p`` (ties at the threshold all kept), mask the rest
+    to -inf. No reference analogue (nanoGPT samples temperature/top-k
+    only, ref: nanoGPT/model.py:318-327); order of transforms matches the
+    de-facto standard: temperature -> top-k -> top-p. Works on [..., V]."""
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    sorted_p = jnp.flip(jnp.sort(probs, axis=-1), axis=-1)
+    csum = jnp.cumsum(sorted_p, axis=-1)
+    # keep tokens 0..k where k is the first index with cumsum >= top_p
+    k = jnp.sum(csum < top_p, axis=-1, keepdims=True)
+    thr = jnp.take_along_axis(sorted_p, k, axis=-1)
+    return jnp.where(probs < thr, -jnp.inf, logits)
+
+
 def sample_logits(
     logits: Array,  # [B, V] float
     rng: Array,
     temperature: float = 1.0,
     top_k: Optional[int] = None,
+    top_p: Optional[float] = None,
 ) -> Array:
-    """Temperature + top-k categorical sampling (ref: nanoGPT/model.py:318-327)."""
+    """Temperature + top-k (+ optional nucleus/top-p) categorical sampling
+    (ref: nanoGPT/model.py:318-327; top-p is a framework extension)."""
     logits = logits.astype(jnp.float32)
     if temperature == 0.0:  # greedy
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
@@ -53,6 +70,8 @@ def sample_logits(
     if top_k is not None and top_k < logits.shape[-1]:
         kth = jax.lax.top_k(logits, top_k)[0][..., -1:]  # [B, 1]
         logits = jnp.where(logits < kth, -jnp.inf, logits)
+    if top_p is not None and top_p < 1.0:
+        logits = apply_top_p(logits, top_p)
     return jax.random.categorical(rng, logits, axis=-1).astype(jnp.int32)
 
 
@@ -70,12 +89,14 @@ class Generator:
         temperature: float = 0.8,
         top_k: Optional[int] = 200,
         refresh: Optional[int] = None,
+        top_p: Optional[float] = None,
     ):
         self.model = model
         self.block_size = model.config.block_size
         self.max_new_tokens = max_new_tokens
         self.temperature = temperature
         self.top_k = top_k
+        self.top_p = top_p
         # refresh budget for windowed decode beyond block_size
         self.refresh = refresh or max(1, self.block_size // 2)
 
@@ -85,7 +106,7 @@ class Generator:
     # whole decode program per invocation before this — docs/PERF.md.)
     def _jit_key(self):
         return (self.model, self.max_new_tokens, self.temperature,
-                self.top_k, self.refresh)
+                self.top_k, self.refresh, self.top_p)
 
     def __eq__(self, other):
         return (type(other) is Generator and
@@ -111,7 +132,8 @@ class Generator:
             cache, last_logits, tokens = carry
             step_rng = jax.random.fold_in(rng, t)
             sampled = sample_logits(
-                last_logits[:, -1, :], step_rng, self.temperature, self.top_k
+                last_logits[:, -1, :], step_rng, self.temperature,
+                self.top_k, self.top_p,
             )
             cur = jax.lax.dynamic_slice(tokens, (0, t), (B, 1))[:, 0]
             next_tok = jnp.where(t < prompt_lens, cur, sampled)

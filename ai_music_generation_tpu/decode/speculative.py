@@ -117,6 +117,7 @@ class SpecGenerator:
         top_k: Optional[int] = 200,
         n_draft: int = 4,
         refresh: Optional[int] = None,
+        top_p: Optional[float] = None,
     ):
         assert n_draft >= 1
         self.model = model
@@ -124,6 +125,7 @@ class SpecGenerator:
         self.max_new_tokens = max_new_tokens
         self.temperature = temperature
         self.top_k = top_k
+        self.top_p = top_p
         self.n_draft = n_draft
         self.refresh = refresh or max(1, self.block_size // 2)
         # context re-prefilled at refresh — same window as Generator
@@ -141,7 +143,7 @@ class SpecGenerator:
     # value-keyed jit cache (see decode/generate.py Generator._jit_key)
     def _jit_key(self):
         return (self.model, self.max_new_tokens, self.temperature,
-                self.top_k, self.n_draft, self.refresh)
+                self.top_k, self.n_draft, self.refresh, self.top_p)
 
     def __eq__(self, other):
         return (type(other) is SpecGenerator and
@@ -199,6 +201,14 @@ class SpecGenerator:
                 if self.top_k is not None and self.top_k < V:
                     kth = jax.lax.top_k(lg, self.top_k)[0][..., -1:]
                     lg = jnp.where(lg < kth, -jnp.inf, lg)
+                if self.top_p is not None and self.top_p < 1.0:
+                    # the SAME nucleus transform sample_logits applies —
+                    # exactness needs p_draft and the residual to come from
+                    # the transformed distribution
+                    from ai_music_generation_tpu.decode.generate import (
+                        apply_top_p,
+                    )
+                    lg = apply_top_p(lg, self.top_p)
                 probs = jax.nn.softmax(lg, axis=-1)  # [B, T, V]
                 # p_{j-1}(d_j): the model's probability of draft j under the
                 # SAME temp/top-k transform sample_logits applies

@@ -33,6 +33,49 @@ def test_sample_logits_greedy_and_topk():
     assert seen <= {1, 3}
 
 
+def test_sample_logits_top_p():
+    from ai_music_generation_tpu.decode.generate import apply_top_p
+
+    # probs ~ [0.643, 0.237, 0.087, 0.032] for logits [3, 2, 1, 0]
+    logits = jnp.array([[3.0, 2.0, 1.0, 0.0]])
+    # top_p=0.7: {0} covers 0.643 < 0.7 -> keep {0, 1}
+    masked = np.asarray(apply_top_p(logits, 0.7))[0]
+    assert np.isfinite(masked[[0, 1]]).all() and np.isinf(masked[[2, 3]]).all()
+    # top_p=0.5: the top token alone already covers it
+    masked = np.asarray(apply_top_p(logits, 0.5))[0]
+    assert np.isfinite(masked[0]) and np.isinf(masked[1:]).all()
+    # top_p=1.0 keeps everything (and sample_logits treats it as off)
+    assert np.isfinite(np.asarray(apply_top_p(logits, 1.0))).all()
+    seen = {int(sample_logits(logits, jax.random.PRNGKey(s), 1.0, None, 0.7)[0])
+            for s in range(40)}
+    assert seen <= {0, 1} and len(seen) == 2
+    # empirical marginal matches the renormalized nucleus distribution
+    B = 4000
+    toks = np.asarray(sample_logits(
+        jnp.broadcast_to(logits, (B, 4)), jax.random.PRNGKey(9), 1.0, None, 0.7))
+    p0 = (toks == 0).mean()
+    assert abs(p0 - 0.643 / (0.643 + 0.237)) < 0.04
+
+
+def test_generate_top_p_restricts_support(model_and_params):
+    """Nucleus decoding only emits tokens the unrestricted run could emit,
+    stays deterministic, and a tight nucleus equals greedy."""
+    model, params = model_and_params
+    prompts = jnp.array([[1, 2, 3, 4]], dtype=jnp.int32)
+    gen_p = Generator(model, max_new_tokens=12, temperature=1.0, top_k=None,
+                      top_p=0.9)
+    out1 = np.asarray(gen_p.generate(params, prompts, seed=3))
+    out2 = np.asarray(gen_p.generate(params, prompts, seed=3))
+    np.testing.assert_array_equal(out1, out2)
+    # top_p -> 0 keeps only the argmax: equals greedy decoding exactly
+    gen_tiny = Generator(model, max_new_tokens=12, temperature=1.0,
+                         top_k=None, top_p=1e-9)
+    greedy = Generator(model, max_new_tokens=12, temperature=0.0, top_k=None)
+    np.testing.assert_array_equal(
+        np.asarray(gen_tiny.generate(params, prompts, seed=5)),
+        np.asarray(greedy.generate(params, prompts, seed=5)))
+
+
 def test_generate_deterministic(model_and_params):
     model, params = model_and_params
     gen = Generator(model, max_new_tokens=10, temperature=0.8, top_k=20)

@@ -112,6 +112,37 @@ def test_one_step_marginal_is_exact(tiny):
     assert set(np.nonzero(emp)[0]) <= set(np.nonzero(p_exact > 0)[0])
 
 
+def test_one_step_marginal_is_exact_with_top_p(tiny):
+    """Rejection-sampling exactness must survive the nucleus transform:
+    the committed token's marginal equals the temperature+top-p
+    distribution sample_logits draws from."""
+    model, params = tiny
+    cfg = model.config
+    B, P = 4096, 6
+    prompt = jax.random.randint(jax.random.PRNGKey(4), (1, P), 0,
+                                cfg.vocab_size)
+    prompts = jnp.broadcast_to(prompt, (B, P))
+    temperature, top_p = 1.0, 0.8
+
+    logits, _, _ = model.apply(params, prompt)
+    lg = np.asarray(logits[0, -1], np.float64) / temperature
+    p = np.exp(lg - lg.max()); p /= p.sum()
+    order = np.argsort(-p)
+    keep_n = int(np.sum(np.cumsum(p[order]) < top_p)) + 1
+    kept = order[:keep_n]
+    p_exact = np.zeros_like(p)
+    p_exact[kept] = p[kept] / p[kept].sum()
+
+    sg = SpecGenerator(model, max_new_tokens=1, temperature=temperature,
+                       top_k=None, top_p=top_p, n_draft=3)
+    out = np.asarray(sg.generate(params, prompts, seed=21))
+    tok = out[:, P]
+    emp = np.bincount(tok, minlength=cfg.vocab_size) / B
+    tv = 0.5 * np.abs(emp - p_exact).sum()
+    assert tv < 0.06, (tv, emp, p_exact)
+    assert set(np.nonzero(emp)[0]) <= set(kept)
+
+
 def test_windowed_refresh_determinism_and_prompt_preservation(tiny):
     """Generation far past block_size: multiple refreshes, ragged prompts.
     Same seed reproduces bytes; prompts come through untouched."""
