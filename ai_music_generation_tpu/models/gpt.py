@@ -48,6 +48,11 @@ class GPTConfig:
     param_dtype: Any = jnp.float32
     attn_impl: str = "xla"  # "xla" | "pallas" | "flash"
     kv_quantized: bool = False  # int8 KV cache (halves decode HBM traffic)
+    spec_int8_dots: bool = False  # speculative verify kernel: int8 x int8
+    # MXU dots against the uncast int8 cache (q and the scaled probs are
+    # re-quantized per row inside the kernel — ~1/127 extra rounding on the
+    # verify logits; ops/spec_attention.py). Only meaningful with
+    # kv_quantized on the speculative decode path.
     remat: bool = False  # rematerialize each Block in the backward pass:
     # ~+1/3 FLOPs for O(layers) less saved-activation HBM — the standard
     # jax.checkpoint trade for models that don't fit 16 GB at full batch
@@ -172,13 +177,21 @@ class KVCache:
             # indexes dim 1. The kernel keeps the cache off XLA's einsum
             # layout assignment entirely (the T>1 einsum would pin an
             # S-minor layout and rewrite the full buffer every step).
-            # Scales stay position-major [B, S, H]; their per-step update
-            # is an elementwise where (layout-agnostic), never a DUS.
+            # Scales are stored TRANSPOSED [B, H, S] — the layout the verify
+            # kernel consumes directly. Position-major [B, S, H] puts H=6 on
+            # the LANE dim, which the TPU pads to 128: ~21x physical
+            # inflation (268 MB per buffer at batch 4096), and the per-step
+            # elementwise update then rewrites those padded bytes for all
+            # four buffers per layer (~8 ms/step at batch 4096, traced —
+            # the dominant cost of the old spec step). [B, H, S] puts S=256
+            # on lanes: 16.8 MB per buffer, and no per-step swapaxes before
+            # the kernel call. Update stays an elementwise where, never a DUS.
             assert max_len % 8 == 0, "spec cache length must be 8-aligned"
             shape = (batch, max_len // 8, 8, config.n_head * config.head_dim)
+            scale_shape = (batch, config.n_head, max_len)
         else:
             shape = (batch, max_len, config.n_head, config.head_dim)
-        scale_shape = (batch, max_len, config.n_head)
+            scale_shape = (batch, max_len, config.n_head)
         mk = lambda: tuple(jnp.zeros(shape, dtype) for _ in range(config.n_layer))
         mks = lambda: tuple(
             jnp.zeros(scale_shape, jnp.bfloat16) for _ in range(config.n_layer)
@@ -354,48 +367,56 @@ class CausalSelfAttention(nn.Module):
                 Tw = -(-T // 8) * 8
                 cursor8 = cursor // 8
 
-                def slab(x):  # [B, T, C] -> [B, Tw//8, 8, C]
-                    if Tw != T:
-                        x = jnp.concatenate(
-                            [x, jnp.zeros((B, Tw - T, C), x.dtype)], axis=1)
+                def pad_w(x):  # [B, T, C] -> [B, Tw, C], 8-aligned sublanes
+                    if Tw == T:
+                        return x
+                    return jnp.concatenate(
+                        [x, jnp.zeros((B, Tw - T, C), x.dtype)], axis=1)
+
+                def slab(x):  # [B, Tw, C] -> [B, Tw//8, 8, C]
                     return x.reshape(B, Tw // 8, 8, C)
 
                 if ck_scale is not None:
-                    kq, ks = _quantize_int8_flat(k.reshape(B, T, C), H)
-                    vq, vs = _quantize_int8_flat(v.reshape(B, T, C), H)
+                    # quantize the ALREADY-padded slab: every sublane dim in
+                    # the quantize fusion is 8-aligned (a T=5 slab forces
+                    # per-op tile relayouts), and pad columns quantize to
+                    # harmless near-zero scales on dead (col_pos) columns
+                    kq, ks = _quantize_int8_flat(pad_w(k.reshape(B, T, C)), H)
+                    vq, vs = _quantize_int8_flat(pad_w(v.reshape(B, T, C)), H)
                     ck = jax.lax.dynamic_update_slice(
                         ck, slab(kq), (0, cursor8, 0, 0))
                     cv = jax.lax.dynamic_update_slice(
                         cv, slab(vq), (0, cursor8, 0, 0))
                     # scale updates are elementwise (a DUS whose offset hits
                     # a tiled dim costs 0.4-0.8 ms/layer — see KVCache):
-                    # scatter the [B, T, H] fresh scales to their columns
-                    # with a tiny one-hot dot, then select inside the window
+                    # scatter the fresh [B, Tw, H] scales to their columns of
+                    # the [B, H, S] buffers with a tiny one-hot dot, then
+                    # select inside the window
                     sidx = jnp.arange(S)
-                    win = ((sidx >= cursor) & (sidx < cursor + T))[None, :, None]
+                    win = ((sidx >= cursor) & (sidx < cursor + Tw))[None, None, :]
                     onehot = (sidx[None, :]
-                              == (cursor + jnp.arange(T))[:, None])  # [T, S]
+                              == (cursor + jnp.arange(Tw))[:, None])  # [Tw, S]
                     ks_full = jnp.einsum(
-                        "bth,ts->bsh", ks, onehot.astype(ks.dtype))
+                        "bth,ts->bhs", ks, onehot.astype(ks.dtype))
                     vs_full = jnp.einsum(
-                        "bth,ts->bsh", vs, onehot.astype(vs.dtype))
+                        "bth,ts->bhs", vs, onehot.astype(vs.dtype))
                     ck_scale = jnp.where(win, ks_full, ck_scale)
                     cv_scale = jnp.where(win, vs_full, cv_scale)
                     new_cache = (ck, cv, ck_scale, cv_scale)
                 else:
                     ck = jax.lax.dynamic_update_slice(
-                        ck, slab(k.reshape(B, T, C)).astype(ck.dtype),
+                        ck, slab(pad_w(k.reshape(B, T, C))).astype(ck.dtype),
                         (0, cursor8, 0, 0))
                     cv = jax.lax.dynamic_update_slice(
-                        cv, slab(v.reshape(B, T, C)).astype(cv.dtype),
+                        cv, slab(pad_w(v.reshape(B, T, C))).astype(cv.dtype),
                         (0, cursor8, 0, 0))
                     new_cache = (ck, cv)
                 y = spec_attention(
                     q.reshape(B, T, C),
                     ck.reshape(B, S, C), cv.reshape(B, S, C),
-                    None if ck_scale is None else jnp.swapaxes(ck_scale, 1, 2),
-                    None if cv_scale is None else jnp.swapaxes(cv_scale, 1, 2),
-                    spec_col_pos, cache_len, n_head=H)
+                    ck_scale, cv_scale,
+                    spec_col_pos, cache_len, n_head=H,
+                    int8_dots=cfg.spec_int8_dots and ck_scale is not None)
                 return self._epilogue(y, deterministic), new_cache
             if per_row:
                 # ring write: ALL rows' new K/V land at buffer column

@@ -88,7 +88,8 @@ def _pick_rows(B: int, T: int) -> int:
     return r
 
 
-def _kernel(R: int, S: int, T: int, H: int, HD: int, quantized: bool):
+def _kernel(R: int, S: int, T: int, H: int, HD: int, quantized: bool,
+            int8_dots: bool = False):
     D = HD // H
     sm_scale = 1.0 / math.sqrt(D)
     Tp = -(-T // 8) * 8  # pad each head's query block to a sublane tile
@@ -117,8 +118,6 @@ def _kernel(R: int, S: int, T: int, H: int, HD: int, quantized: bool):
             if Tp != T:
                 q_r = jnp.concatenate(
                     [q_r, jnp.zeros((Tp - T, HD), q_r.dtype)], axis=0)
-            k_r = k_ref[r].astype(q_r.dtype)  # [S, HD]
-            v_r = v_ref[r].astype(q_r.dtype)
             # query t attends column s iff cp[s] <= t (cp is col_pos with
             # the row's first-query position pre-subtracted)
             valid = cp_ref[r] <= t_full  # [1, S] vs [H*Tp, S]
@@ -128,10 +127,29 @@ def _kernel(R: int, S: int, T: int, H: int, HD: int, quantized: bool):
             qb = jnp.concatenate(
                 [jnp.where(head_of_lane == h, q_r, 0) for h in range(H)],
                 axis=0)  # [H*Tp, HD]
-            scores = jax.lax.dot_general(
-                qb, k_r, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # [H*Tp, S]
+            if int8_dots:
+                # int8 x int8 MXU path: the cache operands feed the dots
+                # UNCAST (the [S, HD] int8->bf16 casts are the kernel's
+                # main VPU cost) and the MXU runs at its 2x int8 rate.
+                # q is symmetrically quantized per block-diagonal row
+                # (= per (head, query)); the row scale factors out of the
+                # dot exactly: q.(k8*ks) == (q8.k8)*qs*ks + rounding.
+                qbf = qb.astype(jnp.float32)
+                qs = jnp.maximum(
+                    jnp.max(jnp.abs(qbf), axis=1, keepdims=True), 1e-20
+                ) / 127.0  # [H*Tp, 1]
+                q8 = jnp.clip(
+                    jnp.round(qbf / qs), -127, 127).astype(jnp.int8)
+                scores = jax.lax.dot_general(
+                    q8, k_ref[r], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                ).astype(jnp.float32) * qs  # [H*Tp, S]
+            else:
+                k_r = k_ref[r].astype(q_r.dtype)  # [S, HD]
+                scores = jax.lax.dot_general(
+                    qb, k_r, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [H*Tp, S]
             if quantized:
                 # full-height per-head scale stacks: H sublane-broadcasts
                 # of [1, S] rows concatenated — never a sublane gather
@@ -146,10 +164,24 @@ def _kernel(R: int, S: int, T: int, H: int, HD: int, quantized: bool):
                     [jnp.broadcast_to(vs_ref[r, h:h + 1], (Tp, S))
                      for h in range(H)], axis=0).astype(jnp.float32)
                 probs = probs * vs
-            pv = jax.lax.dot_general(
-                probs.astype(q_r.dtype), v_r, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # [H*Tp, HD]; row h*Tp+t wants only head h's lanes
+            if int8_dots:
+                # probs carry the per-column v scales already; quantize the
+                # scaled probs per row (non-negative, so [0, 127]) and dot
+                # int8 x int8 against the uncast v cache
+                ps = jnp.maximum(
+                    jnp.max(probs, axis=1, keepdims=True), 1e-20) / 127.0
+                p8 = jnp.clip(
+                    jnp.round(probs / ps), 0, 127).astype(jnp.int8)
+                pv = jax.lax.dot_general(
+                    p8, v_ref[r], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                ).astype(jnp.float32) * ps  # [H*Tp, HD]
+            else:
+                v_r = v_ref[r].astype(q_r.dtype)
+                pv = jax.lax.dot_general(
+                    probs.astype(q_r.dtype), v_r, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [H*Tp, HD]; row h*Tp+t wants only head h's lanes
             pv = jnp.where(bd_mask, pv, 0.0)
             out = jax.lax.dot_general(
                 E, pv, (((1,), (0,)), ((), ())),
@@ -162,7 +194,7 @@ def _kernel(R: int, S: int, T: int, H: int, HD: int, quantized: bool):
 
 def spec_attention(q, k, v, k_scale, v_scale, col_pos, lengths,
                    *, n_head: int, interpret: bool = False,
-                   rows: int | None = None):
+                   rows: int | None = None, int8_dots: bool = False):
     """Masked multi-query attention over the flat spec KV cache.
 
     q [B, T, HD]; k/v [B, S, HD] (int8 + [B, H, S] bf16 scales, or dense
@@ -177,6 +209,8 @@ def spec_attention(q, k, v, k_scale, v_scale, col_pos, lengths,
         return spec_attention_reference(
             q, k, v, k_scale, v_scale, col_pos, lengths, n_head=n_head)
     quantized = k_scale is not None
+    assert quantized or not int8_dots, (
+        "int8_dots needs the int8 cache (quantized mode)")
     if not quantized:
         # uniform kernel signature: dummy [B, 1, 1] scale operands (never
         # read — `quantized` is static) keep one code path
@@ -184,13 +218,15 @@ def spec_attention(q, k, v, k_scale, v_scale, col_pos, lengths,
         k_scale = jnp.zeros((B, 1, 1), jnp.float32)
         v_scale = jnp.zeros((B, 1, 1), jnp.float32)
     return _spec_attention(q, k, v, k_scale, v_scale, col_pos, lengths,
-                           n_head, quantized, interpret, rows)
+                           n_head, quantized, interpret, rows, int8_dots)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_head", "quantized", "interpret", "rows"))
+    jax.jit,
+    static_argnames=("n_head", "quantized", "interpret", "rows", "int8_dots"))
 def _spec_attention(q, k, v, k_scale, v_scale, col_pos, lengths,
-                    n_head, quantized, interpret, rows=None):
+                    n_head, quantized, interpret, rows=None,
+                    int8_dots=False):
     B, T, HD = q.shape
     S = k.shape[1]
     H = n_head
@@ -225,7 +261,7 @@ def _spec_attention(q, k, v, k_scale, v_scale, col_pos, lengths,
                                memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
-        _kernel(R, S, T, H, HD, quantized),
+        _kernel(R, S, T, H, HD, quantized, int8_dots),
         out_shape=jax.ShapeDtypeStruct((B, T, HD), q.dtype),
         grid_spec=grid_spec,
         interpret=interpret,

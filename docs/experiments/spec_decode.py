@@ -114,7 +114,9 @@ from ai_music_generation_tpu.decode.speculative import SpecGenerator
 from ai_music_generation_tpu.models.gpt import GPT
 
 SPEC_INT8 = os.environ.get("SPEC_INT8", "1") == "1"
-model = GPT(dataclasses.replace(t.model.config, kv_quantized=SPEC_INT8))
+SPEC_INT8_DOTS = os.environ.get("SPEC_INT8_DOTS", "0") == "1"
+model = GPT(dataclasses.replace(t.model.config, kv_quantized=SPEC_INT8,
+                                spec_int8_dots=SPEC_INT8 and SPEC_INT8_DOTS))
 
 # bench protocol: batch 4096, 500 new tokens, T=0.8, top_k 200 (> vocab:
 # full softmax, same as bench.py), prompts = val-corpus slices

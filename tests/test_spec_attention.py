@@ -71,6 +71,38 @@ def test_kernel_matches_reference(quantized, T):
     )
 
 
+@pytest.mark.parametrize("T", [1, 5, 8])
+def test_kernel_int8_dots_matches_reference(T):
+    """int8 x int8 MXU mode: q and the scaled probs are symmetrically
+    re-quantized inside the kernel, so the output carries ~1/127 relative
+    rounding on top of the cache quantization — bounded here against the
+    bf16-dot reference."""
+    args = make_inputs(T=T, quantized=True, seed=20 + T)
+    out = spec_attention(*args, n_head=2, interpret=True, int8_dots=True)
+    ref = spec_attention_reference(*args, n_head=2)
+    assert not np.isnan(np.asarray(out, np.float32)).any()
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        atol=6e-2, rtol=6e-2,
+    )
+
+
+def test_kernel_int8_dots_ignores_dead_columns():
+    q, k, v, ks, vs, col_pos, lengths = make_inputs(T=4, quantized=True,
+                                                    seed=31)
+    dead = np.asarray(col_pos) == INVALID
+    k = jnp.where(jnp.asarray(dead)[:, :, None], jnp.int8(127), k)
+    ks = jnp.where(jnp.asarray(dead)[:, None, :], jnp.bfloat16(1e4), ks)
+    vs = jnp.where(jnp.asarray(dead)[:, None, :], jnp.bfloat16(1e4), vs)
+    out = spec_attention(q, k, v, ks, vs, col_pos, lengths,
+                         n_head=2, interpret=True, int8_dots=True)
+    ref = spec_attention_reference(q, k, v, ks, vs, col_pos, lengths, n_head=2)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        atol=6e-2, rtol=6e-2,
+    )
+
+
 def test_kernel_ignores_dead_columns():
     """Dead (INVALID_POS) columns must not leak even with poisoned values."""
     q, k, v, ks, vs, col_pos, lengths = make_inputs(T=4, quantized=True, seed=9)
@@ -124,8 +156,10 @@ def test_model_spec_path_uses_flat_cache(quantized):
     # offset lands on a LEADING dim (in-place slab write on TPU)
     assert cache.k[0].shape == (B, cfg.block_size // 8, 8, HD)
     if quantized:
-        # scales stay position-major; updated via elementwise where
-        assert cache.k_scale[0].shape == (B, cfg.block_size, cfg.n_head)
+        # spec scales are kernel-layout [B, H, S] (lane dim = S, not H —
+        # H=6 lanes would be physically padded to 128 on TPU); updated via
+        # elementwise where
+        assert cache.k_scale[0].shape == (B, cfg.n_head, cfg.block_size)
 
     logits, _, new_cache = model.apply(
         params, idx, cache=cache, return_all_logits=True)
