@@ -61,6 +61,33 @@ from ai_music_generation_tpu.models.gpt import GPT, KVCache
 Array = jax.Array
 
 
+def _roll_rows_left(x: Array, shift: Array) -> Array:
+    """Per-row variable left-roll: ``out[b, j] = x[b, (j + shift[b]) % n]``.
+
+    Replaces every per-row ``take_along_axis`` in the decode loop: TPU
+    lowers those as serialized gathers — the [4096, 508] token-buffer
+    gather alone traced at 14-16 ms/step (bytes_accessed 33 MB, i.e.
+    ~2 GB/s effective), 1.5x the cost of the entire 6-layer verify
+    attention. A binary decomposition of the shift into ceil(log2 n)
+    static rolls + selects is pure VPU work at full bandwidth."""
+    B, n = x.shape
+    shift = jnp.mod(jnp.asarray(shift, jnp.int32), n)
+    bit = 1
+    while bit < n:
+        x = jnp.where((shift & bit != 0)[:, None],
+                      jnp.roll(x, -bit, axis=1), x)
+        bit <<= 1
+    return x
+
+
+def _select_columns(x: Array, j: Array) -> Array:
+    """``x[b, j[b]]`` for small static width x [B, W] — a one-hot
+    sum, not a gather."""
+    W = x.shape[1]
+    oh = jnp.arange(W)[None, :] == j[:, None]
+    return jnp.sum(jnp.where(oh, x, 0), axis=1)
+
+
 def prompt_lookup_drafts(tokens: Array, lens: Array, prompt_lens: Array,
                          n_draft: int) -> tuple[Array, Array]:
     """Propose ``n_draft`` draft tokens per row from the sequence's own
@@ -72,11 +99,22 @@ def prompt_lookup_drafts(tokens: Array, lens: Array, prompt_lens: Array,
     token (a cheap proposal that simply gets rejected). Positions still
     inside the prompt draft the known prompt token and are force-accepted.
     """
+    drafts, forced, _ = _drafts_and_rolled(tokens, lens, prompt_lens, n_draft)
+    return drafts, forced
+
+
+def _drafts_and_rolled(tokens: Array, lens: Array, prompt_lens: Array,
+                       n_draft: int) -> tuple[Array, Array, Array]:
+    """prompt_lookup_drafts plus the lens-rolled token buffer (column j =
+    ``tokens[(lens + j) % total]``), which the caller reuses for the
+    step's other history reads."""
     B, total = tokens.shape
     K = n_draft
-    last1 = jnp.take_along_axis(tokens, (lens - 1)[:, None], 1)
-    last2 = jnp.take_along_axis(
-        tokens, jnp.maximum(lens - 2, 0)[:, None], 1)
+    rolled_lens = _roll_rows_left(tokens, lens)
+    last1 = rolled_lens[:, total - 1:total]  # tokens[lens - 1]
+    # tokens[(lens - 2) % total]: for lens < 2 this wraps instead of the
+    # old clip-to-0 read, but every use below is guarded by lens >= 3
+    last2 = rolled_lens[:, total - 2:total - 1]
     # match position m in [1, lens-2]: committed bigram equal to the
     # final bigram (m == lens-1 is the final bigram itself)
     m_idx = jnp.arange(1, total)
@@ -85,18 +123,18 @@ def prompt_lookup_drafts(tokens: Array, lens: Array, prompt_lens: Array,
              & (lens[:, None] >= 3))
     best = jnp.max(jnp.where(match, m_idx[None, :], 0), axis=1)
     has = best > 0
-    idx = jnp.clip(
-        best[:, None] + 1 + jnp.arange(K)[None, :], 0, total - 1)
-    cand = jnp.take_along_axis(tokens, idx, 1)
+    # tokens[(best + 1 + k) % total]: wraps where the old code clipped —
+    # harmless, these are PROPOSALS (rejection sampling corrects any
+    # proposal), and rows near the buffer end are about to stop anyway
+    cand = _roll_rows_left(tokens, best + 1)[:, :K]
     drafts = jnp.where(has[:, None], cand, last1)  # fallback: repeat
     # teacher forcing: positions still inside the prompt draft the
     # known prompt token and are force-accepted (same conditioning
     # semantics as Generator's in-prompt commit)
     pos = lens[:, None] + jnp.arange(K)[None, :]
     forced = pos < prompt_lens[:, None]
-    prompt_tok = jnp.take_along_axis(
-        tokens, jnp.clip(pos, 0, total - 1), 1)
-    return jnp.where(forced, prompt_tok, drafts), forced
+    prompt_tok = rolled_lens[:, :K]  # in-range wherever forced is True
+    return jnp.where(forced, prompt_tok, drafts), forced, rolled_lens
 
 
 class SpecGenerator:
@@ -188,9 +226,9 @@ class SpecGenerator:
             step_rng = jax.random.fold_in(rng, ctr)
             r_acc, r_sample = jax.random.split(step_rng)
 
-            drafts, forced = prompt_lookup_drafts(
+            drafts, forced, rolled_lens = _drafts_and_rolled(
                 tokens, lens, prompt_lens, K)  # [B, K]
-            tok0 = jnp.take_along_axis(tokens, (lens - 1)[:, None], 1)
+            tok0 = rolled_lens[:, -1:]  # tokens[lens - 1]
             x = jnp.concatenate([tok0, drafts], axis=1)  # [B, T]
 
             logits, _, new_cache = model.apply(
@@ -211,9 +249,13 @@ class SpecGenerator:
                     lg = apply_top_p(lg, self.top_p)
                 probs = jax.nn.softmax(lg, axis=-1)  # [B, T, V]
                 # p_{j-1}(d_j): the model's probability of draft j under the
-                # SAME temp/top-k transform sample_logits applies
-                p_draft = jnp.take_along_axis(
-                    probs[:, :K, :], drafts[:, :, None], 2)[..., 0]
+                # SAME temp/top-k transform sample_logits applies.
+                # One-hot multiply-reduce, NOT take_along_axis (serialized
+                # gather on TPU — _roll_rows_left docstring)
+                oh_d = (jnp.arange(V)[None, None, :]
+                        == drafts[:, :, None])  # [B, K, V]
+                p_draft = jnp.sum(
+                    jnp.where(oh_d, probs[:, :K, :], 0.0), axis=-1)
             else:
                 am = jnp.argmax(lg, axis=-1)  # [B, T]
                 p_draft = (drafts == am[:, :K]).astype(jnp.float32)
@@ -228,9 +270,9 @@ class SpecGenerator:
             # p with d masked out and renormalised (categorical over the
             # -inf-masked logits IS that residual); on full acceptance,
             # sample the bonus token from the unmasked distribution at K
-            lg_a = jnp.take_along_axis(lg, a[:, None, None], axis=1)[:, 0]
-            rej_tok = jnp.take_along_axis(
-                drafts, jnp.minimum(a, K - 1)[:, None], 1)[:, 0]
+            oh_a = jnp.arange(T)[None, :, None] == a[:, None, None]
+            lg_a = jnp.sum(jnp.where(oh_a, lg, 0.0), axis=1)  # lg[b, a[b]]
+            rej_tok = _select_columns(drafts, jnp.minimum(a, K - 1))
             lg_res = jnp.where(
                 (a < K)[:, None] & (jnp.arange(V)[None, :] == rej_tok[:, None]),
                 -jnp.inf, lg_a)
@@ -238,21 +280,28 @@ class SpecGenerator:
                 s = jax.random.categorical(r_sample, lg_res).astype(jnp.int32)
             else:
                 s = jnp.argmax(lg_res, axis=-1).astype(jnp.int32)
-            # teacher forcing for the sampled slot too, if still in-prompt
+            # teacher forcing for the sampled slot too, if still in-prompt:
+            # tokens[lens + a] = column a of the lens-rolled buffer (in
+            # range wherever the forcing condition holds)
             s_pos = lens + a
-            prompt_next = jnp.take_along_axis(
-                tokens, jnp.clip(s_pos, 0, total - 1)[:, None], 1)[:, 0]
+            prompt_next = _select_columns(rolled_lens[:, :K + 1], a)
             s = jnp.where(s_pos < prompt_lens, prompt_next, s)
 
             # rows at their target stop committing (and stop advancing)
             commits = jnp.minimum(a + 1, jnp.maximum(targets - lens, 0))
 
             # committed tokens -> buffer positions lens .. lens+commits-1:
-            # offsets 0..commits-1 hold d_1..d_a then the sampled token
+            # offsets 0..commits-1 hold d_1..d_a then the sampled token.
+            # wvals[b, i] = drafts[b, i - lens[b]] via a variable RIGHT
+            # roll of the zero-padded drafts (the [B, total] gather here
+            # was the single hottest op of the whole verify step:
+            # 14-16 ms at batch 4096 — _roll_rows_left docstring); the
+            # j_rel == a slot is overwritten with s either way
             j_rel = jnp.arange(total)[None, :] - lens[:, None]
             wmask = (j_rel >= 0) & (j_rel < commits[:, None])
-            wvals = jnp.take_along_axis(
-                drafts, jnp.clip(j_rel, 0, K - 1), axis=1)
+            drafts_pad = jnp.concatenate(
+                [drafts, jnp.zeros((B, total - K), jnp.int32)], axis=1)
+            wvals = _roll_rows_left(drafts_pad, total - lens)
             wvals = jnp.where(j_rel == a[:, None], s[:, None], wvals)
             tokens = jnp.where(wmask, wvals, tokens)
 
@@ -282,9 +331,9 @@ class SpecGenerator:
             Generator's windowed refresh."""
             tokens, lens, cache, ctr = state
             start = jnp.maximum(lens - 1 - C, 0)
-            idx = start[:, None] + jnp.arange(C)[None, :]
-            ctx = jnp.take_along_axis(
-                tokens, jnp.clip(idx, 0, total - 1), 1)
+            # tokens[start + j], j < C: start + C - 1 <= max(lens - 2, C - 1)
+            # < total, so the roll never wraps into used columns
+            ctx = _roll_rows_left(tokens, start)[:, :C]
             fresh = dataclasses.replace(
                 cache,
                 length=jnp.zeros((B,), jnp.int32),

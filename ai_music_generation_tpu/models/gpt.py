@@ -182,12 +182,21 @@ class KVCache:
             # the LANE dim, which the TPU pads to 128: ~21x physical
             # inflation (268 MB per buffer at batch 4096), and the per-step
             # elementwise update then rewrites those padded bytes for all
-            # four buffers per layer (~8 ms/step at batch 4096, traced —
-            # the dominant cost of the old spec step). [B, H, S] puts S=256
-            # on lanes: 16.8 MB per buffer, and no per-step swapaxes before
-            # the kernel call. Update stays an elementwise where, never a DUS.
+            # four buffers per layer. [B, H, S] puts S=256 on lanes: 16.8 MB
+            # per buffer, and no per-step swapaxes before the kernel call.
+            # Update stays an elementwise where, never a DUS.
+            #
+            # The K/V buffers are carried FLAT [B, S, H*D] — exactly the
+            # kernel operand shape, NO alternate 4-D view anywhere. The
+            # round-4 compiler materializes reshape "views" of a loop-carried
+            # buffer (observed: a [B,S//8,8,HD] carry + [B,S,HD] kernel
+            # operand emitted full-cache pad_bitcast fusions, copy-start/
+            # copy-done pairs AND copy+DUS fusions — ~20 ms/step at batch
+            # 4096, dwarfing the attention itself). The slab write is a DUS
+            # at an 8-ALIGNED SUBLANE offset (cursor stays 8-aligned, writes
+            # pad to Tw columns), which keeps the update tile-aligned.
             assert max_len % 8 == 0, "spec cache length must be 8-aligned"
-            shape = (batch, max_len // 8, 8, config.n_head * config.head_dim)
+            shape = (batch, max_len, config.n_head * config.head_dim)
             scale_shape = (batch, config.n_head, max_len)
         else:
             shape = (batch, max_len, config.n_head, config.head_dim)
@@ -356,25 +365,23 @@ class CausalSelfAttention(nn.Module):
                     "speculative decode is an inference path; attention-prob "
                     "dropout is not applied here")
                 from ai_music_generation_tpu.ops.spec_attention import (
-                    spec_attention,
+                    spec_attention_update,
                 )
 
-                # ck/cv are [B, S//8, 8, H*D] (see KVCache.create): the
-                # fresh slab pads T to the 8-aligned write width Tw (pad
-                # columns stay dead in col_pos) so the DUS offset lands on
-                # the LEADING dim — a true in-place slab write
-                S = ck.shape[1] * 8
+                # ck/cv are FLAT [B, S, H*D] (see KVCache.create: no 4-D
+                # view — reshape views of a carried buffer materialize as
+                # full-cache copies under the round-4 compiler). The fresh
+                # slab pads T to the 8-aligned write width Tw (pad columns
+                # stay dead in col_pos) so the DUS is tile-aligned on the
+                # sublane dim.
+                S = ck.shape[1]
                 Tw = -(-T // 8) * 8
-                cursor8 = cursor // 8
 
                 def pad_w(x):  # [B, T, C] -> [B, Tw, C], 8-aligned sublanes
                     if Tw == T:
                         return x
                     return jnp.concatenate(
                         [x, jnp.zeros((B, Tw - T, C), x.dtype)], axis=1)
-
-                def slab(x):  # [B, Tw, C] -> [B, Tw//8, 8, C]
-                    return x.reshape(B, Tw // 8, 8, C)
 
                 if ck_scale is not None:
                     # quantize the ALREADY-padded slab: every sublane dim in
@@ -383,10 +390,6 @@ class CausalSelfAttention(nn.Module):
                     # harmless near-zero scales on dead (col_pos) columns
                     kq, ks = _quantize_int8_flat(pad_w(k.reshape(B, T, C)), H)
                     vq, vs = _quantize_int8_flat(pad_w(v.reshape(B, T, C)), H)
-                    ck = jax.lax.dynamic_update_slice(
-                        ck, slab(kq), (0, cursor8, 0, 0))
-                    cv = jax.lax.dynamic_update_slice(
-                        cv, slab(vq), (0, cursor8, 0, 0))
                     # scale updates are elementwise (a DUS whose offset hits
                     # a tiled dim costs 0.4-0.8 ms/layer — see KVCache):
                     # scatter the fresh [B, Tw, H] scales to their columns of
@@ -402,21 +405,23 @@ class CausalSelfAttention(nn.Module):
                         "bth,ts->bhs", vs, onehot.astype(vs.dtype))
                     ck_scale = jnp.where(win, ks_full, ck_scale)
                     cv_scale = jnp.where(win, vs_full, cv_scale)
-                    new_cache = (ck, cv, ck_scale, cv_scale)
+                    kslab, vslab = kq, vq
                 else:
-                    ck = jax.lax.dynamic_update_slice(
-                        ck, slab(pad_w(k.reshape(B, T, C))).astype(ck.dtype),
-                        (0, cursor8, 0, 0))
-                    cv = jax.lax.dynamic_update_slice(
-                        cv, slab(pad_w(v.reshape(B, T, C))).astype(cv.dtype),
-                        (0, cursor8, 0, 0))
-                    new_cache = (ck, cv)
-                y = spec_attention(
-                    q.reshape(B, T, C),
-                    ck.reshape(B, S, C), cv.reshape(B, S, C),
+                    kslab = pad_w(k.reshape(B, T, C)).astype(ck.dtype)
+                    vslab = pad_w(v.reshape(B, T, C)).astype(cv.dtype)
+                # the kernel owns the cache write: the K/V buffers pass
+                # through ALIASED (in-kernel slab DMA at `cursor`), never
+                # touched by an XLA dynamic-update-slice — which the
+                # round-4 compiler turns into full-cache copy fusions
+                # (~20 ms/step at batch 4096; spec_attention_update
+                # docstring)
+                ck, cv, y = spec_attention_update(
+                    q.reshape(B, T, C), ck, cv, kslab, vslab,
                     ck_scale, cv_scale,
-                    spec_col_pos, cache_len, n_head=H,
+                    spec_col_pos, cache_len, cursor, n_head=H,
                     int8_dots=cfg.spec_int8_dots and ck_scale is not None)
+                new_cache = ((ck, cv) if ck_scale is None
+                             else (ck, cv, ck_scale, cv_scale))
                 return self._epilogue(y, deterministic), new_cache
             if per_row:
                 # ring write: ALL rows' new K/V land at buffer column

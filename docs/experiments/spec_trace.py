@@ -19,7 +19,7 @@ import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.environ.get("SPEC_REPO", "/root/repo"))
 
 import numpy as np
 import jax
@@ -82,6 +82,36 @@ def device_ms_per_module(trace_root):
     return {n: (sum(d) / len(d), len(d)) for n, d in out.items()}
 
 
+def device_top_ops(trace_root, module_substr="jit__generate", top=18):
+    """Aggregate device-side 'XLA Ops' durations by op name (ms summed
+    over the trace), for the per-op breakdown inside one module."""
+    path = sorted(
+        glob.glob(f"{trace_root}/plugins/profile/*/*.trace.json.gz"))[-1]
+    with gzip.open(path) as f:
+        t = json.load(f)
+    ev = t["traceEvents"]
+    pidmap, tidmap = {}, {}
+    for e in ev:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            pidmap[e["pid"]] = e["args"]["name"]
+        if e.get("ph") == "M" and e.get("name") == "thread_name":
+            tidmap[(e["pid"], e["tid"])] = e["args"]["name"]
+    tpu = [p for p, n in pidmap.items() if "TPU" in n]
+    ops_tid = [t_ for (p, t_), n in tidmap.items()
+               if p == tpu[0] and n == "XLA Ops"]
+    if not ops_tid:
+        return []
+    agg = collections.defaultdict(float)
+    cnt = collections.defaultdict(int)
+    for e in ev:
+        if (e.get("pid") == tpu[0] and e.get("tid") == ops_tid[0]
+                and e.get("ph") == "X"):
+            agg[e["name"]] += e["dur"] / 1000.0
+            cnt[e["name"]] += 1
+    rows = sorted(agg.items(), key=lambda kv: -kv[1])[:top]
+    return [(nm, ms, cnt[nm]) for nm, ms in rows]
+
+
 def barrier(x):
     return float(jnp.sum(x[:, -1]))
 
@@ -111,6 +141,10 @@ def trace_one(label, gen, stats=False):
     for nm, (ms, cnt) in gen_mods[1:4]:
         if ms > 1.0:
             print(f"    +{nm.split('(')[0]}: {ms:.1f} ms x{cnt}", flush=True)
+    if os.environ.get("SPEC_OPS", "0") == "1":
+        for nm, ms, cnt in device_top_ops(root):
+            print(f"      op {nm}: {ms / steps:.3f} ms/step (x{cnt})",
+                  flush=True)
 
 
 print(f"devices={jax.devices()} salt={salt} batch={BATCH} new={NEW}",

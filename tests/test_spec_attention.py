@@ -103,6 +103,79 @@ def test_kernel_int8_dots_ignores_dead_columns():
     )
 
 
+@pytest.mark.parametrize("quantized", [False, True])
+@pytest.mark.parametrize("T", [1, 5, 8])
+def test_update_kernel_matches_write_then_attend(quantized, T):
+    """The fused write+attend kernel == DUS into the cache followed by the
+    reference attention, for both the cache contents and the outputs."""
+    from ai_music_generation_tpu.ops.spec_attention import (
+        spec_attention_update,
+    )
+    q, k, v, ks, vs, col_pos, lengths = make_inputs(
+        T=T, quantized=quantized, seed=40 + T)
+    B, S, HD = k.shape
+    Tw = -(-T // 8) * 8
+    cursor = S - 2 * Tw  # somewhere 8-aligned mid-buffer
+    rng = np.random.default_rng(99)
+    if quantized:
+        k_slab = jnp.asarray(
+            rng.integers(-127, 128, size=(B, Tw, HD)).astype(np.int8))
+        v_slab = jnp.asarray(
+            rng.integers(-127, 128, size=(B, Tw, HD)).astype(np.int8))
+    else:
+        k_slab = jnp.asarray(rng.normal(size=(B, Tw, HD)), jnp.bfloat16)
+        v_slab = jnp.asarray(rng.normal(size=(B, Tw, HD)), jnp.bfloat16)
+    k_new, v_new, y = spec_attention_update(
+        q, k, v, k_slab, v_slab, ks, vs, col_pos, lengths, cursor,
+        n_head=2, interpret=True)
+    # cache contents: slab landed at cursor, everything else untouched
+    k_exp = np.asarray(k).copy()
+    v_exp = np.asarray(v).copy()
+    k_exp[:, cursor:cursor + Tw] = np.asarray(k_slab)
+    v_exp[:, cursor:cursor + Tw] = np.asarray(v_slab)
+    np.testing.assert_array_equal(np.asarray(k_new), k_exp)
+    np.testing.assert_array_equal(np.asarray(v_new), v_exp)
+    ref = spec_attention_reference(
+        q, jnp.asarray(k_exp), jnp.asarray(v_exp), ks, vs, col_pos,
+        lengths, n_head=2)
+    np.testing.assert_allclose(
+        np.asarray(y, np.float32), np.asarray(ref, np.float32),
+        atol=3e-2, rtol=3e-2,
+    )
+
+
+def test_update_kernel_fresh_columns_attended():
+    """Queries must see the freshly written slab values: changing the slab
+    at a fresh column the mask allows changes the outputs."""
+    from ai_music_generation_tpu.ops.spec_attention import (
+        spec_attention_update,
+    )
+    T = 4
+    q, k, v, ks, vs, col_pos, lengths = make_inputs(
+        T=T, quantized=False, seed=7)
+    B, S, HD = k.shape
+    Tw = 8
+    # place the slab exactly where make_inputs put the fresh columns so
+    # col_pos marks slab column j as position lengths + j (attendable)
+    cursor = S - T - 4  # make an 8-aligned window covering [S-T, S)
+    cursor = (cursor // 8) * 8
+    cp = np.asarray(col_pos).copy()
+    cp[:, cursor:cursor + Tw] = INVALID
+    fresh = np.asarray(lengths)[:, None] + np.arange(T)[None, :]
+    cp[:, cursor:cursor + T] = fresh
+    cp = jnp.asarray(cp)
+    slab_a = jnp.ones((B, Tw, HD), jnp.bfloat16)
+    slab_b = jnp.full((B, Tw, HD), -3.0, jnp.bfloat16)
+    _, _, y_a = spec_attention_update(
+        q, k, v, slab_a, slab_a, ks, vs, cp, lengths, cursor,
+        n_head=2, interpret=True)
+    _, _, y_b = spec_attention_update(
+        q, k, v, slab_b, slab_b, ks, vs, cp, lengths, cursor,
+        n_head=2, interpret=True)
+    assert not np.array_equal(np.asarray(y_a, np.float32),
+                              np.asarray(y_b, np.float32))
+
+
 def test_kernel_ignores_dead_columns():
     """Dead (INVALID_POS) columns must not leak even with poisoned values."""
     q, k, v, ks, vs, col_pos, lengths = make_inputs(T=4, quantized=True, seed=9)
@@ -152,9 +225,10 @@ def test_model_spec_path_uses_flat_cache(quantized):
 
     cache = KVCache.create(cfg, B, max_len=cfg.block_size, spec=True)
     HD = cfg.n_head * cfg.head_dim
-    # [B, S//8, 8, H*D]: bit-identical to flat [B, S, H*D], but the write
-    # offset lands on a LEADING dim (in-place slab write on TPU)
-    assert cache.k[0].shape == (B, cfg.block_size // 8, 8, HD)
+    # FLAT [B, S, H*D]: the kernel operand shape, carried with no
+    # alternate view (views of a carried buffer materialize as full-cache
+    # copies); writes are 8-aligned sublane-dim DUS
+    assert cache.k[0].shape == (B, cfg.block_size, HD)
     if quantized:
         # spec scales are kernel-layout [B, H, S] (lane dim = S, not H —
         # H=6 lanes would be physically padded to 128 on TPU); updated via
@@ -163,7 +237,7 @@ def test_model_spec_path_uses_flat_cache(quantized):
 
     logits, _, new_cache = model.apply(
         params, idx, cache=cache, return_all_logits=True)
-    assert new_cache.k[0].shape == (B, cfg.block_size // 8, 8, HD)
+    assert new_cache.k[0].shape == (B, cfg.block_size, HD)
     # cursor advances by the 8-aligned write width, not T
     assert int(new_cache.cursor) == -(-T // 8) * 8
     # fresh columns tentatively marked with their logical positions;
