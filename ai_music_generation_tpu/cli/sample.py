@@ -5,7 +5,8 @@ Parity surface:
   max_new_tokens, temperature, top_k, seed, use_validation_prefixes, dataset,
   tokens_format (char|midi), validation_path, n_conditional_measures
   (+ framework extensions beyond the reference: ``top_p`` nucleus sampling,
-  ``speculative``/``n_draft``, ``kv_quantized``, ``batch_size``)
+  ``speculative``/``n_draft``, ``kv_quantized``, ``batch_size``, ``window``
+  decode-cache sizing)
 - meta.pkl encode/decode: char join vs whitespace join (ref :76-100)
 - prompt modes (ref :103-142):
   * fixed ``start`` prompt × num_samples
@@ -62,6 +63,10 @@ DEFAULTS = dict(
     kv_quantized=False,  # int8 KV cache (halves decode HBM traffic)
     speculative=False,  # prompt-lookup speculative decoding (decode/speculative.py)
     n_draft=4,  # draft chain length when speculative=True
+    window=0,  # decode KV-cache window; 0 = block_size (parity). Smaller
+    # windows trade guaranteed context (>= window/2 committed tokens) for
+    # per-step cache-read bandwidth — measured contract in docs/PERF.md
+    # "Decode-window contract"
 )
 
 IRISHMAN_BAR_REGEX = re.compile(r"(:\||::|\s\||\|\])")
@@ -222,6 +227,7 @@ def run_sampling(c: dict, write: bool = True) -> list[tuple[object, str]]:
             temperature=c["temperature"],
             top_k=c["top_k"],
             top_p=None if c["top_p"] >= 1.0 else c["top_p"],
+            window=c["window"] or None,
         )
 
     out_dir = os.path.join(c["out_dir"], "samples")

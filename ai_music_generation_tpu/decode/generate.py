@@ -90,6 +90,7 @@ class Generator:
         top_k: Optional[int] = 200,
         refresh: Optional[int] = None,
         top_p: Optional[float] = None,
+        window: Optional[int] = None,
     ):
         self.model = model
         self.block_size = model.config.block_size
@@ -97,8 +98,24 @@ class Generator:
         self.temperature = temperature
         self.top_k = top_k
         self.top_p = top_p
-        # refresh budget for windowed decode beyond block_size
-        self.refresh = refresh or max(1, self.block_size // 2)
+        # ``window`` is the decode KV-cache length (default: block_size).
+        # Decode at batch is HBM-bound on the per-step cache read, which
+        # scales with the cache length, so a window SMALLER than block_size
+        # trades guaranteed context (every decoded token still sees at least
+        # ``window - refresh`` committed tokens) for read bandwidth — one
+        # more step of the windowed-refresh contract this Generator already
+        # applies beyond block_size (docs/PERF.md "Windowed-refresh decode"
+        # measured NLL flat down to 32 tokens of context; the
+        # window-throughput/quality table lives in the same section). The
+        # reference slides per token at full block context
+        # (ref: nanoGPT/model.py:313-314); window=block_size (the default)
+        # is the parity setting.
+        self.window = window or self.block_size
+        assert self.window <= self.block_size, (
+            "decode window cannot exceed block_size (position table size)")
+        # refresh budget for windowed decode beyond the cache window
+        self.refresh = refresh or max(1, self.window // 2)
+        assert self.refresh < self.window, "refresh must leave context"
 
     # jit treats `self` as a static argument: key it by VALUE so two
     # Generators with the same settings share one compiled program.
@@ -106,7 +123,7 @@ class Generator:
     # whole decode program per invocation before this — docs/PERF.md.)
     def _jit_key(self):
         return (self.model, self.max_new_tokens, self.temperature,
-                self.top_k, self.refresh, self.top_p)
+                self.top_k, self.refresh, self.top_p, self.window)
 
     def __eq__(self, other):
         return (type(other) is Generator and
@@ -123,7 +140,7 @@ class Generator:
         model, cfg = self.model, self.model.config
         B, P = prompts.shape
         total = P + self.max_new_tokens
-        bs = self.block_size
+        bs = self.window  # decode cache length (== block_size by default)
 
         tokens = jnp.zeros((B, total), jnp.int32).at[:, :P].set(prompts)
 
@@ -194,7 +211,7 @@ class Generator:
             prompt_lens = jnp.full((B,), P, jnp.int32)
         else:
             prompt_lens = jnp.asarray(prompt_lens, jnp.int32)
-        prefill_len = int(min(int(jax.device_get(jnp.min(prompt_lens))), self.block_size))
+        prefill_len = int(min(int(jax.device_get(jnp.min(prompt_lens))), self.window))
         prefill_len = max(prefill_len, 1)
         # prefill_len is a STATIC jit arg (it shapes the prefill slice and
         # the scan trip count): bucket it down to a power of two so ragged

@@ -177,3 +177,66 @@ def test_generator_jit_cache_is_value_keyed():
     c = Generator(GPT(cfg), max_new_tokens=9, temperature=0.8, top_k=4)
     assert a == b and hash(a) == hash(b)
     assert a != c
+
+
+def _windowed_greedy_oracle(model, params, prompt, prompt_len, max_new,
+                            window, refresh):
+    """Reference loop for the decode-window contract: replicate Generator's
+    phase structure (prefill / scan / re-prefill) with full re-forwards over
+    the tokens currently in the cache window, greedy sampling."""
+    total = len(prompt) + max_new
+    tokens = list(prompt) + [0] * max_new
+    prefill_len = 1 << (min(prompt_len, window).bit_length() - 1)
+    cache_toks = tokens[:prefill_len]
+
+    def logits_last(toks):
+        out, _, _ = model.apply(params, jnp.asarray([toks], jnp.int32))
+        return out[0, -1]
+
+    t = prefill_len
+    first_end = min(total, window)
+    while t < total:
+        nxt = int(jnp.argmax(logits_last(cache_toks)))
+        if t < prompt_len:
+            nxt = tokens[t]
+        tokens[t] = nxt
+        cache_toks = cache_toks + [nxt]
+        t += 1
+        if t == first_end or (t > first_end and
+                              (t - first_end) % refresh == 0):
+            if t < total:
+                cache_toks = tokens[t - (window - refresh):t]
+    return tokens
+
+
+def test_decode_window_matches_oracle(model_and_params):
+    """window < block_size: the fused decode must equal the full-reforward
+    oracle implementing the same refresh contract (greedy)."""
+    model, params = model_and_params
+    window, refresh, max_new = 16, 8, 40
+    gen = Generator(model, max_new_tokens=max_new, temperature=0.0,
+                    window=window, refresh=refresh)
+    prompt = [5, 9, 2, 7]
+    out = np.asarray(
+        gen.generate(params, np.array([prompt], np.int32), seed=0))[0]
+    ref = _windowed_greedy_oracle(
+        model, params, prompt, len(prompt), max_new, window, refresh)
+    np.testing.assert_array_equal(out, np.asarray(ref))
+
+
+def test_decode_window_deterministic_and_ragged(model_and_params):
+    """Sampled small-window decode: deterministic, prompt-preserving."""
+    model, params = model_and_params
+    gen = Generator(model, max_new_tokens=30, temperature=0.9, top_k=10,
+                    window=16)
+    prompts = np.array([[1, 2, 3, 4], [7, 7, 0, 0]], np.int32)
+    lens = np.array([4, 2], np.int32)
+    out = np.asarray(gen.generate(params, prompts, lens, seed=3))
+    out2 = np.asarray(gen.generate(params, prompts, lens, seed=3))
+    np.testing.assert_array_equal(out, out2)
+    np.testing.assert_array_equal(out[0, :4], prompts[0])
+    np.testing.assert_array_equal(out[1, :2], prompts[1, :2])
+    assert (out >= 0).all() and (out < CFG.vocab_size).all()
+    # the window is part of the jit/value key
+    assert gen != Generator(model, max_new_tokens=30, temperature=0.9,
+                            top_k=10, window=32)
