@@ -37,6 +37,9 @@ DEFAULTS = dict(
     n_slots=64,
     ticks_per_call=32,
     admit_group=64,
+    cache_len=0,  # ring-cache length; 0 = block_size (parity). Smaller =
+    # the decode-window throughput lever (docs/PERF.md "Decode-window
+    # contract"): every token still sees >= cache_len/2 committed context.
     dtype="bfloat16",
     kv_quantized=False,
     prewarm=False,  # compile all admission/decode programs before serving
@@ -51,7 +54,8 @@ def main(argv=None):
     encode, decode = build_codec(ckpt_meta, c["data_root"], c["tokens_format"])
     engine = GenerationServer(
         model, params, n_slots=c["n_slots"],
-        ticks_per_call=c["ticks_per_call"], admit_group=c["admit_group"])
+        ticks_per_call=c["ticks_per_call"], admit_group=c["admit_group"],
+        cache_len=c["cache_len"] or None)
     if c["prewarm"]:
         print("prewarming admission/decode programs...", flush=True)
         engine.prewarm()

@@ -96,6 +96,9 @@ def main(argv=None) -> dict:
     ap.add_argument("--n_embd", type=int, default=384)
     ap.add_argument("--kv_quantized", action="store_true",
                     help="int8 KV cache (halves decode HBM traffic)")
+    ap.add_argument("--cache_len", type=int, default=0,
+                    help="ring-cache length; 0 = block_size (parity). "
+                    "Smaller = decode-window lever, docs/PERF.md")
     # default is salted per process: the relay result-caches identical
     # program+input replays across processes, so a fixed-seed re-run of the
     # same load reports cache-hit times (verify skill, round-3 additions);
@@ -140,7 +143,8 @@ def main(argv=None) -> dict:
     # (docs/PERF.md "Environment caveats").
     srv = GenerationServer(
         model, params, n_slots=args.n_slots,
-        ticks_per_call=args.ticks_per_call, admit_group=args.admit_group)
+        ticks_per_call=args.ticks_per_call, admit_group=args.admit_group,
+        cache_len=args.cache_len or None)
     submit_load(srv, args.seed + 1)
     t0 = time.perf_counter()
     srv.run_until_idle()
@@ -167,6 +171,7 @@ def main(argv=None) -> dict:
         "ticks_per_call": args.ticks_per_call,
         "admit_group": args.admit_group,
         "kv_quantized": args.kv_quantized,
+        "cache_len": srv.cache_len,
         "phases": {k: (round(v, 2) if isinstance(v, float) else v)
                    for k, v in stats.items()},
         "latency": srv.latency_stats(),

@@ -27,8 +27,10 @@ Design — everything the XLA way:
   arrival timing (a stronger contract than the batch sampler's, which
   folds by absolute position).
 - Long generations use the same windowed-refresh contract as
-  ``decode/generate.py``: when a slot's cache approaches ``block_size``
-  the host re-prefills its trailing ``block_size - refresh`` tokens and
+  ``decode/generate.py``: when a slot's cache approaches ``cache_len``
+  (= ``block_size`` by default; smaller = the decode-window throughput
+  lever, docs/PERF.md "Decode-window contract") the host re-prefills its
+  trailing ``cache_len - refresh`` tokens and
   decoding continues; quality-vs-speed numbers for the contract are in
   docs/PERF.md.
 
@@ -200,27 +202,41 @@ class GenerationServer(EngineHostBase):
         ticks_per_call: int = 32,
         refresh: Optional[int] = None,
         admit_group: int = 64,
+        cache_len: Optional[int] = None,
     ):
         cfg = model.config
         self.model = model
         self.params = params
         self.n_slots = n_slots
         self.block_size = cfg.block_size
-        self.refresh = refresh or max(1, cfg.block_size // 2)
+        # ``cache_len`` is the ring-cache length (default: block_size, the
+        # parity setting). The decode tick is HBM-bound on the per-tick
+        # cache read, which scales with the cache length, so a SHORTER
+        # cache trades guaranteed context (every decoded token still sees
+        # >= cache_len - refresh committed tokens) for tick bandwidth —
+        # the serving analogue of Generator(window=...); measured contract
+        # in docs/PERF.md "Decode-window contract".
+        self.cache_len = cache_len or cfg.block_size
+        if not 8 <= self.cache_len <= cfg.block_size:
+            raise ValueError(
+                f"cache_len={self.cache_len} must be in [8, block_size="
+                f"{cfg.block_size}] (positions are embedded at their true "
+                "in-window index, which the wpe table must cover)")
+        self.refresh = refresh or max(1, self.cache_len // 2)
         if ticks_per_call > self.refresh:
             raise ValueError(
                 f"ticks_per_call={ticks_per_call} must be <= refresh="
                 f"{self.refresh} (a slot must survive one scan without "
                 "overflowing its cache window)")
-        if self.refresh >= self.block_size:
+        if self.refresh >= self.cache_len:
             raise ValueError(
-                f"refresh={self.refresh} must be < block_size="
-                f"{self.block_size} (window = block_size - refresh is the "
+                f"refresh={self.refresh} must be < cache_len="
+                f"{self.cache_len} (window = cache_len - refresh is the "
                 "context kept across a refresh; 0 would disable prompt "
                 "truncation and overflow the ring cache)")
         self.ticks_per_call = ticks_per_call
         self.admit_group = admit_group
-        self.window = self.block_size - self.refresh
+        self.window = self.cache_len - self.refresh
 
         self._queue: deque[Request] = deque()
         self._slots: list[Optional[Request]] = [None] * n_slots
@@ -245,7 +261,7 @@ class GenerationServer(EngineHostBase):
 
         V = cfg.vocab_size
         self.state = ServeState(
-            cache=KVCache.create(cfg, n_slots, max_len=self.block_size,
+            cache=KVCache.create(cfg, n_slots, max_len=self.cache_len,
                                  per_row=True),
             last_logits=jnp.zeros((n_slots, V), jnp.float32),
             gen=jnp.zeros((n_slots,), jnp.int32),
@@ -328,7 +344,7 @@ class GenerationServer(EngineHostBase):
         valid = packed[:, -3].astype(bool)
         seed = jax.lax.bitcast_convert_type(packed[:, -2], jnp.uint32)
         temperature = jax.lax.bitcast_convert_type(packed[:, -1], jnp.float32)
-        pre = KVCache.create(cfg, G, max_len=self.block_size)
+        pre = KVCache.create(cfg, G, max_len=self.cache_len)
         logits, _, pre = self.model.apply(
             params, ctx, cache=pre, return_all_logits=True)
         last = logits[jnp.arange(G), plens - 1].astype(jnp.float32)
@@ -336,7 +352,7 @@ class GenerationServer(EngineHostBase):
         cache = state.cache
         # prefill wrote prompt token p at column p; the ring window expects
         # it at (cursor - plen + p) mod S
-        shifts = jnp.mod(cache.cursor - plens, self.block_size)
+        shifts = jnp.mod(cache.cursor - plens, self.cache_len)
         slots_safe = jnp.where(valid, slots, self.n_slots)  # drop padding
 
         def ins(buf, new):
@@ -449,7 +465,7 @@ class GenerationServer(EngineHostBase):
         p = 8
         while p < n:
             p *= 2
-        return min(p, self.block_size)
+        return min(p, self.cache_len)
 
     def _admit_wave(self, admits: list[tuple[int, Request, list[int], int]]):
         """Admit (slot, req, context, g0) entries in jitted chunks of
@@ -530,13 +546,13 @@ class GenerationServer(EngineHostBase):
             return self._drain_finished()
 
         # 2. proactive window refresh: a slot must fit ticks_per_call more
-        #    writes before its cache hits block_size (host-mirrored lengths
+        #    writes before its cache hits cache_len (host-mirrored lengths
         #    — a device_get here would add a blocking tunnel round trip per
         #    step)
         reserved = {slot for slot, *_ in admits}
         for slot, req in enumerate(self._slots):
             if req is not None and slot not in reserved and (
-                self._lengths[slot] + self.ticks_per_call > self.block_size
+                self._lengths[slot] + self.ticks_per_call > self.cache_len
             ):
                 admits.append((slot, req, req.tokens, len(req.generated)))
         if admits:

@@ -358,3 +358,52 @@ def test_prewarm_compiles_and_leaves_engine_clean(tiny):
     rid = srv.submit([1, 2, 3], max_new_tokens=5, seed=11)
     done = srv.run_until_idle()
     assert [r.id for r in done] == [rid] and len(done[0].generated) >= 1
+
+
+def test_engine_cache_len_matches_cropped_model(tiny):
+    """Sub-block cache oracle: a GenerationServer(cache_len=W) on a block-64
+    model must byte-match a full-cache server on the crop_block_size(W)
+    model — identical wpe rows < W, identical refresh cadence (refresh
+    defaults to cache_len//2 in both), identical per-request RNG (folds
+    (seed, gen), cache-independent). Exercises the refresh path: 60
+    generated tokens at W=32 forces multiple window refreshes."""
+    from ai_music_generation_tpu.models.gpt import crop_block_size
+
+    cfg, model, params = tiny
+    W = 32
+    params_c, cfg_c = crop_block_size(params, cfg, W)
+    reqs = [  # (prompt, max_new, temperature, top_k, seed)
+        ([1, 2, 3], 60, 0.0, 0, 0),          # greedy, forces refreshes
+        ([5] * 20, 40, 0.9, 10, 7),          # sampled across a refresh
+        ([9, 4], 10, 1.2, 0, 3),             # short, no refresh
+    ]
+
+    def run(srv):
+        rids = [srv.submit(p, max_new_tokens=n, temperature=t, top_k=k,
+                           seed=s) for p, n, t, k, s in reqs]
+        done = {r.id: r for r in srv.run_until_idle()}
+        return [done[r].generated for r in rids]
+
+    sub = run(GenerationServer(model, params, n_slots=4, ticks_per_call=8,
+                               cache_len=W))
+    full = run(GenerationServer(GPT(cfg_c), params_c, n_slots=4,
+                                ticks_per_call=8))
+    assert sub == full
+    assert all(len(g) == n for g, (_, n, *_rest) in zip(sub, reqs))
+
+
+def test_engine_cache_len_validation(tiny):
+    cfg, model, params = tiny
+    with pytest.raises(ValueError):  # cache_len > block_size
+        GenerationServer(model, params, n_slots=2, ticks_per_call=4,
+                         cache_len=cfg.block_size * 2)
+    with pytest.raises(ValueError):  # refresh must stay < cache_len
+        GenerationServer(model, params, n_slots=2, ticks_per_call=4,
+                         cache_len=16, refresh=16)
+    with pytest.raises(ValueError):  # ticks_per_call > default refresh (W/2)
+        GenerationServer(model, params, n_slots=2, ticks_per_call=16,
+                         cache_len=16)
+    # default (cache_len omitted) is exact parity: full-block ring cache
+    srv = GenerationServer(model, params, n_slots=2, ticks_per_call=4)
+    assert srv.cache_len == cfg.block_size
+    assert srv.state.cache.k[0].shape[1] == cfg.block_size
