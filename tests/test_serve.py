@@ -360,6 +360,7 @@ def test_prewarm_compiles_and_leaves_engine_clean(tiny):
     assert [r.id for r in done] == [rid] and len(done[0].generated) >= 1
 
 
+@pytest.mark.slow
 def test_engine_cache_len_matches_cropped_model(tiny):
     """Sub-block cache oracle: a GenerationServer(cache_len=W) on a block-64
     model must byte-match a full-cache server on the crop_block_size(W)
