@@ -14,8 +14,12 @@ then:
 Tuning (measured sweeps in docs/SERVING.md): the default ticks_per_call=32
 favors time-to-first-result for interactive use; for throughput-bound
 loads run --ticks_per_call=128 --n_slots=2048 --kv_quantized=True (the
-fastest measured configuration, 214.9k tok/s steady state on a v5e chip);
-4096 slots is the capacity configuration.
+fastest measured PARITY configuration, 221.9k tok/s steady state on a
+v5e chip); adding --cache_len=128 --ticks_per_call=64 opts into the
+decode-window contract (+0.057 teacher NLL, docs/PERF.md) and reads
+262.9k at 2048 slots / 303.1k at 4096. --mesh=NxM serves sharded over a
+(data=N, model=M) device mesh (slot state on the data axis, params on
+the TP rules) for multi-chip slices.
 """
 
 from __future__ import annotations
@@ -43,6 +47,7 @@ DEFAULTS = dict(
     dtype="bfloat16",
     kv_quantized=False,
     prewarm=False,  # compile all admission/decode programs before serving
+    mesh="",  # "NxM" = serve sharded over a (data=N, model=M) device mesh
 )
 
 
@@ -52,10 +57,16 @@ def main(argv=None):
     model, params, ckpt_meta = load_model(
         c["out_dir"], c["dtype"], c["init_from"], c["kv_quantized"])
     encode, decode = build_codec(ckpt_meta, c["data_root"], c["tokens_format"])
+    mesh = None
+    if c["mesh"]:
+        from ai_music_generation_tpu.parallel.mesh import make_mesh
+
+        n_data, n_model = (int(x) for x in c["mesh"].lower().split("x"))
+        mesh = make_mesh(n_data=n_data, n_model=n_model)
     engine = GenerationServer(
         model, params, n_slots=c["n_slots"],
         ticks_per_call=c["ticks_per_call"], admit_group=c["admit_group"],
-        cache_len=c["cache_len"] or None)
+        cache_len=c["cache_len"] or None, mesh=mesh)
     if c["prewarm"]:
         print("prewarming admission/decode programs...", flush=True)
         engine.prewarm()

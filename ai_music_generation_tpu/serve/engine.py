@@ -19,8 +19,9 @@ Design — everything the XLA way:
   K/V rows are inserted into the big cache at the slot index with
   ``dynamic_update_slice``. No other slot is disturbed; the slot then
   decodes from its true position on the next tick.
-- Per-request sampling params: ``temperature`` / ``top_k`` / ``stop_token``
-  / ``max_new_tokens`` are [B] arrays, so one program serves mixed configs.
+- Per-request sampling params: ``temperature`` / ``top_k`` / ``top_p`` /
+  ``stop_token`` / ``max_new_tokens`` are [B] arrays, so one program serves
+  mixed configs.
 - Deterministic per-request RNG: token ``g`` of request with seed ``s`` is
   sampled with ``fold_in(PRNGKey(s), g)`` — a request's output is
   byte-identical regardless of slot placement, batch composition, or
@@ -65,6 +66,7 @@ class ServeState(struct.PyTreeNode):
     max_new: Array  # [B] i32
     temperature: Array  # [B] f32
     top_k: Array  # [B] i32
+    top_p: Array  # [B] f32, >= 1.0 = no nucleus filter
     stop_token: Array  # [B] i32, -1 = none
     seed: Array  # [B] u32 — per-request RNG seed
     active: Array  # [B] bool
@@ -79,6 +81,7 @@ class Request:                    # never confuse two same-parameter requests
     top_k: int
     seed: int
     stop_token: int  # -1 = none
+    top_p: float = 1.0  # >= 1.0 disables the nucleus filter
     generated: list[int] = dataclasses.field(default_factory=list)
     done: bool = False
     internal: bool = False  # engine-internal (slot deactivation); never reported
@@ -90,9 +93,11 @@ class Request:                    # never confuse two same-parameter requests
         return self.prompt + self.generated
 
 
-def _per_slot_sample(logits, keys, temperature, top_k):
-    """Per-row temperature + top-k categorical (vector analogue of
-    decode/generate.py::sample_logits; ref: nanoGPT/model.py:318-327).
+def _per_slot_sample(logits, keys, temperature, top_k, top_p):
+    """Per-row temperature + top-k + top-p categorical (vector analogue of
+    decode/generate.py::sample_logits; ref: nanoGPT/model.py:318-327 for
+    temperature/top-k; nucleus is the same framework extension as the batch
+    sampler's ``apply_top_p`` and the tunes engine's per-request top_p).
 
     Per-row ``top_k`` means ``lax.top_k`` (static k) doesn't apply; instead
     sort values descending once and gather each row's k-th value as its
@@ -100,7 +105,7 @@ def _per_slot_sample(logits, keys, temperature, top_k):
     formulation put a [B, V] scatter in every decode tick, and scatters
     serialize on TPU (measured in the scan-tick cost at batch 2048).
     Tie behavior matches the lockstep sampler: all logits >= the k-th
-    value survive."""
+    value survive; nucleus ties at the mass threshold are all kept."""
     V = logits.shape[-1]
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     scaled = logits / jnp.maximum(temperature, 1e-6)[:, None]
@@ -112,6 +117,19 @@ def _per_slot_sample(logits, keys, temperature, top_k):
     kth = jnp.take_along_axis(
         vals_desc, jnp.clip(eff_k[:, None] - 1, 0, V - 1), axis=-1)  # [B, 1]
     masked = jnp.where(scaled < kth, -jnp.inf, scaled)
+    # nucleus on top of the top-k mask (same transform order as
+    # sample_logits: temperature -> top-k -> top-p). The top-k-masked
+    # values are re-sorted (the value-domain top-k mask keeps ties, so
+    # vals_desc's exactly-k prefix would be wrong here); softmax is
+    # row-monotone, so "probability < the k_p-th sorted probability"
+    # is exactly "logit < the k_p-th sorted masked logit" — identical
+    # keep-set to apply_top_p without a second softmax in prob space.
+    sorted_masked = -jnp.sort(-masked, axis=-1)  # [B, V]
+    csum = jnp.cumsum(jax.nn.softmax(sorted_masked, axis=-1), axis=-1)
+    k_p = jnp.sum(csum < top_p[:, None], axis=-1, keepdims=True)
+    thr = jnp.take_along_axis(sorted_masked, jnp.clip(k_p, 0, V - 1), axis=-1)
+    masked = jnp.where(
+        (top_p < 1.0)[:, None] & (masked < thr), -jnp.inf, masked)
     sampled = jax.vmap(jax.random.categorical)(keys, masked).astype(jnp.int32)
     return jnp.where(temperature <= 0.0, greedy, sampled)
 
@@ -203,7 +221,16 @@ class GenerationServer(EngineHostBase):
         refresh: Optional[int] = None,
         admit_group: int = 64,
         cache_len: Optional[int] = None,
+        mesh=None,
     ):
+        """``mesh``: optional ``jax.sharding.Mesh`` — slot state (cache
+        rows, per-slot sampling vectors) rides the data axis and params
+        take the TP rule layout (parallel/mesh.py); the jitted scan and
+        admission programs inherit those shardings from their inputs, so
+        decode bandwidth scales with the data-axis size. The reference has
+        no serving counterpart; its multi-device decode story is one
+        process per GPU (ref: nanoGPT/train.py:86-99 is training-only).
+        Requires ``n_slots`` divisible by the data-axis size."""
         cfg = model.config
         self.model = model
         self.params = params
@@ -268,10 +295,33 @@ class GenerationServer(EngineHostBase):
             max_new=jnp.zeros((n_slots,), jnp.int32),
             temperature=jnp.ones((n_slots,), jnp.float32),
             top_k=jnp.full((n_slots,), V, jnp.int32),
+            top_p=jnp.ones((n_slots,), jnp.float32),
             stop_token=jnp.full((n_slots,), -1, jnp.int32),
             seed=jnp.zeros((n_slots,), jnp.uint32),
             active=jnp.zeros((n_slots,), bool),
         )
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ai_music_generation_tpu.parallel import mesh as pmesh
+
+            n_data = mesh.shape[pmesh.DATA_AXIS]
+            if n_slots % n_data != 0:
+                raise ValueError(
+                    f"n_slots={n_slots} must divide evenly over the data "
+                    f"axis ({n_data}) for sharded serving")
+            # every slot-major leaf (leading dim == n_slots: cache K/V/
+            # scales/length, logits, sampling vectors) shards on data;
+            # scalars (ring cursor) replicate
+            slot_sh = jax.tree.map(
+                lambda leaf: NamedSharding(
+                    mesh,
+                    P(pmesh.DATA_AXIS, *([None] * (leaf.ndim - 1)))
+                    if leaf.ndim >= 1 and leaf.shape[0] == n_slots else P()),
+                self.state)
+            self.state = jax.device_put(self.state, slot_sh)
+            self.params = jax.device_put(
+                params, pmesh.shardings_for_tree(mesh, params))
 
     # -- jitted programs ----------------------------------------------------
 
@@ -284,7 +334,8 @@ class GenerationServer(EngineHostBase):
                 lambda s, g: jax.random.fold_in(jax.random.PRNGKey(s), g)
             )(state.seed, state.gen)
             tok = _per_slot_sample(
-                state.last_logits, keys, state.temperature, state.top_k)
+                state.last_logits, keys, state.temperature, state.top_k,
+                state.top_p)
             tok = jnp.where(state.active, tok, 0)
             logits, _, new_cache = self.model.apply(
                 params, tok[:, None], cache=state.cache)
@@ -323,9 +374,10 @@ class GenerationServer(EngineHostBase):
     @functools.partial(jax.jit, static_argnums=0, donate_argnums=2)
     def _insert_many(self, params, state: ServeState, packed):
         """Admit up to G requests in ONE device call with ONE host→device
-        transfer: ``packed`` is [G, Pc + 9] int32 — each row is the padded
+        transfer: ``packed`` is [G, Pc + 10] int32 — each row is the padded
         prompt followed by (slot, plen, max_new, top_k, stop_token, g0,
-        valid, seed:u32-bits, temperature:f32-bits). Batch-G prefill of the
+        valid, seed:u32-bits, top_p:f32-bits, temperature:f32-bits).
+        Batch-G prefill of the
         prompts, each request's K/V rows rolled so its prompt ends at the
         ring cursor, then scattered to the slot indices (padding entries
         carry slot index == n_slots and are dropped). One call AND one
@@ -334,15 +386,16 @@ class GenerationServer(EngineHostBase):
         dominated serving throughput when done per request / per field."""
         cfg = self.model.config
         G = packed.shape[0]
-        ctx = packed[:, :-9]
-        slots = packed[:, -9]
-        plens = packed[:, -8]
-        max_new = packed[:, -7]
-        top_k = packed[:, -6]
-        stop_token = packed[:, -5]
-        g0 = packed[:, -4]
-        valid = packed[:, -3].astype(bool)
-        seed = jax.lax.bitcast_convert_type(packed[:, -2], jnp.uint32)
+        ctx = packed[:, :-10]
+        slots = packed[:, -10]
+        plens = packed[:, -9]
+        max_new = packed[:, -8]
+        top_k = packed[:, -7]
+        stop_token = packed[:, -6]
+        g0 = packed[:, -5]
+        valid = packed[:, -4].astype(bool)
+        seed = jax.lax.bitcast_convert_type(packed[:, -3], jnp.uint32)
+        top_p = jax.lax.bitcast_convert_type(packed[:, -2], jnp.float32)
         temperature = jax.lax.bitcast_convert_type(packed[:, -1], jnp.float32)
         pre = KVCache.create(cfg, G, max_len=self.cache_len)
         logits, _, pre = self.model.apply(
@@ -375,6 +428,7 @@ class GenerationServer(EngineHostBase):
             max_new=set_(state.max_new, max_new),
             temperature=set_(state.temperature, temperature),
             top_k=set_(state.top_k, top_k),
+            top_p=set_(state.top_p, top_p),
             stop_token=set_(state.stop_token, stop_token),
             seed=set_(state.seed, seed),
             active=set_(state.active, jnp.ones((G,), bool)),
@@ -384,7 +438,8 @@ class GenerationServer(EngineHostBase):
 
     def submit(self, prompt, max_new_tokens: int = 500,
                temperature: float = 0.8, top_k: int = 200,
-               seed: int = 1337, stop_token: int = -1) -> int:
+               seed: int = 1337, stop_token: int = -1,
+               top_p: float = 1.0) -> int:
         """Queue a request; returns its id. Thread-safe enough for a
         producer thread + one engine thread (deque append/popleft)."""
         if not prompt:
@@ -411,10 +466,16 @@ class GenerationServer(EngineHostBase):
         temperature = float(temperature)
         if not np.isfinite(temperature):
             raise ValueError("temperature must be finite")
+        top_p = float(top_p)
+        if not (np.isfinite(top_p) and top_p > 0.0):
+            # top_p <= 0 would mask every token (csum never < p keeps only
+            # the argmax by the clip, but 0/negative is a caller bug);
+            # >= 1.0 is the documented "disabled" setting
+            raise ValueError("top_p must be finite and > 0")
         req = Request(
             id=next(self._ids), prompt=prompt,
             max_new_tokens=int(max_new_tokens), temperature=temperature,
-            top_k=int(top_k),
+            top_k=int(top_k), top_p=top_p,
             seed=int(seed) & 0xFFFFFFFF,  # fold into uint32 (negatives ok)
             stop_token=int(stop_token),
             submitted_at=_time.perf_counter(),
@@ -484,25 +545,27 @@ class GenerationServer(EngineHostBase):
         # two padded wave sizes only (compile economy): G=8 or admit_group
         G = 8 if len(admits) <= 8 else group
         n_waves = -(-len(admits) // G)
-        packed = np.zeros((n_waves * G, pc + 9), np.int32)
-        packed[:, -9] = self.n_slots  # padding rows -> dropped
-        packed[:, -8] = 1
-        packed[:, -5] = -1
+        packed = np.zeros((n_waves * G, pc + 10), np.int32)
+        packed[:, -10] = self.n_slots  # padding rows -> dropped
+        packed[:, -9] = 1
+        packed[:, -6] = -1
+        packed[:, -2] = np.float32(1.0).view(np.int32)
         packed[:, -1] = np.float32(1.0).view(np.int32)
         for i, ((slot, req, _, g0_i), ctx) in enumerate(zip(admits, all_ctxs)):
             packed[i, :len(ctx)] = ctx
-            packed[i, -9] = slot
-            packed[i, -8] = len(ctx)
-            packed[i, -7] = req.max_new_tokens
-            packed[i, -6] = req.top_k
-            packed[i, -5] = req.stop_token
-            packed[i, -4] = g0_i
-            packed[i, -3] = 1
-            packed[i, -2] = np.uint32(req.seed).view(np.int32)
+            packed[i, -10] = slot
+            packed[i, -9] = len(ctx)
+            packed[i, -8] = req.max_new_tokens
+            packed[i, -7] = req.top_k
+            packed[i, -6] = req.stop_token
+            packed[i, -5] = g0_i
+            packed[i, -4] = 1
+            packed[i, -3] = np.uint32(req.seed).view(np.int32)
+            packed[i, -2] = np.float32(req.top_p).view(np.int32)
             packed[i, -1] = np.float32(req.temperature).view(np.int32)
             self._slots[slot] = req
             self._lengths[slot] = len(ctx)
-        packed_dev = jnp.asarray(packed.reshape(n_waves, G, pc + 9))
+        packed_dev = jnp.asarray(packed.reshape(n_waves, G, pc + 10))
         for w in range(n_waves):
             self.stats["admit_waves"] += 1
             self.state = self._insert_many(

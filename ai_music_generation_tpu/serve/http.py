@@ -8,8 +8,13 @@ is queued. Handler threads block on per-request events.
 Endpoints:
 - ``POST /generate`` — JSON ``{"prompt": "<text>"}`` (tokenized with the
   checkpoint's codec) or ``{"tokens": [..]}``; optional ``max_new_tokens``,
-  ``temperature``, ``top_k``, ``seed``, ``stop_token``. Returns
-  ``{"id", "tokens", "text"}`` when generation finishes.
+  ``temperature``, ``top_k``, ``top_p``, ``seed``, ``stop_token``. Returns
+  ``{"id", "tokens", "text"}`` when generation finishes. With
+  ``"stream": true`` the response is Server-Sent Events instead: one
+  ``data: {"tokens": [...], "text": "..."}`` event per engine step that
+  produced tokens for this request (granularity = ``ticks_per_call``
+  decode ticks — the engine's host round-trip unit), then a final
+  ``data: {"done": true, "id": ..., "tokens": all, "text": all}`` event.
 - ``GET /health`` — ``{"slots", "active", "queued"}``.
 
 The engine's determinism contract means a request's output depends only on
@@ -20,6 +25,7 @@ traffic — so responses are reproducible under load.
 from __future__ import annotations
 
 import json
+import queue as _queue
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Callable, Optional
@@ -37,11 +43,14 @@ class EngineRunner:
         self._wake = threading.Event()
         self._events: dict[int, threading.Event] = {}
         self._results: dict[int, Request] = {}
+        # rid -> [request, n_tokens_pushed, SimpleQueue] for streaming
+        # consumers; fed by _loop after every engine step
+        self._streams: dict[int, list] = {}
         self._stop = False
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
-    def submit(self, prompt_tokens, **kw) -> int:
+    def submit(self, prompt_tokens, want_stream: bool = False, **kw) -> int:
         with self._lock:
             # checked under the lock (and set under it in _loop): a submit
             # racing the crash handler either registers before the handler
@@ -51,6 +60,13 @@ class EngineRunner:
                 raise RuntimeError(f"engine thread dead: {self.error}")
             rid = self.engine.submit(prompt_tokens, **kw)
             self._events[rid] = threading.Event()
+            if want_stream:
+                # registered under the SAME lock as engine.submit: the
+                # engine loop's post-step handoff also takes this lock, so
+                # no step's demux can slip between submit and registration
+                # — chunk boundaries are exactly one-per-engine-step
+                self._streams[rid] = [self.engine._live[rid], 0,
+                                      _queue.SimpleQueue()]
         self._wake.set()
         return rid
 
@@ -61,16 +77,63 @@ class EngineRunner:
             # timed-out request can never leak its event/result entries
             # (the engine may have finished it between wait() expiring and
             # the lock being taken — discard that result too)
-            with self._lock:
-                self._events.pop(rid, None)
-                self._results.pop(rid, None)
-                cancel = getattr(self.engine, "cancel", None)
-                if cancel is not None:
-                    cancel(rid)
+            self._abandon(rid)
             return None
         with self._lock:
             self._events.pop(rid, None)
             return self._results.pop(rid)
+
+    def stream(self, rid: int, timeout: Optional[float] = None):
+        """Incremental view of a request submitted with ``want_stream``:
+        yields ``(new_tokens, finished_request_or_None)`` chunks as the
+        engine loop pushes them — exactly one chunk per engine step that
+        demuxed tokens for this request (the step is the engine's
+        ``ticks_per_call``-tick host round-trip, i.e. the true streaming
+        granularity of the device program) — ending with ``([], request)``.
+        On engine death raises RuntimeError; on timeout cancels the
+        request and raises TimeoutError."""
+        import time as _time
+
+        with self._lock:
+            entry = self._streams.get(rid)
+        if entry is None:
+            raise KeyError(f"request {rid} was not submitted with "
+                           "want_stream=True (or already consumed)")
+        q = entry[2]
+        deadline = None if timeout is None else _time.perf_counter() + timeout
+        try:
+            while True:
+                remaining = (None if deadline is None
+                             else max(0.0, deadline - _time.perf_counter()))
+                try:
+                    kind, val = q.get(timeout=remaining)
+                except _queue.Empty:
+                    raise TimeoutError(f"request {rid} timed out") from None
+                if kind == "chunk":
+                    yield val, None
+                elif kind == "done":
+                    yield [], val
+                    return
+                else:  # "error"
+                    raise RuntimeError(f"engine thread dead: {val}")
+        finally:
+            # abandoned mid-stream (client disconnect, timeout, engine
+            # death, or a dropped generator): release bookkeeping + cancel
+            with self._lock:
+                self._streams.pop(rid, None)
+            if rid in self._events:
+                self._abandon(rid)
+
+    def _abandon(self, rid: int) -> None:
+        """Drop a request's event/result bookkeeping and cancel it
+        engine-side (wait() timeout, stream() timeout, or a streaming
+        client that disconnected mid-generation)."""
+        with self._lock:
+            self._events.pop(rid, None)
+            self._results.pop(rid, None)
+            cancel = getattr(self.engine, "cancel", None)
+            if cancel is not None:
+                cancel(rid)
 
     def stats(self) -> dict:
         e = self.engine
@@ -119,6 +182,19 @@ class EngineRunner:
                             continue  # abandoned (wait() timed out) — drop
                         self._results[req.id] = req
                         ev.set()
+                    for rid, entry in list(self._streams.items()):
+                        req, sent, q = entry
+                        n = len(req.generated)
+                        if n > sent:
+                            q.put(("chunk", list(req.generated[sent:n])))
+                            entry[1] = n
+                        if req.done:
+                            q.put(("done", req))
+                            # the stream consumed this request: drop the
+                            # wait()-side bookkeeping too
+                            del self._streams[rid]
+                            self._events.pop(rid, None)
+                            self._results.pop(rid, None)
             except Exception as exc:  # noqa: BLE001 — engine thread must not
                 # die silently: fail every pending waiter (they return 500
                 # instead of hanging to 504) and mark the engine dead so
@@ -128,14 +204,20 @@ class EngineRunner:
                     for rid, ev in list(self._events.items()):
                         self._results.setdefault(rid, None)  # None = engine error
                         ev.set()
+                    for entry in self._streams.values():
+                        entry[2].put(("error", self.error))
+                    self._streams.clear()
                 return
 
 
-def _make_base_handler(runner: EngineRunner, submit_fn, respond_fn):
+def _make_base_handler(runner: EngineRunner, submit_fn, respond_fn,
+                       chunk_fn=None):
     """Shared HTTP scaffold for both engines: /health GET, /generate POST
     with submit -> wait -> 504-on-timeout -> JSON response. ``submit_fn``
     maps the request payload to a request id; ``respond_fn`` maps a
-    finished Request to the response dict."""
+    finished Request to the response dict. ``chunk_fn`` (optional) maps an
+    incremental token chunk to a streamed-event dict — when provided,
+    ``"stream": true`` payloads get a Server-Sent-Events response."""
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # quiet by default
@@ -148,6 +230,23 @@ def _make_base_handler(runner: EngineRunner, submit_fn, respond_fn):
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
             self.wfile.write(body)
+
+        def _sse(self, rid: int, timeout: float):
+            self.send_response(200)
+            self.send_header("Content-Type", "text/event-stream")
+            self.send_header("Cache-Control", "no-cache")
+            self.end_headers()
+            try:
+                for chunk, done in runner.stream(rid, timeout=timeout):
+                    obj = (respond_fn(done) | {"done": True}) if done \
+                        else chunk_fn(chunk)
+                    self.wfile.write(
+                        b"data: " + json.dumps(obj).encode() + b"\n\n")
+                    self.wfile.flush()
+            except (BrokenPipeError, ConnectionResetError):
+                runner._abandon(rid)  # client left mid-stream: stop paying
+            except TimeoutError:
+                pass  # stream() already cancelled; the socket just closes
 
         def do_GET(self):
             if self.path == "/health":
@@ -162,7 +261,14 @@ def _make_base_handler(runner: EngineRunner, submit_fn, respond_fn):
             try:
                 n = int(self.headers.get("Content-Length", "0"))
                 payload = json.loads(self.rfile.read(n) or b"{}")
+                if payload.get("stream") and chunk_fn is None:
+                    self._json(400, {"error": "streaming not supported "
+                                              "for this engine"})
+                    return
                 rid = submit_fn(payload)
+                if payload.get("stream"):
+                    self._sse(rid, timeout=float(payload.get("timeout", 600)))
+                    return
                 req = runner.wait(rid, timeout=float(payload.get("timeout", 600)))
                 if req is None:
                     if runner.error is not None:
@@ -198,9 +304,11 @@ def make_handler(runner: EngineRunner,
             prompt = list(encode(payload["prompt"]))
         return runner.submit(
             prompt,
+            want_stream=bool(payload.get("stream", False)),
             max_new_tokens=int(payload.get("max_new_tokens", 500)),
             temperature=float(payload.get("temperature", 0.8)),
             top_k=int(payload.get("top_k", 200)),
+            top_p=float(payload.get("top_p", 1.0)),
             seed=int(payload.get("seed", 1337)),
             stop_token=int(payload.get("stop_token", -1)),
         )
@@ -209,7 +317,10 @@ def make_handler(runner: EngineRunner,
         return {"id": req.id, "tokens": req.generated,
                 "text": decode(req.generated)}
 
-    return _make_base_handler(runner, submit, respond)
+    def chunk(tokens):
+        return {"tokens": tokens, "text": decode(tokens)}
+
+    return _make_base_handler(runner, submit, respond, chunk_fn=chunk)
 
 
 def serve(runner: EngineRunner, encode, decode, host: str = "127.0.0.1",

@@ -76,6 +76,47 @@ def test_engine_mixed_requests_and_refresh(tiny):
     assert by_id[r_greedy].generated == list(ref)
 
 
+def test_per_slot_sample_matches_batch_sampler():
+    """The per-row temperature/top-k/top-p pipeline must pick the exact
+    token the lockstep batch sampler's transforms pick row-by-row (same
+    key + same masked logits -> same categorical draw)."""
+    from ai_music_generation_tpu.decode.generate import apply_top_p
+    from ai_music_generation_tpu.serve.engine import _per_slot_sample
+
+    B, V = 6, 37
+    logits = jax.random.normal(jax.random.PRNGKey(3), (B, V)) * 3.0
+    temps = jnp.array([0.7, 1.0, 1.3, 0.9, 0.0, 0.8])
+    top_k = jnp.array([5, 0, 200, 3, 10, 1])
+    top_p = jnp.array([0.8, 0.9, 1.0, 0.5, 0.95, 0.6])
+    keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(B, dtype=jnp.uint32))
+    got = jax.device_get(_per_slot_sample(logits, keys, temps, top_k, top_p))
+
+    for i in range(B):
+        if float(temps[i]) == 0.0:
+            ref = int(jnp.argmax(logits[i]))
+        else:
+            scaled = logits[i] / temps[i]
+            k = int(top_k[i]) if int(top_k[i]) > 0 else V
+            kth = jnp.sort(scaled)[::-1][min(k, V) - 1]
+            masked = jnp.where(scaled < kth, -jnp.inf, scaled)
+            if float(top_p[i]) < 1.0:
+                masked = apply_top_p(masked[None], float(top_p[i]))[0]
+            ref = int(jax.random.categorical(keys[i], masked))
+        assert int(got[i]) == ref, f"row {i}"
+
+
+def test_engine_top_p_near_zero_is_greedy(tiny):
+    """top_p -> 0 shrinks the nucleus to the argmax: a tiny-top_p sampled
+    request must byte-match the greedy request through the real engine."""
+    _, model, params = tiny
+    srv = GenerationServer(model, params, n_slots=2, ticks_per_call=8)
+    r_p = srv.submit([3, 1, 4], max_new_tokens=24, seed=9, temperature=0.8,
+                     top_p=1e-6)
+    r_g = srv.submit([3, 1, 4], max_new_tokens=24, seed=77, temperature=0.0)
+    by_id = {r.id: r for r in srv.run_until_idle()}
+    assert by_id[r_p].generated == by_id[r_g].generated
+
+
 def test_engine_batch_composition_independence(tiny):
     """A request's tokens depend only on its own fields — rerunning it alone
     reproduces the output it had amid concurrent traffic."""
@@ -240,36 +281,77 @@ def test_http_server_generate_and_health(tiny):
         runner.shutdown()
 
 
+def test_http_streaming_sse(tiny):
+    """`"stream": true` returns Server-Sent Events: incremental chunks
+    per engine step, a final done event, and the concatenation byte-equal
+    to the non-streamed response for the same (prompt, seed)."""
+    from ai_music_generation_tpu.serve.http import EngineRunner, serve
+
+    _, model, params = tiny
+    runner = EngineRunner(GenerationServer(model, params, n_slots=2,
+                                           ticks_per_call=8))
+    decode = lambda toks: "".join(chr(65 + (t % 26)) for t in toks)
+    httpd = serve(runner, lambda s: [1], decode, port=0)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        body = {"tokens": [1, 2, 3], "max_new_tokens": 30, "seed": 3}
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/generate",
+            data=json.dumps(body | {"stream": True}).encode(),
+            headers={"Content-Type": "application/json"})
+        events, streamed = [], []
+        with urllib.request.urlopen(req, timeout=120) as r:
+            assert r.headers["Content-Type"] == "text/event-stream"
+            for line in r:
+                if line.startswith(b"data: "):
+                    events.append(json.loads(line[6:]))
+        assert events[-1].get("done") is True
+        for ev in events[:-1]:
+            assert ev["text"] == decode(ev["tokens"])
+            streamed.extend(ev["tokens"])
+        # 30 tokens at 8 ticks/call -> at least 4 incremental chunks
+        assert len(events) >= 5
+        assert streamed == events[-1]["tokens"] and len(streamed) == 30
+
+        # non-streamed run of the same request must give the same bytes
+        req2 = urllib.request.Request(
+            f"http://127.0.0.1:{port}/generate",
+            data=json.dumps(body).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req2, timeout=120) as r:
+            plain = json.loads(r.read())
+        assert plain["tokens"] == streamed
+    finally:
+        httpd.shutdown()
+        runner.shutdown()
+
+
 @pytest.mark.nightly
 def test_engine_sharded_over_mesh(tiny, mesh8):
-    """DP serving: slot state sharded over the mesh data axis, params
-    replicated (or TP-sharded) — same bytes as the single-device engine."""
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
-    from ai_music_generation_tpu.parallel import mesh as pmesh
-
+    """DP serving via the first-class ``mesh=`` kwarg: slot state sharded
+    over the mesh data axis, params replicated (or TP-sharded) — same bytes
+    as the single-device engine, including a nucleus-filtered request."""
     _, model, params = tiny
 
     def run(shard: bool):
-        srv = GenerationServer(model, params, n_slots=8, ticks_per_call=8)
-        if shard:
-            slot_sh = jax.tree.map(
-                lambda x: NamedSharding(
-                    mesh8,
-                    P(pmesh.DATA_AXIS, *([None] * (x.ndim - 1)))
-                    if x.ndim >= 1 and x.shape[0] == 8 else P()),
-                srv.state)
-            srv.state = jax.device_put(srv.state, slot_sh)
-            srv.params = jax.device_put(
-                params, pmesh.shardings_for_tree(mesh8, params))
+        srv = GenerationServer(model, params, n_slots=8, ticks_per_call=8,
+                               mesh=mesh8 if shard else None)
         a = srv.submit([1, 2, 3], max_new_tokens=24, seed=11)
-        b = srv.submit([5] * 9, max_new_tokens=40, seed=22, temperature=1.2)
+        b = srv.submit([5] * 9, max_new_tokens=40, seed=22, temperature=1.2,
+                       top_p=0.9)
         return {r.id: r.generated for r in srv.run_until_idle()}, (a, b)
 
     plain, ids = run(False)
     sharded, ids2 = run(True)
     assert plain[ids[0]] == sharded[ids2[0]]
     assert plain[ids[1]] == sharded[ids2[1]]
+
+
+def test_engine_mesh_rejects_uneven_slots(tiny, mesh8):
+    _, model, params = tiny
+    with pytest.raises(ValueError, match="divide evenly"):
+        GenerationServer(model, params, n_slots=6, mesh=mesh8)
 
 
 def test_latency_stats(tiny):
