@@ -6,8 +6,10 @@ sequence per bar (ref: tunesformer/utils.py:221-255, generate.py:134-153).
 Here:
 
 - bars for ALL tunes in the batch are generated lockstep: one jitted call
-  per bar encodes the (padded) patch sequences and scans the char decoder
-  over the 31 in-bar positions with on-device sampling;
+  per bar feeds the newest committed patch through a patch-core KV cache
+  (``TunesFormer.patch_step`` — O(1) patch positions per bar; the
+  reference's full re-encode is O(P) and dominates its bar cost) and scans
+  the char decoder over the 31 in-bar positions with on-device sampling;
 - the host only handles per-bar string bookkeeping (patch re-encoding,
   control-code filtering, stop conditions) — 1-2 device calls per BAR
   instead of per char;
@@ -114,10 +116,34 @@ def prepare_patch_state(patchilizer: Patchilizer, prompt: str, L: int, S: int):
 
 def bar_scan(model, params, patches, n_patches, init_tokens, init_lens,
              sample_fn):
-    """One generated bar for each tune in the batch (traced; callers jit).
+    """One generated bar for each tune in the batch, conditioning computed
+    by a FULL patch-core forward over the whole (padded) patch stack —
+    the reference's per-bar re-encode (ref: generate.py:136-140). The
+    incremental path (``TunesFormer.patch_step`` + :func:`char_bar_scan`)
+    produces byte-identical output at O(1) patch positions per bar; this
+    full-forward wrapper is kept as its exactness oracle and for callers
+    that don't carry a patch cache.
 
     patches:      [B, L, S] int32 (zero-padded patch sequences)
     n_patches:    [B] valid patch counts (>=1)
+    (remaining args/returns: see :func:`char_bar_scan`)
+    """
+    encoded = model.apply(
+        params, patches, method=model.encode_patches
+    )  # [B, L, C]
+    last = jnp.take_along_axis(
+        encoded, (n_patches - 1)[:, None, None], axis=1
+    )[:, 0, :]  # [B, C]
+    return char_bar_scan(model, params, last, init_tokens, init_lens,
+                         sample_fn)
+
+
+def char_bar_scan(model, params, last, init_tokens, init_lens, sample_fn):
+    """Decode one bar's chars for each tune, given the conditioning vector
+    (traced; callers jit).
+
+    last:         [B, C] encoded-patch conditioning (position 0's embedding
+                  in the char decoder, ref: utils.py:146-149)
     init_tokens:  [B, S] int32 (bos + any carried partial-bar chars)
     init_lens:    [B] number of valid init tokens (>=1)
     sample_fn:    (probs [B, 128], idx [B]) -> [B] int32 sampled chars,
@@ -136,15 +162,7 @@ def bar_scan(model, params, patches, n_patches, init_tokens, init_lens,
     """
     from ai_music_generation_tpu.models.gpt import KVCache
 
-    S = patches.shape[2]
-    B = patches.shape[0]
-
-    encoded = model.apply(
-        params, patches, method=model.encode_patches
-    )  # [B, L, C]
-    last = jnp.take_along_axis(
-        encoded, (n_patches - 1)[:, None, None], axis=1
-    )[:, 0, :]  # [B, C]
+    B, S = init_tokens.shape
 
     char_cfg = model.config.char_core_config()
     cache = KVCache.create(char_cfg, B, max_len=S, quantized=False)
@@ -208,20 +226,44 @@ class TunesGenerator:
         return hash(self._jit_key())
 
     @functools.partial(jax.jit, static_argnums=0)
-    def _bar_step(self, params, patches, n_patches, init_tokens, init_lens, rng):
-        """bar_scan with this generator's static sampling params + one
-        shared rng folded by sampled-char index. All rows share a prompt
-        here, so the per-row fold indices are uniform — ``idx[0]`` keeps
-        the single-key batched-categorical draw (one key, independent
-        per-row samples) of the original formulation."""
+    def _prefill(self, params, patches, n0):
+        """Fill the patch-core KV cache from the prompt patches: ONE
+        canonical [B, L, S] patch forward, then the scalar cache length is
+        rewound to ``n0 - 1`` so the first bar step re-feeds the prompt's
+        LAST patch — every bar (including the first) then runs the same
+        one-position program. The column at n0-1 is overwritten by that
+        step with identical K/V, so the rewind trades nothing."""
+        from ai_music_generation_tpu.models.gpt import KVCache
+
+        B, L = patches.shape[0], patches.shape[1]
+        cache = KVCache.create(
+            self.cfg.patch_core_config(), B, max_len=L, quantized=False)
+        _, cache = self.model.apply(
+            params, patches, cache, method=self.model.encode_patches_cached)
+        return KVCache(cache.k, cache.v, (n0 - 1).astype(jnp.int32))
+
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=2)
+    def _bar_step(self, params, cache, new_patch, init_tokens, init_lens,
+                  rng):
+        """One cached patch-decoder position (the just-committed patch) +
+        the char bar scan, with this generator's static sampling params and
+        one shared rng folded by sampled-char index. All rows share a
+        prompt here, so the per-row fold indices are uniform — ``idx[0]``
+        keeps the single-key batched-categorical draw (one key, independent
+        per-row samples) of the original formulation. The patch cache is
+        donated: XLA updates the K/V buffers in place across bars."""
+        last, cache = self.model.apply(
+            params, new_patch, cache, method=self.model.patch_step)
+
         def sample_fn(probs, idx):
             return sample_top_p_top_k_temperature(
                 probs, jax.random.fold_in(rng, idx[0]),
                 self.top_p, self.top_k, self.temperature,
             )
 
-        return bar_scan(self.model, params, patches, n_patches,
-                        init_tokens, init_lens, sample_fn)
+        tokens, lens = char_bar_scan(self.model, params, last,
+                                     init_tokens, init_lens, sample_fn)
+        return tokens, lens, cache
 
     def generate_tunes(
         self,
@@ -252,6 +294,19 @@ class TunesGenerator:
         patches = np.zeros((B, L, S), np.int32)
         patches[:, : len(prompt_patches)] = np.asarray(prompt_patches, np.int32)
         n_patches = np.full((B,), len(prompt_patches), np.int32)
+
+        # prefill the patch-core KV cache once; each bar then feeds only the
+        # newest committed patch (TunesFormer.patch_step) — O(1) patch
+        # positions per bar instead of the reference's full re-encode
+        # (ref: generate.py:136-140). Exactness vs the full forward is
+        # pinned by tests/test_tunes_decode.py.
+        patch_cache = self._prefill(
+            params, jnp.asarray(patches),
+            jnp.asarray(len(prompt_patches), jnp.int32))
+        # the patch each row feeds this bar: the prompt's last patch first,
+        # then the bar just committed (stale for done rows — their cache row
+        # is never read again)
+        new_patch = patches[:, len(prompt_patches) - 1].copy()  # [B, S]
 
         # visible text per tune (control codes filtered like ref :114-126)
         filter_cc = lambda text: filter_control_codes(text, show_control_code)
@@ -287,8 +342,8 @@ class TunesGenerator:
                 init_lens[b] = 1 + len(chars)
 
             rng = jax.random.fold_in(base_rng, bar_idx)
-            tokens, lens = self._bar_step(
-                params, jnp.asarray(patches), jnp.asarray(n_patches),
+            tokens, lens, patch_cache = self._bar_step(
+                params, patch_cache, jnp.asarray(new_patch),
                 jnp.asarray(init_tokens), jnp.asarray(init_lens), rng,
             )
             tokens = np.asarray(jax.device_get(tokens))
@@ -311,6 +366,7 @@ class TunesGenerator:
                 carried[b] = ""
                 patch = p.bar2patch(full_bar, S)
                 patches[b, n_patches[b]] = patch
+                new_patch[b] = patch  # feeds the next bar's patch_step
                 n_patches[b] += 1
 
         return tunes

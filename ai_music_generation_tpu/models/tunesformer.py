@@ -92,19 +92,29 @@ class TransformerCore(nn.Module):
                  cache: Optional[KVCache] = None):
         cfg = self.config
         B, T, C = embeds.shape
-        pos = (cache.length + jnp.arange(T)) if cache is not None else jnp.arange(T)
         wpe = nn.Embed(
             cfg.block_size, cfg.n_embd, dtype=cfg.dtype,
             param_dtype=cfg.param_dtype,
             embedding_init=nn.initializers.normal(0.02), name="wpe",
         )
-        x = embeds.astype(cfg.dtype) + wpe(pos)[None, :, :]
+        if cache is not None and cache.length.ndim == 1:
+            # per-row ring cache (continuous-batching serving): row i's
+            # token sits at its own logical position length[i]+t — same
+            # contract as models/gpt.py's serving path
+            pos = cache.length[:, None] + jnp.arange(T)[None, :]  # [B, T]
+            pe = wpe(pos)
+        else:
+            pos = (cache.length + jnp.arange(T)) if cache is not None else jnp.arange(T)
+            pe = wpe(pos)[None, :, :]
+        x = embeds.astype(cfg.dtype) + pe
         x = nn.Dropout(cfg.dropout)(x, deterministic=deterministic)
         new_k, new_v = [], []
         for i in range(cfg.n_layer):
             layer_cache = None if cache is None else (cache.k[i], cache.v[i])
             cache_len = None if cache is None else cache.length
-            x, lc = Block(cfg, i, name=f"h_{i}")(x, deterministic, layer_cache, cache_len)
+            x, lc = Block(cfg, i, name=f"h_{i}")(
+                x, deterministic, layer_cache, cache_len,
+                None if cache is None else cache.cursor)
             if lc is not None:
                 new_k.append(lc[0])
                 new_v.append(lc[1])
@@ -114,7 +124,10 @@ class TransformerCore(nn.Module):
         )(x)
         new_cache = None
         if cache is not None:
-            new_cache = KVCache(tuple(new_k), tuple(new_v), cache.length + T)
+            new_cursor = (None if cache.cursor is None else
+                          jnp.mod(cache.cursor + T, new_k[0].shape[1]))
+            new_cache = KVCache(tuple(new_k), tuple(new_v), cache.length + T,
+                                cursor=new_cursor)
         return x, new_cache
 
 
@@ -163,6 +176,34 @@ class TunesFormer(nn.Module):
         hidden, _ = self.patch_core(emb, deterministic)
         return hidden
 
+    def encode_patches_cached(self, patches: Array, cache,
+                              deterministic: bool = True):
+        """``encode_patches`` that also fills a patch-core KVCache (the
+        prefill half of incremental patch decoding). Returns
+        (hidden [B, P, C], cache with length advanced by P)."""
+        emb = self.patch_embedding(patches)
+        return self.patch_core(emb, deterministic, cache=cache)
+
+    def patch_step(self, new_patch: Array, cache, deterministic: bool = True):
+        """One cached patch-decoder position (incremental
+        ``encode_patches``).
+
+        The reference re-encodes the FULL patch sequence every bar
+        (ref: tunesformer/generate.py:136-140, utils.py:232-233) — O(P)
+        patch positions per bar, and the patch stack dominates the bar
+        step's FLOPs (patch_layers * P vs char_layers * S ~= 12:1 at
+        reference shapes). Committed patches never change, so their K/V is
+        append-only: this feeds only the newest patch through the patch
+        core against the cache — O(1) positions per bar, byte-identical
+        conditioning (pinned by tests/test_tunes_decode.py).
+
+        new_patch: [B, S] int32 (the just-committed bar patch);
+        cache: KVCache over the patch core. Returns (hidden [B, C] — the
+        encoding that conditions the NEXT bar's chars, updated cache)."""
+        emb = self.patch_embedding(new_patch[:, None, :])  # [B, 1, C]
+        hidden, cache = self.patch_core(emb, deterministic, cache=cache)
+        return hidden[:, 0, :], cache
+
     def char_logits(
         self, encoded_patch: Array, tokens: Array, deterministic: bool = True
     ) -> Array:
@@ -192,7 +233,7 @@ class TunesFormer(nn.Module):
         (ref: utils.py:146-149), the char embedding otherwise. Returns
         (logits [N, 128] for this position, updated cache). The bar scan
         uses this to decode a bar in O(S) char-core tokens instead of the
-        full-forward O(S^2) (decode/tunes_generate.py::bar_scan)."""
+        full-forward O(S^2) (decode/tunes_generate.py::char_bar_scan)."""
         tok_emb = self.char_wte(tok)[:, None, :]  # [N, 1, C]
         first = encoded_patch[:, None, :].astype(tok_emb.dtype)
         embeds = jnp.where(cache.length == 0, first, tok_emb)

@@ -11,12 +11,17 @@ program, entering and leaving slots as they finish.
 
 Design:
 
-- ONE jitted bar program over ``[n_slots, L, S]`` patch state. Per-slot
-  prompts/positions/params: the patch encoder re-encodes the padded patch
-  sequence each bar (the model's own contract — patch-level attention is
-  over <=128 patch embeddings, so re-encoding is cheap relative to the
-  char scan), so admission is pure host bookkeeping: no prefill program,
-  a freed slot is reusable immediately.
+- ONE jitted bar program over a per-row patch-core KV CACHE (ring buffer,
+  ``[n_slots, L, heads, dim]`` per layer — the same vector-length cache
+  contract as the GPT engine). Committed patches never change, so each bar
+  feeds only every slot's NEWEST patch through ``TunesFormer.patch_step``
+  — O(1) patch positions per slot per bar. (The first engine re-encoded
+  the full [n_slots, L, S] patch stack per bar, the reference's own
+  structure, ref: generate.py:136-140; at 512 slots that full forward was
+  ~12x the char scan's FLOPs and dominated the bar step.) Admission is an
+  insert-prefill fused into the bar program: one batch-G patch prefill,
+  each prompt's K/V rolled to end at the ring cursor, scattered to slot
+  rows — the GPT engine's ``_insert_many`` pattern.
 - Per-request sampling: ``top_p`` / ``top_k`` / ``temperature`` are [B]
   vectors inside the program (the batch generator specializes them as
   compile-time constants; a server cannot).
@@ -43,11 +48,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from ai_music_generation_tpu.decode.tunes_generate import (
-    bar_scan,
+    char_bar_scan,
     filter_control_codes,
     filter_generated_bar,
     prepare_patch_state,
 )
+from ai_music_generation_tpu.models.gpt import KVCache
 from ai_music_generation_tpu.models.tunesformer import TunesFormer
 from ai_music_generation_tpu.serve.engine import EngineHostBase
 from ai_music_generation_tpu.tokenizers.patchilizer import Patchilizer
@@ -124,7 +130,7 @@ class TunesServer(EngineHostBase):
     """
 
     def __init__(self, model: TunesFormer, params, n_slots: int = 16,
-                 mesh=None):
+                 mesh=None, admit_group: int = 256):
         """``mesh``: optional jax.sharding.Mesh — slot state rides the data
         axis, params take the TP rule layout (parallel/mesh.py), and the
         jitted bar program inherits those shardings from its inputs. The
@@ -134,6 +140,13 @@ class TunesServer(EngineHostBase):
         self.params = params
         self.cfg = model.config
         self.n_slots = n_slots
+        # admissions per step are capped: the fused insert-prefill builds a
+        # transient [G, L, H, D] patch cache per layer, and an uncapped
+        # G = n_slots bucket OOMs HBM at 2048 slots (measured: 19.5 GB vs
+        # 15.75 — the main ring cache is 7.2 GB and the admission transient
+        # another 7.2). Leftover queue admits on subsequent bars; bars are
+        # fast, so a full queue drains the cap in a few steps.
+        self.admit_group = min(admit_group, n_slots)
         self.patchilizer = Patchilizer()
         self._queue: deque[TuneRequest] = deque()
         self._slots: list[Optional[_SlotState]] = [None] * n_slots
@@ -144,65 +157,100 @@ class TunesServer(EngineHostBase):
         # producers touch only these; the engine thread applies them)
         self._live: dict[int, TuneRequest] = {}
         self._cancelled: set[int] = set()
-        # DEVICE-RESIDENT patch state: uploading the full [B, L, S] stack
-        # every bar (the naive approach) moves ~2 MB/step over the tunnel
-        # and dominated the bar step at 128 slots; instead the device array
-        # is updated incrementally — one [B, S] bar-patch write per step
-        # plus full-row writes only at admission.
-        self._dev_patches = jnp.zeros(
-            (n_slots, self.cfg.patch_length, self.cfg.patch_size), jnp.int32)
+        # DEVICE-RESIDENT patch-core KV cache (per-row ring, the GPT
+        # engine's vector-length contract): each slot's committed patches
+        # live as K/V rows at its own logical positions; per bar the device
+        # sees only one [B, S] feed-patch row + admission rows — the full
+        # [B, L, S] stack never crosses the tunnel and is never re-encoded.
+        self._patch_cache = KVCache.create(
+            self.cfg.patch_core_config(), n_slots,
+            max_len=self.cfg.patch_length, per_row=True, quantized=False)
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             from ai_music_generation_tpu.parallel import mesh as pmesh
 
             if n_slots % mesh.shape[pmesh.DATA_AXIS] == 0:
-                self._dev_patches = jax.device_put(
-                    self._dev_patches,
-                    NamedSharding(mesh, P(pmesh.DATA_AXIS, None, None)))
+                slot_sh = jax.tree.map(
+                    lambda leaf: NamedSharding(
+                        mesh,
+                        P(pmesh.DATA_AXIS, *([None] * (leaf.ndim - 1)))
+                        if leaf.ndim >= 1 and leaf.shape[0] == n_slots
+                        else P()),
+                    self._patch_cache)
+                self._patch_cache = jax.device_put(self._patch_cache, slot_sh)
             self.params = jax.device_put(
                 params, pmesh.shardings_for_tree(mesh, params))
-        # (slot, patch_row [S] int32, position) produced by the previous
-        # step's demux, applied on device at the start of the next step
-        self._pending: list[tuple[int, np.ndarray, int]] = []
 
     # -- jitted bar program --------------------------------------------------
 
     @functools.partial(jax.jit, static_argnums=0, donate_argnums=2)
-    def _bar_step(self, params, dev, adm_rows, adm_slots, packed):
-        """Sync device patch state, then one bar for every slot — ONE
-        dispatch AND one small upload per step (separate write programs /
-        per-field arrays each cost a tunnel round trip; same packing
-        rationale as the GPT engine's _insert_many).
+    def _bar_step(self, params, cache, adm_rows, adm_slots, adm_plens,
+                  packed):
+        """Admit, advance the patch cache one position, decode one bar —
+        ONE dispatch AND one small upload per step (separate write
+        programs / per-field arrays each cost a tunnel round trip; same
+        packing rationale as the GPT engine's _insert_many).
 
-        dev [B, L, S] i32 (donated device-resident patch stacks);
-        adm_rows [G, L, S] + adm_slots [G] (== n_slots padding → dropped):
-        full-row replacement for this step's admissions;
-        packed [B, 2S+9] i32: columns [0:S] init_tokens (bos + carried),
-        [S:2S] upd_rows (the previous step's bar patches), then upd_pos,
-        upd_mask, n_patches (>=1), init_lens (>=1), bar_idx (per-request
-        RNG fold), top_k, seed:u32-bits, top_p:f32-bits,
-        temperature:f32-bits. Returns (dev, tokens [B, S], lens [B]).
+        cache: donated per-row patch-core KVCache (ring, [B, L, H, D]);
+        adm_rows [G, L, S] + adm_slots [G] (== n_slots padding → dropped)
+        + adm_plens [G]: this step's admissions — batch-G patch prefill,
+        rows rolled so each prompt's first ``plen = n_patches - 1``
+        patches end at the ring cursor (the newest prompt patch is NOT
+        prefilled: it is this bar's feed row, so every bar — including a
+        slot's first — runs the same one-position program);
+        packed [B, 2S+7] i32: columns [0:S] init_tokens (bos + carried),
+        [S:2S] feed rows (each slot's newest committed patch), then
+        active, init_lens (>=1), bar_idx (per-request RNG fold), top_k,
+        seed:u32-bits, top_p:f32-bits, temperature:f32-bits.
+        Returns (cache, tokens [B, S], lens [B]).
         """
-        B = dev.shape[0]
-        S = dev.shape[2]
+        S = self.cfg.patch_size
+        L = self.cfg.patch_length
         init_tokens = packed[:, :S]
-        upd_rows = packed[:, S:2 * S]
-        upd_pos = packed[:, 2 * S]
-        upd_mask = packed[:, 2 * S + 1].astype(bool)
-        n_patches = packed[:, 2 * S + 2]
-        init_lens = packed[:, 2 * S + 3]
-        bar_idx = packed[:, 2 * S + 4]
-        top_k = packed[:, 2 * S + 5]
-        seeds = jax.lax.bitcast_convert_type(packed[:, 2 * S + 6], jnp.uint32)
-        top_p = jax.lax.bitcast_convert_type(packed[:, 2 * S + 7], jnp.float32)
+        feed = packed[:, S:2 * S]
+        active = packed[:, 2 * S].astype(bool)
+        init_lens = packed[:, 2 * S + 1]
+        bar_idx = packed[:, 2 * S + 2]
+        top_k = packed[:, 2 * S + 3]
+        seeds = jax.lax.bitcast_convert_type(packed[:, 2 * S + 4], jnp.uint32)
+        top_p = jax.lax.bitcast_convert_type(packed[:, 2 * S + 5], jnp.float32)
         temperature = jax.lax.bitcast_convert_type(
-            packed[:, 2 * S + 8], jnp.float32)
+            packed[:, 2 * S + 6], jnp.float32)
 
-        dev = dev.at[adm_slots].set(adm_rows, mode="drop")
-        cur = dev[jnp.arange(B), upd_pos]
-        new = jnp.where(upd_mask[:, None], upd_rows, cur)
-        dev = dev.at[jnp.arange(B), upd_pos].set(new)
+        # admission insert-prefill (runs every step at the padded G bucket;
+        # at G=8 the [G, L] patch forward is ~1% of the full-stack forward
+        # this engine used to pay per bar, and fusing it into the bar
+        # program keeps the step at one dispatch)
+        G = adm_rows.shape[0]
+        pre = KVCache.create(self.cfg.patch_core_config(), G, max_len=L,
+                             quantized=False)
+        _, pre = self.model.apply(
+            params, adm_rows, pre, method=self.model.encode_patches_cached)
+        # prefill wrote prompt patch p at column p; the ring window expects
+        # it at (cursor - plen + p) mod L
+        shifts = jnp.mod(cache.cursor - adm_plens, L)
+
+        def ins(buf, new):
+            rolled = jax.vmap(lambda r, s: jnp.roll(r, s, axis=0))(new, shifts)
+            return buf.at[adm_slots].set(rolled.astype(buf.dtype),
+                                         mode="drop")
+
+        cache = KVCache(
+            tuple(ins(b, p) for b, p in zip(cache.k, pre.k)),
+            tuple(ins(b, p) for b, p in zip(cache.v, pre.v)),
+            cache.length.at[adm_slots].set(adm_plens, mode="drop"),
+            cursor=cache.cursor)
+
+        # one cached patch position for every slot (ring write at cursor);
+        # inactive rows' lengths stay pinned — their stale columns drift
+        # out of the window, and re-admission rewrites the row
+        last, new_cache = self.model.apply(
+            params, feed, cache, method=self.model.patch_step)
+        cache = KVCache(
+            new_cache.k, new_cache.v,
+            jnp.where(active, new_cache.length, cache.length),
+            cursor=new_cache.cursor)
 
         row_keys = jax.vmap(
             lambda s, i: jax.random.fold_in(jax.random.PRNGKey(s), i)
@@ -212,9 +260,9 @@ class TunesServer(EngineHostBase):
             keys = jax.vmap(jax.random.fold_in)(row_keys, idx)
             return sample_ptk_vec(probs, keys, top_p, top_k, temperature)
 
-        tokens, lens = bar_scan(self.model, params, dev, n_patches,
-                                init_tokens, init_lens, sample_fn)
-        return dev, tokens, lens
+        tokens, lens = char_bar_scan(self.model, params, last,
+                                     init_tokens, init_lens, sample_fn)
+        return cache, tokens, lens
 
     # -- host orchestration --------------------------------------------------
 
@@ -279,62 +327,65 @@ class TunesServer(EngineHostBase):
                 if st is not None and st.req is req:
                     self._slots[slot] = None  # host-only state: free now
                     break
-        admitted: list[tuple[int, np.ndarray]] = []
+        admitted: list[tuple[int, "_SlotState"]] = []
         for slot in range(self.n_slots):
+            if len(admitted) >= self.admit_group:
+                break
             if self._slots[slot] is None and self._queue:
                 req = self._queue.popleft()
                 st = _SlotState(req, self.patchilizer, L, S)
                 req.text = filter_control_codes(req.prompt,
                                                 req.show_control_code)
                 self._slots[slot] = st
-                admitted.append((slot, st.patches))
-                # stale incremental writes must not clobber the fresh row
-                self._pending = [p for p in self._pending if p[0] != slot]
+                admitted.append((slot, st))
         if not any(s is not None for s in self._slots):
             return self._drain_finished()
 
         B = self.n_slots
-        # device-state sync args: full rows for admitted slots (padded to a
-        # G bucket for compile economy) + the previous step's bar patches —
-        # both applied inside _bar_step (one dispatch)
-        G = 8 if len(admitted) <= 8 else self.n_slots
+        # admission args (padded to a G bucket for compile economy): the
+        # full prompt rows prefill the patch cache inside _bar_step; the
+        # newest prompt patch is NOT prefilled (plen = n_patches - 1) — it
+        # is the slot's feed row this bar
+        G = 8 if len(admitted) <= 8 else self.admit_group
         adm_rows = np.zeros((G, L, S), np.int32)
         adm_slots = np.full((G,), self.n_slots, np.int32)
-        for i, (slot, row) in enumerate(admitted):
-            adm_rows[i] = row
+        adm_plens = np.zeros((G,), np.int32)
+        for i, (slot, st) in enumerate(admitted):
+            adm_rows[i] = st.patches
             adm_slots[i] = slot
-        # one [B, 2S+9] int32 upload (layout documented in _bar_step)
-        packed = np.zeros((B, 2 * S + 9), np.int32)
+            adm_plens[i] = max(st.n_patches, 1) - 1
+        # one [B, 2S+7] int32 upload (layout documented in _bar_step)
+        packed = np.zeros((B, 2 * S + 7), np.int32)
         packed[:, 0] = Patchilizer.bos_token_id
-        packed[:, 2 * S + 2] = 1  # n_patches >= 1
-        packed[:, 2 * S + 3] = 1  # init_lens >= 1
-        packed[:, 2 * S + 7] = np.float32(1.0).view(np.int32)
-        packed[:, 2 * S + 8] = np.float32(1.0).view(np.int32)
-        for slot, row, position in self._pending:
-            packed[slot, S:2 * S] = row
-            packed[slot, 2 * S] = position
-            packed[slot, 2 * S + 1] = 1
-        self._pending.clear()
+        packed[:, 2 * S + 1] = 1  # init_lens >= 1
+        packed[:, 2 * S + 5] = np.float32(1.0).view(np.int32)
+        packed[:, 2 * S + 6] = np.float32(1.0).view(np.int32)
         init_lens = np.ones((B,), np.int32)
         for b, st in enumerate(self._slots):
             if st is None:
                 continue
-            packed[b, 2 * S + 2] = max(st.n_patches, 1)
+            # every occupied slot feeds its newest committed patch: the
+            # prompt's last patch on its first bar, the bar committed at
+            # the previous demux afterwards (device length is n_patches-1
+            # either way, so the feed lands at its true position)
+            packed[b, S:2 * S] = st.patches[max(st.n_patches, 1) - 1]
+            packed[b, 2 * S] = 1  # active
             # cap at S-2 so at least one char can still be sampled (see the
             # matching note in decode/tunes_generate.py::generate_tunes)
             chars = [ord(c) for c in st.carried][: S - 2]
             packed[b, 1 : 1 + len(chars)] = chars
             init_lens[b] = 1 + len(chars)
-            packed[b, 2 * S + 3] = init_lens[b]
-            packed[b, 2 * S + 4] = st.bars
-            packed[b, 2 * S + 5] = st.req.top_k
-            packed[b, 2 * S + 6] = np.uint32(st.req.seed).view(np.int32)
-            packed[b, 2 * S + 7] = np.float32(st.req.top_p).view(np.int32)
-            packed[b, 2 * S + 8] = np.float32(st.req.temperature).view(np.int32)
+            packed[b, 2 * S + 1] = init_lens[b]
+            packed[b, 2 * S + 2] = st.bars
+            packed[b, 2 * S + 3] = st.req.top_k
+            packed[b, 2 * S + 4] = np.uint32(st.req.seed).view(np.int32)
+            packed[b, 2 * S + 5] = np.float32(st.req.top_p).view(np.int32)
+            packed[b, 2 * S + 6] = np.float32(st.req.temperature).view(np.int32)
 
-        self._dev_patches, tokens, lens = self._bar_step(
-            self.params, self._dev_patches, jnp.asarray(adm_rows),
-            jnp.asarray(adm_slots), jnp.asarray(packed))
+        self._patch_cache, tokens, lens = self._bar_step(
+            self.params, self._patch_cache, jnp.asarray(adm_rows),
+            jnp.asarray(adm_slots), jnp.asarray(adm_plens),
+            jnp.asarray(packed))
         tokens = np.asarray(jax.device_get(tokens))
         lens = np.asarray(jax.device_get(lens))
 
@@ -360,8 +411,7 @@ class TunesServer(EngineHostBase):
                     full_bar = st.carried + bar
                     st.carried = ""
                     patch_row = np.asarray(p.bar2patch(full_bar, S), np.int32)
-                    st.patches[st.n_patches] = patch_row  # host mirror
-                    self._pending.append((b, patch_row, st.n_patches))
+                    st.patches[st.n_patches] = patch_row  # next bar's feed
                     st.n_patches += 1
                     if st.n_patches >= min(req.max_patch, L):
                         finish = True

@@ -47,6 +47,65 @@ def test_tunes_server_batch_composition_independence(tiny_model):
     assert crowded.text.startswith(ABC)
 
 
+def test_tunes_server_matches_full_forward_oracle(tiny_model):
+    """The patch-KV-cached engine must byte-match a full-forward oracle
+    (patch stack re-encoded per bar — the engine's original structure and
+    the reference's, ref: generate.py:136-140) across staggered admissions
+    and mixed sampling params."""
+    import numpy as np
+
+    from ai_music_generation_tpu.decode.tunes_generate import bar_scan
+    from ai_music_generation_tpu.serve.tunes_engine import sample_ptk_vec
+
+    model, params = tiny_model
+
+    class FullForwardOracle(TunesServer):
+        def _bar_step(self, params_, cache, adm_rows, adm_slots, adm_plens,
+                      packed):
+            B, L = self.n_slots, self.cfg.patch_length
+            S = self.cfg.patch_size
+            stacks = np.zeros((B, L, S), np.int32)
+            n_vec = np.ones((B,), np.int32)
+            for b, st in enumerate(self._slots):
+                if st is not None:
+                    stacks[b] = st.patches
+                    n_vec[b] = max(st.n_patches, 1)
+            packed = np.asarray(packed)
+            init_tokens = jnp.asarray(packed[:, :S])
+            init_lens = jnp.asarray(packed[:, 2 * S + 1])
+            bar_idx = packed[:, 2 * S + 2]
+            top_k = jnp.asarray(packed[:, 2 * S + 3])
+            seeds = packed[:, 2 * S + 4].view(np.uint32)
+            top_p = jnp.asarray(packed[:, 2 * S + 5].view(np.float32))
+            temperature = jnp.asarray(packed[:, 2 * S + 6].view(np.float32))
+            row_keys = jax.vmap(
+                lambda s, i: jax.random.fold_in(jax.random.PRNGKey(s), i)
+            )(jnp.asarray(seeds), jnp.asarray(bar_idx))
+
+            def sample_fn(probs, idx):
+                keys = jax.vmap(jax.random.fold_in)(row_keys, idx)
+                return sample_ptk_vec(probs, keys, top_p, top_k, temperature)
+
+            tokens, lens = bar_scan(
+                self.model, params_, jnp.asarray(stacks), jnp.asarray(n_vec),
+                init_tokens, init_lens, sample_fn)
+            return cache, tokens, lens
+
+    def drive(cls):
+        srv = cls(model, params, n_slots=2)  # 4 requests -> queueing
+        rids = [
+            srv.submit(ABC, max_patch=10, seed=11),
+            srv.submit("L:1/8\nK:D\nde fg|", max_patch=8, seed=22,
+                       temperature=0.9),
+            srv.submit("L:1/4\nK:G\nGA|", max_patch=6, seed=33, top_k=4),
+            srv.submit(ABC, max_patch=7, seed=44, top_p=0.5),
+        ]
+        done = {r.id: r.text for r in srv.run_until_idle()}
+        return [done[rid] for rid in rids]
+
+    assert drive(TunesServer) == drive(FullForwardOracle)
+
+
 def test_tunes_server_queueing_and_determinism(tiny_model):
     """More requests than slots: queueing + slot reuse; same-seed requests
     are byte-identical, different seeds (almost surely) differ."""

@@ -158,6 +158,72 @@ def test_generate_tunes_batched(tiny_model):
     assert tunes == tunes2
 
 
+def test_patch_step_matches_full_encode(tiny_model):
+    """Incremental patch decoding (patch_step through a KV cache) must
+    reproduce the hidden state the full patch-core forward computes at
+    every position — committed patches never change, so their K/V is
+    append-only. Equality is to float32 accumulation-order noise (~1e-7):
+    XLA tiles the T=P and T=1 contractions differently, so the sums are
+    the same math in a different order (the e2e generator oracle below
+    pins the sampled OUTPUT byte-exactly on fixed seeds)."""
+    from ai_music_generation_tpu.models.gpt import KVCache
+
+    model, params = tiny_model
+    B, P, S = 2, 6, 16
+    patches = jax.random.randint(jax.random.PRNGKey(3), (B, P, S), 0, 128)
+    full = model.apply(params, patches, method=model.encode_patches)
+    cache = KVCache.create(model.config.patch_core_config(), B, max_len=P,
+                           quantized=False)
+    for i in range(P):
+        hid, cache = model.apply(params, patches[:, i], cache,
+                                 method=model.patch_step)
+        assert float(jnp.max(jnp.abs(hid - full[:, i]))) < 1e-5, f"pos {i}"
+
+
+def test_generate_tunes_cached_matches_full_forward(tiny_model):
+    """End-to-end oracle: the cached TunesGenerator must byte-match a
+    full-forward generator (bar_scan re-encoding the whole patch stack each
+    bar — the reference's structure, ref: generate.py:136-140)."""
+    from ai_music_generation_tpu.decode.tunes_generate import (
+        bar_scan,
+        sample_top_p_top_k_temperature,
+    )
+
+    model, params = tiny_model
+
+    class FullForwardOracle(TunesGenerator):
+        def _prefill(self, params_, patches, n0):
+            self._stack = np.asarray(patches).copy()
+            self._q = int(n0) - 1
+            return None
+
+        def _bar_step(self, params_, cache, new_patch, init_tokens,
+                      init_lens, rng):
+            self._stack[:, self._q] = np.asarray(new_patch)
+            B = self._stack.shape[0]
+            n_vec = jnp.full((B,), self._q + 1, jnp.int32)
+
+            def sample_fn(probs, idx):
+                return sample_top_p_top_k_temperature(
+                    probs, jax.random.fold_in(rng, idx[0]),
+                    self.top_p, self.top_k, self.temperature)
+
+            tokens, lens = bar_scan(
+                self.model, params_, jnp.asarray(self._stack), n_vec,
+                init_tokens, init_lens, sample_fn)
+            self._q += 1
+            return tokens, lens, None
+
+    prompt = "S:1\nL:1/8\nK:C\n CD"
+    cached = TunesGenerator(model, top_p=0.9, top_k=8, temperature=1.0)
+    oracle = FullForwardOracle(model, top_p=0.9, top_k=8, temperature=1.0)
+    got = cached.generate_tunes(params, prompt, num_tunes=3, max_patch=8,
+                                seed=11)
+    want = oracle.generate_tunes(params, prompt, num_tunes=3, max_patch=8,
+                                 seed=11)
+    assert got == want
+
+
 def test_generate_hides_control_codes(tiny_model):
     model, params = tiny_model
     gen = TunesGenerator(model, top_p=0.9, top_k=8, temperature=1.0)
