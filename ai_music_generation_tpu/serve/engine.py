@@ -118,13 +118,18 @@ def _per_slot_sample(logits, keys, temperature, top_k, top_p):
         vals_desc, jnp.clip(eff_k[:, None] - 1, 0, V - 1), axis=-1)  # [B, 1]
     masked = jnp.where(scaled < kth, -jnp.inf, scaled)
     # nucleus on top of the top-k mask (same transform order as
-    # sample_logits: temperature -> top-k -> top-p). The top-k-masked
-    # values are re-sorted (the value-domain top-k mask keeps ties, so
-    # vals_desc's exactly-k prefix would be wrong here); softmax is
-    # row-monotone, so "probability < the k_p-th sorted probability"
-    # is exactly "logit < the k_p-th sorted masked logit" — identical
-    # keep-set to apply_top_p without a second softmax in prob space.
-    sorted_masked = -jnp.sort(-masked, axis=-1)  # [B, V]
+    # sample_logits: temperature -> top-k -> top-p). No second sort: the
+    # top-k mask removes exactly the values < kth, which occupy the TAIL
+    # of the already-sorted vals_desc (ties at kth are all kept, so the
+    # survivor count is sum(scaled >= kth), not k) — so the sorted masked
+    # row is vals_desc with everything past that count set to -inf.
+    # Softmax is row-monotone, so "probability < the k_p-th sorted
+    # probability" is exactly "logit < the k_p-th sorted masked logit" —
+    # identical keep-set to apply_top_p without a softmax in prob space.
+    n_kept = jnp.sum((scaled >= kth).astype(jnp.int32), axis=-1,
+                     keepdims=True)  # [B, 1]
+    sorted_masked = jnp.where(
+        jnp.arange(V)[None, :] < n_kept, vals_desc, -jnp.inf)  # [B, V]
     csum = jnp.cumsum(jax.nn.softmax(sorted_masked, axis=-1), axis=-1)
     k_p = jnp.sum(csum < top_p[:, None], axis=-1, keepdims=True)
     thr = jnp.take_along_axis(sorted_masked, jnp.clip(k_p, 0, V - 1), axis=-1)
