@@ -64,6 +64,14 @@ class GPTConfig:
     capacity_factor: float = 1.25  # per-expert buffer slack; overflow
     # tokens fall through the residual connection (combine weight 0)
     moe_aux_coef: float = 0.01  # weight of the load-balance aux loss
+    n_kv_head: Optional[int] = None  # grouped-query attention (GQA/MQA):
+    # number of K/V heads; must divide n_head. None = n_head (the reference
+    # architecture — full multi-head attention, ref: nanoGPT/model.py:29-76;
+    # GQA has no reference analogue). Decode is HBM-bound on the per-step
+    # KV-cache read, so n_kv_head = n_head/G cuts cache storage AND decode
+    # traffic by G at identical query-side FLOPs — the one bandwidth lever
+    # left after int8 (the XLA decode step is at the read roofline,
+    # ops/decode_attention_int8.py verdict). Composes with kv_quantized.
     seq_axis: Optional[str] = None  # sequence/context parallelism: name of
     # the mesh axis the [B, T] inputs are sharded over (set by
     # parallel/sequence.py, which applies the model under shard_map).
@@ -72,9 +80,22 @@ class GPTConfig:
     # across the axis. No reference analogue (nanoGPT replicates the full
     # sequence per rank, ref: nanoGPT/model.py:60-76).
 
+    def __post_init__(self):
+        if self.n_kv_head is not None and (
+            self.n_kv_head < 1 or self.n_head % self.n_kv_head
+        ):
+            raise ValueError(
+                f"n_kv_head={self.n_kv_head} must be a positive divisor of "
+                f"n_head={self.n_head}")
+
     @property
     def head_dim(self) -> int:
         return self.n_embd // self.n_head
+
+    @property
+    def kv_heads(self) -> int:
+        """Number of K/V heads (== n_head unless GQA is enabled)."""
+        return self.n_kv_head or self.n_head
 
 
 @jax.tree_util.register_pytree_node_class
@@ -196,11 +217,17 @@ class KVCache:
             # at an 8-ALIGNED SUBLANE offset (cursor stays 8-aligned, writes
             # pad to Tw columns), which keeps the update tile-aligned.
             assert max_len % 8 == 0, "spec cache length must be 8-aligned"
+            assert config.kv_heads == config.n_head, (
+                "speculative decode's Pallas verify kernel assumes full "
+                "multi-head K/V; train GQA models decode via the plain "
+                "Generator/serving paths")
             shape = (batch, max_len, config.n_head * config.head_dim)
             scale_shape = (batch, config.n_head, max_len)
         else:
-            shape = (batch, max_len, config.n_head, config.head_dim)
-            scale_shape = (batch, max_len, config.n_head)
+            # GQA: the cache holds kv_heads (<= n_head) heads — the whole
+            # point of the knob is the smaller per-step cache read
+            shape = (batch, max_len, config.kv_heads, config.head_dim)
+            scale_shape = (batch, max_len, config.kv_heads)
         mk = lambda: tuple(jnp.zeros(shape, dtype) for _ in range(config.n_layer))
         mks = lambda: tuple(
             jnp.zeros(scale_shape, jnp.bfloat16) for _ in range(config.n_layer)
@@ -302,19 +329,28 @@ class CausalSelfAttention(nn.Module):
         cfg = self.config
         B, T, C = x.shape
         H, D = cfg.n_head, cfg.head_dim
+        KH = cfg.kv_heads  # GQA: kv_heads <= n_head, G query heads per K/V head
+        G = H // KH
 
         qkv = nn.Dense(
-            3 * C,
+            C + 2 * KH * D,  # == 3 * C when KH == H (the reference layout)
             use_bias=cfg.bias,
             dtype=cfg.dtype,
             param_dtype=cfg.param_dtype,
             kernel_init=_init_normal(0.02),
             name="c_attn",
         )(x)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-        q = q.reshape(B, T, H, D)
-        k = k.reshape(B, T, H, D)
-        v = v.reshape(B, T, H, D)
+        q = qkv[..., :C].reshape(B, T, H, D)
+        k = qkv[..., C:C + KH * D].reshape(B, T, KH, D)
+        v = qkv[..., C + KH * D:].reshape(B, T, KH, D)
+        if G > 1 and layer_cache is None:
+            # training / no-cache forward: broadcast K/V to the full head
+            # count and reuse every attention path unchanged. The repeat is
+            # activation-sized ([B, T, H, D] — same as a non-GQA k), so
+            # unlike the decode-cache read there is no bandwidth to save by
+            # grouping here; the cached path below stays grouped.
+            k = jnp.repeat(k, G, axis=2)
+            v = jnp.repeat(v, G, axis=2)
 
         new_cache = None
         if layer_cache is not None:
@@ -327,20 +363,45 @@ class CausalSelfAttention(nn.Module):
                 # mask) and scalar (causal [T, S] mask) branches so the
                 # serving and batch decode paths cannot drift.
                 scale = jnp.asarray(1.0 / jnp.sqrt(D), cfg.dtype)
+                if G == 1:
+                    att = jnp.einsum(
+                        "bthd,bshd->bhts", q, ck.astype(cfg.dtype)) * scale
+                    if ck_scale is not None:
+                        att = att * jnp.swapaxes(
+                            ck_scale, 1, 2)[:, :, None, :].astype(cfg.dtype)
+                    att = jnp.where(
+                        mask4, att, jnp.asarray(-jnp.inf, att.dtype))
+                    att = jax.nn.softmax(
+                        att.astype(jnp.float32), axis=-1).astype(cfg.dtype)
+                    att = nn.Dropout(cfg.dropout)(
+                        att, deterministic=deterministic)
+                    if cv_scale is not None:
+                        att = att * jnp.swapaxes(
+                            cv_scale, 1, 2)[:, :, None, :].astype(cfg.dtype)
+                    return jnp.einsum(
+                        "bhts,bshd->bthd", att, cv.astype(cfg.dtype)
+                    ).reshape(B, T, C)
+                # GQA: grouped einsums keep the cache operand at KH heads —
+                # XLA reads only the small [B, S, KH, D] buffers from HBM
+                # (repeating K/V to H heads first would materialize an
+                # H-wide copy and forfeit the bandwidth win). [B,KH,G,T,S]
+                # probs; mask4's extra axis broadcasts over G.
+                q5 = q.reshape(B, T, KH, G, D)
                 att = jnp.einsum(
-                    "bthd,bshd->bhts", q, ck.astype(cfg.dtype)) * scale
+                    "btkgd,bskd->bkgts", q5, ck.astype(cfg.dtype)) * scale
                 if ck_scale is not None:
                     att = att * jnp.swapaxes(
-                        ck_scale, 1, 2)[:, :, None, :].astype(cfg.dtype)
-                att = jnp.where(mask4, att, jnp.asarray(-jnp.inf, att.dtype))
+                        ck_scale, 1, 2)[:, :, None, None, :].astype(cfg.dtype)
+                att = jnp.where(
+                    mask4[:, :, None], att, jnp.asarray(-jnp.inf, att.dtype))
                 att = jax.nn.softmax(
                     att.astype(jnp.float32), axis=-1).astype(cfg.dtype)
                 att = nn.Dropout(cfg.dropout)(att, deterministic=deterministic)
                 if cv_scale is not None:
                     att = att * jnp.swapaxes(
-                        cv_scale, 1, 2)[:, :, None, :].astype(cfg.dtype)
+                        cv_scale, 1, 2)[:, :, None, None, :].astype(cfg.dtype)
                 return jnp.einsum(
-                    "bhts,bshd->bthd", att, cv.astype(cfg.dtype)
+                    "bkgts,bskd->btkgd", att, cv.astype(cfg.dtype)
                 ).reshape(B, T, C)
 
             ck, cv = layer_cache[0], layer_cache[1]  # [B, S, H, D]
@@ -469,7 +530,8 @@ class CausalSelfAttention(nn.Module):
                 cv = jax.lax.dynamic_update_slice(
                     cv, v.astype(cv.dtype), (0, cache_len, 0, 0))
                 new_cache = (ck, cv)
-            if T == 1 and cfg.attn_impl == "pallas" and ck_scale is None:
+            if (T == 1 and cfg.attn_impl == "pallas" and ck_scale is None
+                    and G == 1):
                 from ai_music_generation_tpu.ops.decode_attention import (
                     decode_attention,
                 )

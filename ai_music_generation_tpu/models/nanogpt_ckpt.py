@@ -223,6 +223,13 @@ def save_reference_ckpt(
     """
     import torch
 
+    if config.kv_heads != config.n_head:
+        # a GQA c_attn kernel is [C, C + 2*KH*D], not the reference's
+        # [C, 3C] — exporting it would hand the reference a checkpoint its
+        # model can't load; fail loudly instead of writing a broken file
+        raise ValueError(
+            "reference ckpt.pt export requires full multi-head attention "
+            f"(n_kv_head={config.n_kv_head}); GQA has no nanoGPT analogue")
     train_config = dict(train_config or {})
     model_args = {k: getattr(config, k) for k in MODEL_ARGS_KEYS}
     model_args["dropout"] = config.dropout

@@ -84,6 +84,8 @@ DEFAULTS: dict[str, Any] = dict(
     fsdp=False,  # ZeRO-3: shard params+opt state over the data axis
     n_expert=0,  # Mixture-of-Experts: experts per block MLP (0 = dense;
     # experts shard over the model axis — models/moe.py)
+    n_kv_head=0,  # grouped-query attention: K/V heads (0 = n_head, the
+    # reference architecture; models/gpt.py GPTConfig.n_kv_head)
     expert_top_k=2,
     capacity_factor=1.25,
     moe_aux_coef=0.01,
@@ -95,6 +97,8 @@ ARCH_KEYS = ("n_layer", "n_head", "n_embd", "block_size", "bias", "vocab_size")
 # MoE architecture keys ride model_args only when n_expert > 0, so dense
 # checkpoints (and reference-bridge ones) keep their exact key set
 MOE_KEYS = ("n_expert", "expert_top_k", "capacity_factor", "moe_aux_coef")
+# likewise n_kv_head rides only when GQA is on (nonzero / non-default)
+OPT_ARCH_KEYS = MOE_KEYS + ("n_kv_head",)
 
 
 class Trainer:
@@ -146,6 +150,8 @@ class Trainer:
         )
         if c["n_expert"] > 0:
             args.update({k: c[k] for k in MOE_KEYS})
+        if c["n_kv_head"]:
+            args["n_kv_head"] = c["n_kv_head"]
         return args
 
     def _build_model_and_state(self):
@@ -162,7 +168,7 @@ class Trainer:
             meta = ckpt_lib.load_meta(c["out_dir"], ckpt_lib.LAST)
             # architecture comes from the checkpoint (ref: train.py:181-185)
             model_args.update({k: meta["model_args"][k] for k in ARCH_KEYS})
-            for k in MOE_KEYS:  # only present on MoE checkpoints
+            for k in OPT_ARCH_KEYS:  # only present on MoE/GQA checkpoints
                 if k in meta["model_args"]:
                     model_args[k] = meta["model_args"][k]
         elif c["init_from"] == "resume":

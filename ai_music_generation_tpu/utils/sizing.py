@@ -29,11 +29,13 @@ def params_breakdown(cfg: GPTConfig) -> dict:
     """Exact per-component parameter counts (mirrors the notebook table)."""
     d, L, V, T = cfg.n_embd, cfg.n_layer, cfg.vocab_size, cfg.block_size
     b = 1 if cfg.bias else 0
+    # GQA: K/V projections emit kv_heads*head_dim each (== d when full MHA)
+    kv = cfg.kv_heads * cfg.head_dim
     out = {
         "wte": V * d,
         "wpe": T * d,
         "ln": L * 2 * (d + b * d) + d + b * d,  # 2 per block + final
-        "attn_qkv": L * (d * 3 * d + b * 3 * d),
+        "attn_qkv": L * (d * (d + 2 * kv) + b * (d + 2 * kv)),
         "attn_proj": L * (d * d + b * d),
         "mlp_fc": L * (d * 4 * d + b * 4 * d),
         "mlp_proj": L * (4 * d * d + b * d),
@@ -55,8 +57,14 @@ def sizing_report(cfg: GPTConfig) -> SizingReport:
     fpt = flops_per_token(cfg, n)
     # checkpoint: fp32 params + adamw mu/nu
     ckpt = bd["total"] * 4 * 3
-    # kv cache per token per sequence: 2 (k,v) * L * d * bf16
-    kv = 2 * cfg.n_layer * cfg.n_embd * 2
+    # kv cache per token per sequence: 2 (k,v) * L * kv_width * elem bytes
+    # (bf16 = 2; int8 = 1 value byte + bf16 per-head scale). GQA shrinks
+    # the width to kv_heads * head_dim.
+    kv_width = cfg.kv_heads * cfg.head_dim
+    if cfg.kv_quantized:
+        kv = 2 * cfg.n_layer * (kv_width + 2 * cfg.kv_heads)
+    else:
+        kv = 2 * cfg.n_layer * kv_width * 2
     return SizingReport(
         params_total=bd["total"],
         params_non_embedding=n,
