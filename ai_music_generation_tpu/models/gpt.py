@@ -138,10 +138,20 @@ class KVCache:
       refresh guarantees it).
 
     With ``quantized=True`` the buffers are int8 with per-(position, head)
-    fp scales (``k_scale``/``v_scale`` [B, S, H]): HBM cache traffic — the
-    decode bottleneck — halves. Quantization changes logits slightly, so
-    sampled output differs from the bf16 cache (still fully deterministic
-    at fixed seed); enable via ``GPTConfig(kv_quantized=True)``.
+    fp scales (``k_scale``/``v_scale``, stored TRANSPOSED [B, KH, S]): HBM
+    cache traffic — the decode bottleneck — halves. The scale layout puts S
+    on the lane dim for the same reason spec mode does: position-major
+    [B, S, H] pads H (6) to 128 lanes — ~21x physical tile inflation — and
+    the decode step READS the full padded buffer every tick; measured at
+    the bench shape (B=4096, S=256) the [B, S, H] layout cost ~3.2 GB/step
+    of scale reads against ~4.8 GB of int8 K/V, i.e. the padding ate most
+    of the int8 win. [B, KH, S] is ~16.8 MB per buffer and is consumed by
+    the attention broadcast directly (no per-step swapaxes). Scale writes
+    are elementwise window-selects (a DUS whose offset lands on the lane
+    dim costs 0.4-0.8 ms/layer — see spec mode below). Quantization
+    changes logits slightly, so sampled output differs from the bf16 cache
+    (still fully deterministic at fixed seed); enable via
+    ``GPTConfig(kv_quantized=True)``.
 
     SPECULATIVE mode (``col_pos`` is a [B, S] int32 array): rows advance at
     different rates (speculative decoding commits a variable number of
@@ -227,7 +237,7 @@ class KVCache:
             # GQA: the cache holds kv_heads (<= n_head) heads — the whole
             # point of the knob is the smaller per-step cache read
             shape = (batch, max_len, config.kv_heads, config.head_dim)
-            scale_shape = (batch, max_len, config.kv_heads)
+            scale_shape = (batch, config.kv_heads, max_len)
         mk = lambda: tuple(jnp.zeros(shape, dtype) for _ in range(config.n_layer))
         mks = lambda: tuple(
             jnp.zeros(scale_shape, jnp.bfloat16) for _ in range(config.n_layer)
@@ -264,6 +274,23 @@ def _quantize_int8(x: Array) -> tuple[Array, Array]:
     s_ = jnp.maximum(jnp.max(jnp.abs(x), axis=-1), 1e-6) / 127.0
     q = jnp.clip(jnp.round(x / s_[..., None]), -127, 127)
     return q.astype(jnp.int8), s_.astype(jnp.bfloat16)
+
+
+def _scale_write(buf: Array, new_s: Array, start: Array) -> Array:
+    """Write a fresh [B, T, KH] scale slab into a TRANSPOSED [B, KH, S]
+    scale buffer at columns ``start..start+T-1`` (caller guarantees no
+    wrap). Elementwise window-select + one-hot dot rather than a
+    dynamic-update-slice: the DUS offset would land on the LANE dim of
+    [B, KH, S] (measured 0.4-0.8 ms/layer at batch 4096 — the spec-mode
+    finding this layout inherits)."""
+    T = new_s.shape[1]
+    S = buf.shape[-1]
+    sidx = jnp.arange(S)
+    win = (sidx >= start) & (sidx < start + T)  # [S]
+    onehot = (sidx[None, :] == (start + jnp.arange(T))[:, None])  # [T, S]
+    full = jnp.einsum(
+        "bth,ts->bhs", new_s.astype(buf.dtype), onehot.astype(buf.dtype))
+    return jnp.where(win[None, None, :], full, buf)
 
 
 def _quantize_int8_flat(x: Array, n_head: int) -> tuple[Array, Array]:
@@ -364,11 +391,12 @@ class CausalSelfAttention(nn.Module):
                 # serving and batch decode paths cannot drift.
                 scale = jnp.asarray(1.0 / jnp.sqrt(D), cfg.dtype)
                 if G == 1:
+                    # scales are stored [B, KH, S] (see KVCache docstring):
+                    # one broadcast axis insert, no per-step swapaxes
                     att = jnp.einsum(
                         "bthd,bshd->bhts", q, ck.astype(cfg.dtype)) * scale
                     if ck_scale is not None:
-                        att = att * jnp.swapaxes(
-                            ck_scale, 1, 2)[:, :, None, :].astype(cfg.dtype)
+                        att = att * ck_scale[:, :, None, :].astype(cfg.dtype)
                     att = jnp.where(
                         mask4, att, jnp.asarray(-jnp.inf, att.dtype))
                     att = jax.nn.softmax(
@@ -376,33 +404,43 @@ class CausalSelfAttention(nn.Module):
                     att = nn.Dropout(cfg.dropout)(
                         att, deterministic=deterministic)
                     if cv_scale is not None:
-                        att = att * jnp.swapaxes(
-                            cv_scale, 1, 2)[:, :, None, :].astype(cfg.dtype)
+                        att = att * cv_scale[:, :, None, :].astype(cfg.dtype)
                     return jnp.einsum(
                         "bhts,bshd->bthd", att, cv.astype(cfg.dtype)
                     ).reshape(B, T, C)
-                # GQA: grouped einsums keep the cache operand at KH heads —
-                # XLA reads only the small [B, S, KH, D] buffers from HBM
-                # (repeating K/V to H heads first would materialize an
-                # H-wide copy and forfeit the bandwidth win). [B,KH,G,T,S]
-                # probs; mask4's extra axis broadcasts over G.
-                q5 = q.reshape(B, T, KH, G, D)
+                # GQA: fold the G query heads of each group into the query
+                # TIME axis so the cache operand sees the EXACT same einsum
+                # as the MHA branch ([B, T*G, KH, D] x [B, S, KH, D]) — XLA
+                # reads only the small KH-head buffers from HBM and the
+                # cache gets the same S-minor layout as the MHA decode step
+                # (identical dot shape, one code path). Throughput parity
+                # with the 5-D grouped einsum it replaces was measured (both
+                # 147.8k tok/s at the bench shape, KH=2) — the fold is kept
+                # for the shared einsum/mask path, not as a perf claim. The
+                # [B,T,KH,G,D]<->[B,T,G,KH,D] transposes are
+                # activation-sized (T*H*D per row) — noise next to the
+                # cache read. Query head h uses kv head h//G (the
+                # jnp.repeat train-path convention above).
+                qf = q.reshape(B, T, KH, G, D).transpose(0, 1, 3, 2, 4)
+                qf = qf.reshape(B, T * G, KH, D)  # row t*G+g, t-major
                 att = jnp.einsum(
-                    "btkgd,bskd->bkgts", q5, ck.astype(cfg.dtype)) * scale
+                    "bthd,bshd->bhts", qf, ck.astype(cfg.dtype)) * scale
                 if ck_scale is not None:
-                    att = att * jnp.swapaxes(
-                        ck_scale, 1, 2)[:, :, None, None, :].astype(cfg.dtype)
-                att = jnp.where(
-                    mask4[:, :, None], att, jnp.asarray(-jnp.inf, att.dtype))
+                    att = att * ck_scale[:, :, None, :].astype(cfg.dtype)
+                # mask4's T axis (2) must repeat per group unless it
+                # broadcasts (ring mode passes T==1 masks)
+                m4 = mask4 if mask4.shape[2] == 1 else jnp.repeat(
+                    mask4, G, axis=2)
+                att = jnp.where(m4, att, jnp.asarray(-jnp.inf, att.dtype))
                 att = jax.nn.softmax(
                     att.astype(jnp.float32), axis=-1).astype(cfg.dtype)
                 att = nn.Dropout(cfg.dropout)(att, deterministic=deterministic)
                 if cv_scale is not None:
-                    att = att * jnp.swapaxes(
-                        cv_scale, 1, 2)[:, :, None, None, :].astype(cfg.dtype)
-                return jnp.einsum(
-                    "bkgts,bskd->btkgd", att, cv.astype(cfg.dtype)
-                ).reshape(B, T, C)
+                    att = att * cv_scale[:, :, None, :].astype(cfg.dtype)
+                y = jnp.einsum(
+                    "bhts,bshd->bthd", att, cv.astype(cfg.dtype))  # [B,TG,KH,D]
+                return y.reshape(B, T, G, KH, D).transpose(
+                    0, 1, 3, 2, 4).reshape(B, T, C)
 
             ck, cv = layer_cache[0], layer_cache[1]  # [B, S, H, D]
             ck_scale = layer_cache[2] if len(layer_cache) > 2 else None
@@ -495,10 +533,8 @@ class CausalSelfAttention(nn.Module):
                     vq, vs = _quantize_int8(v)
                     ck = jax.lax.dynamic_update_slice(ck, kq, (0, cursor, 0, 0))
                     cv = jax.lax.dynamic_update_slice(cv, vq, (0, cursor, 0, 0))
-                    ck_scale = jax.lax.dynamic_update_slice(
-                        ck_scale, ks, (0, cursor, 0))
-                    cv_scale = jax.lax.dynamic_update_slice(
-                        cv_scale, vs, (0, cursor, 0))
+                    ck_scale = _scale_write(ck_scale, ks, cursor)
+                    cv_scale = _scale_write(cv_scale, vs, cursor)
                     new_cache = (ck, cv, ck_scale, cv_scale)
                 else:
                     ck = jax.lax.dynamic_update_slice(
@@ -520,8 +556,8 @@ class CausalSelfAttention(nn.Module):
                 vq, vs = _quantize_int8(v)
                 ck = jax.lax.dynamic_update_slice(ck, kq, (0, cache_len, 0, 0))
                 cv = jax.lax.dynamic_update_slice(cv, vq, (0, cache_len, 0, 0))
-                ck_scale = jax.lax.dynamic_update_slice(ck_scale, ks, (0, cache_len, 0))
-                cv_scale = jax.lax.dynamic_update_slice(cv_scale, vs, (0, cache_len, 0))
+                ck_scale = _scale_write(ck_scale, ks, cache_len)
+                cv_scale = _scale_write(cv_scale, vs, cache_len)
                 new_cache = (ck, cv, ck_scale, cv_scale)
             else:
                 # contiguous [B, T, H, D] slab write at position cache_len

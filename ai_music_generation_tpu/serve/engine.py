@@ -413,8 +413,11 @@ class GenerationServer(EngineHostBase):
         shifts = jnp.mod(cache.cursor - plens, self.cache_len)
         slots_safe = jnp.where(valid, slots, self.n_slots)  # drop padding
 
-        def ins(buf, new):
-            rolled = jax.vmap(lambda r, s: jnp.roll(r, s, axis=0))(new, shifts)
+        def ins(buf, new, axis=0):
+            # axis: the position (ring) axis of one row — 0 for [S, H, D]
+            # K/V rows, 1 for the TRANSPOSED [KH, S] scale rows
+            rolled = jax.vmap(
+                lambda r, s: jnp.roll(r, s, axis=axis))(new, shifts)
             return buf.at[slots_safe].set(rolled.astype(buf.dtype),
                                           mode="drop")
 
@@ -422,8 +425,10 @@ class GenerationServer(EngineHostBase):
         new_v = tuple(ins(b, p) for b, p in zip(cache.v, pre.v))
         new_ks = new_vs = None
         if cache.k_scale is not None:
-            new_ks = tuple(ins(b, p) for b, p in zip(cache.k_scale, pre.k_scale))
-            new_vs = tuple(ins(b, p) for b, p in zip(cache.v_scale, pre.v_scale))
+            new_ks = tuple(
+                ins(b, p, 1) for b, p in zip(cache.k_scale, pre.k_scale))
+            new_vs = tuple(
+                ins(b, p, 1) for b, p in zip(cache.v_scale, pre.v_scale))
         set_ = lambda arr, val: arr.at[slots_safe].set(val, mode="drop")
         return state.replace(
             cache=KVCache(new_k, new_v, set_(cache.length, plens),

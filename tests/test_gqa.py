@@ -82,7 +82,17 @@ def test_matches_expanded_full_mha(n_kv_head):
 
 
 def test_cached_decode_matches_full_forward(gqa):
-    """Incremental KV-cache decode == one full forward (scalar mode, exact)."""
+    """Incremental KV-cache decode == one full forward (scalar mode).
+
+    Tolerance note: the cached GQA path folds the G query heads into the
+    query time axis (models/gpt.py cached_att) so the cache operand gets
+    the MHA decode einsum and its layout; the fold's dot shape makes the
+    CPU backend pick a different reduction order than the full forward's
+    H-head einsum, so equality here is to 1-ULP float32 tolerance (the
+    MHA decode oracle in test_decode.py stays bitwise). All decode-path
+    consistency oracles (ring-vs-scalar, serving-vs-Generator, GQA ==
+    expanded-MHA full forward) remain exact.
+    """
     model, params, idx = gqa
     full, _, _ = model.apply(params, idx, return_all_logits=True)
     cache = KVCache.create(CFG, idx.shape[0])
@@ -91,8 +101,9 @@ def test_cached_decode_matches_full_forward(gqa):
     for t in range(idx.shape[1]):
         lo, _, cache = model.apply(params, idx[:, t:t + 1], cache=cache)
         outs.append(lo[:, 0])
-    np.testing.assert_array_equal(
-        np.asarray(jnp.stack(outs, axis=1)), np.asarray(full))
+    np.testing.assert_allclose(
+        np.asarray(jnp.stack(outs, axis=1)), np.asarray(full),
+        rtol=0, atol=2e-7)
 
 
 @pytest.mark.parametrize("quantized", [False, True])
