@@ -421,6 +421,20 @@ class CausalSelfAttention(nn.Module):
                 # activation-sized (T*H*D per row) — noise next to the
                 # cache read. Query head h uses kv head h//G (the
                 # jnp.repeat train-path convention above).
+                #
+                # Measured no-go (v5e, KH=2, batch 4096): the GQA decode
+                # gap vs MHA (148k vs 448k tok/s) is the carried cache
+                # LAYOUT, not the dot — any G>1 free dim on the query side
+                # makes the QK product an MXU matmul, which pins the
+                # carried K/V to S-minor (lanes) and turns every step's
+                # dynamic-update-slice into a full-buffer rewrite (traced:
+                # 20 of 27.6 ms/step). A hand-written T==1 VPU
+                # broadcast-multiply-reduce (the MHA matvec form) was
+                # tried and measured WORSE (83k): XLA re-materialized the
+                # [B,S,KH,G] product tensor in HBM. Fixing this needs a
+                # Pallas GQA decode kernel with an S-major cache contract
+                # (see ops/decode_attention.py for the scaffold and why
+                # the MHA variant lost end-to-end to layout churn).
                 qf = q.reshape(B, T, KH, G, D).transpose(0, 1, 3, 2, 4)
                 qf = qf.reshape(B, T * G, KH, D)  # row t*G+g, t-major
                 att = jnp.einsum(
