@@ -72,6 +72,14 @@ class GPTConfig:
     # traffic by G at identical query-side FLOPs — the one bandwidth lever
     # left after int8 (the XLA decode step is at the read roofline,
     # ops/decode_attention_int8.py verdict). Composes with kv_quantized.
+    flat_kv: bool = False  # carry the decode KV cache FLAT [B, S, KH*D]
+    # and route every T=1 cached step through the Pallas GQA decode kernel
+    # (ops/gqa_decode.py), which owns both the cache read and the
+    # single-column write. This is what makes n_kv_head a THROUGHPUT lever:
+    # the XLA path's G>1 einsum pins the carried cache S-minor and rewrites
+    # the full buffer every step (the measured layout trap below). Requires
+    # kv_heads*head_dim % 128 == 0 and a %8 cache length; off-TPU the op
+    # runs a reference that is bit-identical to the 4-D einsum path.
     seq_axis: Optional[str] = None  # sequence/context parallelism: name of
     # the mesh axis the [B, T] inputs are sharded over (set by
     # parallel/sequence.py, which applies the model under shard_map).
@@ -190,10 +198,35 @@ class KVCache:
     @classmethod
     def create(cls, config: GPTConfig, batch: int, max_len: Optional[int] = None,
                dtype: Any = None, quantized: Optional[bool] = None,
-               per_row: bool = False, spec: bool = False) -> "KVCache":
+               per_row: bool = False, spec: bool = False,
+               flat: Optional[bool] = None) -> "KVCache":
         max_len = max_len or config.block_size
         quantized = config.kv_quantized if quantized is None else quantized
         dtype = jnp.int8 if quantized else (dtype or config.dtype)
+        flat = config.flat_kv if flat is None else flat
+        if flat and not spec:
+            # FLAT GQA-kernel layout [B, S, KH*D] (see GPTConfig.flat_kv):
+            # the decode step's attention AND column write go through
+            # ops/gqa_decode.py, which requires exact lane tiling and
+            # 8-aligned writeback windows
+            khd = config.kv_heads * config.head_dim
+            assert khd % 128 == 0, (
+                f"flat_kv needs kv_heads*head_dim % 128 == 0, got {khd}")
+            assert max_len % 8 == 0, "flat_kv cache length must be 8-aligned"
+            shape = (batch, max_len, khd)
+            scale_shape = (batch, config.kv_heads, max_len)
+            mk = lambda: tuple(
+                jnp.zeros(shape, dtype) for _ in range(config.n_layer))
+            mks = lambda: tuple(
+                jnp.zeros(scale_shape, jnp.bfloat16)
+                for _ in range(config.n_layer))
+            return cls(
+                k=mk(), v=mk(),
+                length=jnp.zeros((batch,) if per_row else (), jnp.int32),
+                k_scale=mks() if quantized else None,
+                v_scale=mks() if quantized else None,
+                cursor=jnp.zeros((), jnp.int32) if per_row else None,
+            )
         if spec:
             # spec mode stores the cache FLAT as [B, S//8, 8, H*D] — the
             # SAME linear bytes as [B, S, H*D] (both are row-major (8, 128)
@@ -535,6 +568,82 @@ class CausalSelfAttention(nn.Module):
                     int8_dots=cfg.spec_int8_dots and ck_scale is not None)
                 new_cache = ((ck, cv) if ck_scale is None
                              else (ck, cv, ck_scale, cv_scale))
+                return self._epilogue(y, deterministic), new_cache
+            if ck.ndim == 3:
+                # FLAT cache (GPTConfig.flat_kv): [B, S, KH*D]; the decode
+                # step's attention AND single-column write run inside the
+                # Pallas GQA kernel — ops/gqa_decode.py's docstring has the
+                # measured layout-trap rationale. Prefill (T > 1) stays
+                # XLA-side: its writes/reads happen once per generate call,
+                # outside the decode loop, so layout churn is a one-time
+                # cost there.
+                assert deterministic or cfg.dropout == 0.0, (
+                    "flat_kv decode is an inference path; attention-prob "
+                    "dropout is not applied here")
+                from ai_music_generation_tpu.ops.gqa_decode import (
+                    _placement, gqa_decode_update,
+                )
+
+                KHD = KH * D
+                if T == 1:
+                    pos = cursor if per_row else cache_len
+                    if ck_scale is not None:
+                        kq, ks = _quantize_int8(k)  # [B,1,KH,D], [B,1,KH]
+                        vq, vs = _quantize_int8(v)
+                        ck_scale = _scale_write(ck_scale, ks, pos)
+                        cv_scale = _scale_write(cv_scale, vs, pos)
+                        kslab = kq.reshape(B, 1, KHD)
+                        vslab = vq.reshape(B, 1, KHD)
+                    else:
+                        kslab = k.reshape(B, 1, KHD).astype(ck.dtype)
+                        vslab = v.reshape(B, 1, KHD).astype(cv.dtype)
+                    if per_row:
+                        # ring window: column s attendable iff its ring
+                        # offset behind the cursor is <= length[b]
+                        offset = jnp.mod(pos - jnp.arange(S), S)  # [S]
+                        mask_rel = (cache_len[:, None]
+                                    - offset[None, :]).astype(jnp.int32)
+                    else:
+                        mask_rel = None  # kernel masks col <= pos itself
+                    P = _placement(H, KH, D, cfg.dtype)
+                    q_bd = jnp.einsum("bhd,hdc->bhc", q.reshape(B, H, D), P)
+                    ck, cv, out = gqa_decode_update(
+                        q_bd, ck, cv, kslab, vslab, ck_scale, cv_scale,
+                        mask_rel, pos, n_head=H, n_kv_head=KH)
+                    y = jnp.einsum(
+                        "bhc,hdc->bhd", out, P.astype(out.dtype))
+                    y = y.reshape(B, 1, C)
+                    new_cache = ((ck, cv) if ck_scale is None
+                                 else (ck, cv, ck_scale, cv_scale))
+                    return self._epilogue(y, deterministic), new_cache
+                # prefill: T > 1 at scalar cache_len — flat slab writes +
+                # the shared einsum path over 4-D views (one-time cost)
+                assert not per_row, "flat_kv ring decode is T=1"
+                if ck_scale is not None:
+                    kq, ks = _quantize_int8(k)
+                    vq, vs = _quantize_int8(v)
+                    ck = jax.lax.dynamic_update_slice(
+                        ck, kq.reshape(B, T, KHD), (0, cache_len, 0))
+                    cv = jax.lax.dynamic_update_slice(
+                        cv, vq.reshape(B, T, KHD), (0, cache_len, 0))
+                    ck_scale = _scale_write(ck_scale, ks, cache_len)
+                    cv_scale = _scale_write(cv_scale, vs, cache_len)
+                    new_cache = (ck, cv, ck_scale, cv_scale)
+                else:
+                    ck = jax.lax.dynamic_update_slice(
+                        ck, k.reshape(B, T, KHD).astype(ck.dtype),
+                        (0, cache_len, 0))
+                    cv = jax.lax.dynamic_update_slice(
+                        cv, v.reshape(B, T, KHD).astype(cv.dtype),
+                        (0, cache_len, 0))
+                    new_cache = (ck, cv)
+                q_pos = cache_len + jnp.arange(T)[:, None]  # [T, 1]
+                k_pos = jnp.arange(S)[None, :]  # [1, S]
+                mask = k_pos <= q_pos  # [T, S]
+                y = cached_att(
+                    mask[None, None, :, :],
+                    ck.reshape(B, S, KH, D), cv.reshape(B, S, KH, D),
+                    ck_scale, cv_scale)
                 return self._epilogue(y, deterministic), new_cache
             if per_row:
                 # ring write: ALL rows' new K/V land at buffer column

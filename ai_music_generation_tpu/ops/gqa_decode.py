@@ -1,0 +1,356 @@
+"""Pallas grouped-query decode attention over a flat S-major KV cache.
+
+Why this kernel exists — the measured GQA layout trap (docs/PERF.md
+"Grouped-query attention", models/gpt.py ``cached_att`` notes): with any
+G > 1 free dim on the query side, XLA lowers the T=1 QK product as an MXU
+matmul and pins the loop-carried cache to an S-minor (position-on-lanes)
+layout, so every decode step's single-column write becomes a full-buffer
+rewrite (traced: 20 of 27.6 ms/step at batch 4096, KH=2) — the 3x smaller
+GQA cache decoded 3x SLOWER than MHA. Like the speculative verify kernel
+(ops/spec_attention.py), routing both the cache READ and the per-step
+WRITE through one Pallas call takes the buffer out of XLA's layout
+assignment entirely: the cache stays position-major (S on sublanes,
+KH*D on lanes) and the write is a tiny in-kernel DMA.
+
+Contract (all shapes static):
+
+- ``q_bd``   [B, H, KH*D] — queries pre-FOLDED into grouped lanes: row h
+  holds query head h's D values in kv-head ``h // G``'s lane slice, zeros
+  elsewhere (the XLA-side fold is an exact 0/1-placement einsum,
+  models/gpt.py ``_gqa_placement``). One MXU dot against the [S, KH*D]
+  cache block then yields ALL H heads' scores — the block-diagonal trick
+  of ops/decode_attention.py at kv-head granularity.
+- ``k``, ``v``   [B, S, KH*D] int8 or dense — the flat GQA cache
+  (position-major; KH*D must be a 128-multiple so lanes tile exactly).
+  ALIASED in/out: the kernel owns the write.
+- ``k_slab``, ``v_slab`` [B, 1, KH*D] cache-dtype — the step's fresh
+  column (already quantized by the caller in int8 mode; its scale is
+  already present in ``k_scale`` at column ``pos``).
+- ``k_scale``, ``v_scale`` [B, KH, S] bf16 or None — per-(position,
+  kv-head) int8 scales, factored onto scores/probs exactly like the XLA
+  path (q.(k8*ks) == (q.k8)*ks).
+- ``mask_rel`` [B, 1, S] int32 — ring mode only: column s of row b is
+  attendable iff ``mask_rel[b, 0, s] >= 0`` (the caller encodes the ring
+  window ``length[b] - (pos - s) mod S``). Scalar lockstep mode passes a
+  dummy [B, 1, 1] and the kernel masks ``col <= pos`` itself.
+- ``pos`` scalar int32 — the buffer column written this step (lockstep:
+  the shared cache length; ring/serving: the shared cursor). Carried as
+  ``(pos // 8, pos % 8)`` scalar-prefetch so Mosaic can PROVE the
+  writeback window's sublane offset is 8-aligned (the spec kernel's
+  ``cur_ref[0] * 8`` trick).
+
+Write mechanics: the fresh column is merged in the SCORE/PROB domain
+(``where(col == pos, q.k_new, scores)`` and a probs split for PV) — never
+a full [S, KH*D] blend, which would cost 2 x 32k VPU selects per row.
+Persistence writes back the 8-aligned window ``[8*(pos//8), +8)``: the 7
+neighbor columns are re-written with their unchanged HBM values (extracted
+from the already-cast VMEM block by a one-hot [8, S] dot — integers <= 127
+are exact in bf16), the slab row replaces position ``pos``, and everything
+outside the window rides the input/output alias.
+
+The reference has no GQA at all (full multi-head attention,
+ref: nanoGPT/model.py:29-76); this kernel is what makes the framework's
+``GPTConfig(n_kv_head=...)`` a throughput lever rather than only a
+memory/capacity one. Measured numbers live in docs/PERF.md.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _pick_rows(B: int) -> int:
+    """Rows per grid program: amortize per-program overhead while keeping
+    the double-buffered cache blocks well under the VMEM budget and the
+    unrolled per-row loop compile-friendly."""
+    r = 1
+    for cand in (2, 4, 8, 16):
+        if B % cand:
+            break
+        r = cand
+    return r
+
+
+def _kernel(R: int, S: int, H: int, KH: int, KHD: int, quantized: bool,
+            ring: bool, interpret: bool):
+    D = KHD // KH
+    G = H // KH
+    sm_scale = 1.0 / math.sqrt(D)
+
+    def kernel(pos_ref, q_ref, k_ref, v_ref, kslab_ref, vslab_ref,
+               ks_ref, vs_ref, mask_ref, ko, vo, o_ref,
+               wk_scr, wv_scr, sems):
+        g = pl.program_id(0)
+        row0 = g * R
+        w0 = pos_ref[0] * 8  # provably 8-aligned window start
+        pos = w0 + pos_ref[1]
+
+        col_hs = jax.lax.broadcasted_iota(jnp.int32, (H, S), 1)
+        # folded-output lane ownership: row h keeps only kv-head h//G's
+        # lane slice (the PV dot fills every lane; zeroing the rest makes
+        # the output exactly the placement-folded form the caller unfolds)
+        lane_kh = jax.lax.broadcasted_iota(jnp.int32, (H, KHD), 1) // D
+        row_kh = jax.lax.broadcasted_iota(jnp.int32, (H, KHD), 0) // G
+        fold_mask = lane_kh == row_kh
+        # one-hot window extractor: E_w[j, s] == 1 iff s == w0 + j
+        ew_col = jax.lax.broadcasted_iota(jnp.int32, (8, S), 1)
+        ew_row = jax.lax.broadcasted_iota(jnp.int32, (8, S), 0)
+        e_w = (ew_col == w0 + ew_row)
+        win_row = jax.lax.broadcasted_iota(jnp.int32, (8, KHD), 0)
+
+        for r in range(R):
+            q_r = q_ref[r]  # [H, KHD]
+            k_bf = k_ref[r].astype(q_r.dtype)  # [S, KHD]
+            v_bf = v_ref[r].astype(q_r.dtype)
+            kslab_r = kslab_ref[r].astype(q_r.dtype)  # [1, KHD]
+            vslab_r = vslab_ref[r].astype(q_r.dtype)
+
+            # ---- persist: blend the fresh column into the 8-wide aligned
+            # window and stage it for the HBM writeback DMA. The one-hot
+            # dot extracts rows w0..w0+7 of the cast block (int8 values are
+            # exact in bf16), then row pos%8 is replaced by the slab.
+            wk = jax.lax.dot_general(
+                e_w.astype(q_r.dtype), k_bf, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)  # [8, KHD]
+            wv = jax.lax.dot_general(
+                e_w.astype(q_r.dtype), v_bf, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            wk = jnp.where(win_row == pos_ref[1],
+                           kslab_r.astype(jnp.float32), wk)
+            wv = jnp.where(win_row == pos_ref[1],
+                           vslab_r.astype(jnp.float32), wv)
+            wk_scr[r] = wk.astype(wk_scr.dtype)
+            wv_scr[r] = wv.astype(wv_scr.dtype)
+
+            # ---- scores: one MXU dot for all H heads (q pre-folded into
+            # grouped lanes), fresh column merged in the score domain
+            scores = jax.lax.dot_general(
+                q_r, k_bf, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)  # [H, S]
+            # fresh column's scores: elementwise multiply-reduce (a
+            # dot_general against the 1-row slab trips a Mosaic
+            # vector.broadcast dtype verifier bug)
+            s_new = jnp.sum(
+                q_r.astype(jnp.float32) * kslab_r.astype(jnp.float32),
+                axis=1, keepdims=True)  # [H, 1]
+            scores = jnp.where(col_hs == pos, s_new, scores)
+            if quantized:
+                ks = jnp.concatenate(
+                    [jnp.broadcast_to(ks_ref[r, kh:kh + 1], (G, S))
+                     for kh in range(KH)], axis=0).astype(jnp.float32)
+                scores = scores * ks
+            if ring:
+                valid = mask_ref[r] >= 0  # [1, S] vs [H, S]
+            else:
+                valid = col_hs <= pos
+            scores = jnp.where(valid, scores * sm_scale, -jnp.inf)
+            probs = jax.nn.softmax(scores, axis=-1)  # fp32 [H, S]
+            if quantized:
+                vs = jnp.concatenate(
+                    [jnp.broadcast_to(vs_ref[r, kh:kh + 1], (G, S))
+                     for kh in range(KH)], axis=0).astype(jnp.float32)
+                probs = probs * vs
+            # ---- PV with the fresh column split out (v_bf[pos] is stale):
+            # pv = probs_without_pos @ v_old + probs[:, pos] (x) v_new
+            # (column extraction and the rank-1 outer product are
+            # elementwise — size-1 dot operands trip Mosaic, see s_new)
+            p_at = jnp.sum(jnp.where(col_hs == pos, probs, 0.0),
+                           axis=1, keepdims=True)  # [H, 1]
+            probs_np = jnp.where(col_hs == pos, 0.0, probs)
+            pv = jax.lax.dot_general(
+                probs_np.astype(q_r.dtype), v_bf, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)  # [H, KHD]
+            pv = pv + p_at * vslab_r.astype(jnp.float32)
+            o_ref[r] = jnp.where(fold_mask, pv, 0.0).astype(o_ref.dtype)
+
+        # ---- writeback: only the 8-wide window columns are written (the
+        # rest of the output IS the input buffer — input_output_aliases).
+        # Rows are disjoint across grid programs, so this never races the
+        # pipeline's prefetch of later blocks (spec_attention pattern).
+        wk_dma = pltpu.make_async_copy(
+            wk_scr, ko.at[pl.ds(row0, R), pl.ds(w0, 8), :], sems.at[0])
+        wv_dma = pltpu.make_async_copy(
+            wv_scr, vo.at[pl.ds(row0, R), pl.ds(w0, 8), :], sems.at[1])
+        wk_dma.start()
+        wv_dma.start()
+        wk_dma.wait()
+        wv_dma.wait()
+        if interpret:
+            # interpret mode doesn't carry the aliased input through to the
+            # untouched output columns: write the full patched rows so the
+            # kernel-correctness tests see the real contract
+            row_iota = jax.lax.broadcasted_iota(jnp.int32, (S, KHD), 0)
+            for r in range(R):
+                ko[row0 + r] = jnp.where(
+                    row_iota == pos,
+                    jnp.broadcast_to(kslab_ref[r], (S, KHD)), k_ref[r])
+                vo[row0 + r] = jnp.where(
+                    row_iota == pos,
+                    jnp.broadcast_to(vslab_ref[r], (S, KHD)), v_ref[r])
+
+    return kernel
+
+
+def gqa_decode_update(q_bd, k, v, k_slab, v_slab, k_scale, v_scale,
+                      mask_rel, pos, *, n_head: int, n_kv_head: int,
+                      interpret: bool = False, rows: int | None = None):
+    """Fused single-column cache write + grouped-query decode attention.
+
+    Returns ``(k_new, v_new, out)`` with ``out`` [B, H, KH*D] in q_bd's
+    dtype, FOLDED like the query input (head h's values live in kv-head
+    h//G's lane slice; the caller unfolds with the same placement einsum).
+    ``mask_rel`` None selects scalar lockstep masking (``col <= pos``);
+    a [B, S] int32 array selects ring masking (attendable iff >= 0).
+    Off-TPU this routes to the pure-XLA reference, which mirrors the
+    model's 4-D einsum path op-for-op so flat-cache decode on the CPU mesh
+    stays bit-identical to the 4-D GQA path (the tests/test_gqa.py
+    oracles)."""
+    if not interpret and jax.default_backend() != "tpu":
+        return gqa_decode_reference(
+            q_bd, k, v, k_slab, v_slab, k_scale, v_scale, mask_rel, pos,
+            n_head=n_head, n_kv_head=n_kv_head)
+    B = q_bd.shape[0]
+    ring = mask_rel is not None
+    if not ring:
+        mask_rel = jnp.zeros((B, 1), jnp.int32)  # dummy, never read
+    quantized = k_scale is not None
+    if not quantized:
+        k_scale = jnp.zeros((B, 1, 1), jnp.bfloat16)
+        v_scale = jnp.zeros((B, 1, 1), jnp.bfloat16)
+    return _gqa_decode_update(
+        q_bd, k, v, k_slab, v_slab, k_scale, v_scale, mask_rel, pos,
+        n_head, n_kv_head, quantized, ring, interpret, rows)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_head", "n_kv_head", "quantized", "ring",
+                     "interpret", "rows"))
+def _gqa_decode_update(q_bd, k, v, k_slab, v_slab, k_scale, v_scale,
+                       mask_rel, pos, n_head, n_kv_head, quantized, ring,
+                       interpret, rows=None):
+    B, S, KHD = k.shape
+    H = n_head
+    R = rows or _pick_rows(B)
+    sH, sS = k_scale.shape[1], k_scale.shape[2]
+    pos = jnp.asarray(pos, jnp.int32)
+    pos2 = jnp.stack([pos // 8, pos % 8])
+    mS = mask_rel.shape[-1]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B // R,),
+        in_specs=[
+            pl.BlockSpec((R, H, KHD), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            # cache reads: auto-pipelined VMEM blocks (aliased to the HBM
+            # outputs; the in-kernel window write touches disjoint rows)
+            pl.BlockSpec((R, S, KHD), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, S, KHD), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, 1, KHD), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, 1, KHD), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, sH, sS), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, sH, sS), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            # mask carried as [B, 1, S]: trailing (1, S) block dims equal
+            # the array dims — legal at any R (spec_attention pattern)
+            pl.BlockSpec((R, 1, mS), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec((R, H, KHD), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((R, 8, KHD), k.dtype),
+            pltpu.VMEM((R, 8, KHD), v.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    # operand indices include the scalar prefetch: pos2=0, q=1, k=2, v=3
+    return pl.pallas_call(
+        _kernel(R, S, H, n_kv_head, KHD, quantized, ring, interpret),
+        out_shape=[
+            jax.ShapeDtypeStruct(k.shape, k.dtype),
+            jax.ShapeDtypeStruct(v.shape, v.dtype),
+            jax.ShapeDtypeStruct((B, H, KHD), q_bd.dtype),
+        ],
+        grid_spec=grid_spec,
+        input_output_aliases={2: 0, 3: 1},
+        interpret=interpret,
+    )(pos2, q_bd, k, v, k_slab, v_slab, k_scale, v_scale,
+      mask_rel.reshape(B, 1, mS))
+
+
+def gqa_decode_reference(q_bd, k, v, k_slab, v_slab, k_scale, v_scale,
+                         mask_rel, pos, *, n_head: int, n_kv_head: int):
+    """Pure-XLA reference. Reconstructs the model's 4-D GQA einsum chain
+    op-for-op (models/gpt.py ``cached_att`` G>1 branch: same einsum
+    strings, same dtypes, fp32 softmax) so flat-cache decode off-TPU is
+    bit-identical to the 4-D cache path."""
+    B, S, KHD = k.shape
+    H, KH = n_head, n_kv_head
+    D = KHD // KH
+    G = H // KH
+    dtype = q_bd.dtype
+    k_new = jax.lax.dynamic_update_slice(k, k_slab.astype(k.dtype),
+                                         (0, pos, 0))
+    v_new = jax.lax.dynamic_update_slice(v, v_slab.astype(v.dtype),
+                                         (0, pos, 0))
+    # unfold q_bd back to per-head queries (exact 0/1 placement extraction)
+    P = _placement(H, KH, D, jnp.float32)
+    q4 = jnp.einsum("bhc,hdc->bhd", q_bd.astype(jnp.float32), P)
+    q4 = q4.astype(dtype)[:, None]  # [B, 1, H, D]
+    ck = k_new.reshape(B, S, KH, D)
+    cv = v_new.reshape(B, S, KH, D)
+    scale = jnp.asarray(1.0 / jnp.sqrt(D), dtype)
+    qf = q4.reshape(B, 1, KH, G, D).transpose(0, 1, 3, 2, 4)
+    qf = qf.reshape(B, G, KH, D)
+    att = jnp.einsum("bthd,bshd->bhts", qf, ck.astype(dtype)) * scale
+    if k_scale is not None:
+        att = att * k_scale[:, :, None, :].astype(dtype)
+    if mask_rel is not None:
+        valid = (mask_rel >= 0)[:, None, None, :]
+    else:
+        valid = (jnp.arange(S) <= pos)[None, None, None, :]
+    att = jnp.where(valid, att, jnp.asarray(-jnp.inf, att.dtype))
+    att = jax.nn.softmax(att.astype(jnp.float32), axis=-1).astype(dtype)
+    if v_scale is not None:
+        att = att * v_scale[:, :, None, :].astype(dtype)
+    y = jnp.einsum("bhts,bshd->bthd", att, cv.astype(dtype))  # [B, G, KH, D]
+    y = y.reshape(B, 1, G, KH, D).transpose(0, 1, 3, 2, 4)  # [B,1,KH,G,D]
+    y_heads = y.reshape(B, H, D)
+    out = jnp.einsum("bhd,hdc->bhc", y_heads.astype(jnp.float32), P)
+    return k_new, v_new, out.astype(dtype)
+
+
+@functools.lru_cache(maxsize=None)
+def _placement_np(H: int, KH: int, D: int):
+    import numpy as np
+    G = H // KH
+    P = np.zeros((H, D, KH * D), np.float32)
+    for h in range(H):
+        kh = h // G
+        P[h, np.arange(D), kh * D + np.arange(D)] = 1.0
+    return P
+
+
+def _placement(H: int, KH: int, D: int, dtype):
+    """[H, D, KH*D] 0/1 placement: P[h, d, (h//G)*D + d] = 1. Folding a
+    [B, H, D] tensor through ``einsum('bhd,hdc->bhc', x, P)`` places head
+    h's values into kv-head h//G's lane slice (exact — each output element
+    receives exactly one input, no summation)."""
+    return jnp.asarray(_placement_np(H, KH, D), dtype)
