@@ -464,10 +464,15 @@ class CausalSelfAttention(nn.Module):
                 # 20 of 27.6 ms/step). A hand-written T==1 VPU
                 # broadcast-multiply-reduce (the MHA matvec form) was
                 # tried and measured WORSE (83k): XLA re-materialized the
-                # [B,S,KH,G] product tensor in HBM. Fixing this needs a
-                # Pallas GQA decode kernel with an S-major cache contract
-                # (see ops/decode_attention.py for the scaffold and why
-                # the MHA variant lost end-to-end to layout churn).
+                # [B,S,KH,G] product tensor in HBM. The FIX is
+                # GPTConfig.flat_kv: carry the cache flat [B, S, KH*D] and
+                # run the decode step inside ops/gqa_decode.py, which owns
+                # the cache layout end-to-end — measured 702k tok/s at the
+                # bench shape (1.57x the MHA headline; docs/PERF.md
+                # "Grouped-query attention"). This einsum branch remains
+                # the prefill / off-TPU / non-flat path. The same kernel
+                # at G=1 (MHA) measured 337k vs XLA's 447k — MHA stays
+                # here because its T=1 matvec is already layout-clean.
                 qf = q.reshape(B, T, KH, G, D).transpose(0, 1, 3, 2, 4)
                 qf = qf.reshape(B, T * G, KH, D)  # row t*G+g, t-major
                 att = jnp.einsum(

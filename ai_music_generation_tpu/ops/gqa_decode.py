@@ -87,87 +87,88 @@ def _kernel(R: int, S: int, H: int, KH: int, KHD: int, quantized: bool,
                ks_ref, vs_ref, mask_ref, ko, vo, o_ref,
                wk_scr, wv_scr, sems):
         g = pl.program_id(0)
+        G_PROGS = pl.num_programs(0)
         row0 = g * R
         w0 = pos_ref[0] * 8  # provably 8-aligned window start
         pos = w0 + pos_ref[1]
 
-        col_hs = jax.lax.broadcasted_iota(jnp.int32, (H, S), 1)
+        # previous program's writeback DMA reads the scratch this program
+        # is about to overwrite: wait for it HERE (not at issue time) so
+        # the copy overlaps a full program of compute (traced: the
+        # issue-time wait serialized ~2 us x B/R programs per layer)
+        @pl.when(g > 0)
+        def _wait_prev():
+            pltpu.make_async_copy(wk_scr, wk_scr, sems.at[0]).wait()
+            pltpu.make_async_copy(wv_scr, wv_scr, sems.at[1]).wait()
+
+        col_hs = jax.lax.broadcasted_iota(jnp.int32, (R, H, S), 2)
         # folded-output lane ownership: row h keeps only kv-head h//G's
         # lane slice (the PV dot fills every lane; zeroing the rest makes
         # the output exactly the placement-folded form the caller unfolds)
-        lane_kh = jax.lax.broadcasted_iota(jnp.int32, (H, KHD), 1) // D
-        row_kh = jax.lax.broadcasted_iota(jnp.int32, (H, KHD), 0) // G
+        lane_kh = jax.lax.broadcasted_iota(jnp.int32, (R, H, KHD), 2) // D
+        row_kh = jax.lax.broadcasted_iota(jnp.int32, (R, H, KHD), 1) // G
         fold_mask = lane_kh == row_kh
-        # one-hot window extractor: E_w[j, s] == 1 iff s == w0 + j
-        ew_col = jax.lax.broadcasted_iota(jnp.int32, (8, S), 1)
-        ew_row = jax.lax.broadcasted_iota(jnp.int32, (8, S), 0)
-        e_w = (ew_col == w0 + ew_row)
-        win_row = jax.lax.broadcasted_iota(jnp.int32, (8, KHD), 0)
+        win_row = jax.lax.broadcasted_iota(jnp.int32, (R, 8, KHD), 1)
 
-        for r in range(R):
-            q_r = q_ref[r]  # [H, KHD]
-            k_bf = k_ref[r].astype(q_r.dtype)  # [S, KHD]
-            v_bf = v_ref[r].astype(q_r.dtype)
-            kslab_r = kslab_ref[r].astype(q_r.dtype)  # [1, KHD]
-            vslab_r = vslab_ref[r].astype(q_r.dtype)
+        q_b = q_ref[:]  # [R, H, KHD]
+        k_bf = k_ref[:].astype(q_b.dtype)  # [R, S, KHD]
+        v_bf = v_ref[:].astype(q_b.dtype)
+        kslab_b = kslab_ref[:].astype(q_b.dtype)  # [R, 1, KHD]
+        vslab_b = vslab_ref[:].astype(q_b.dtype)
 
-            # ---- persist: blend the fresh column into the 8-wide aligned
-            # window and stage it for the HBM writeback DMA. The one-hot
-            # dot extracts rows w0..w0+7 of the cast block (int8 values are
-            # exact in bf16), then row pos%8 is replaced by the slab.
-            wk = jax.lax.dot_general(
-                e_w.astype(q_r.dtype), k_bf, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)  # [8, KHD]
-            wv = jax.lax.dot_general(
-                e_w.astype(q_r.dtype), v_bf, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            wk = jnp.where(win_row == pos_ref[1],
-                           kslab_r.astype(jnp.float32), wk)
-            wv = jnp.where(win_row == pos_ref[1],
-                           vslab_r.astype(jnp.float32), wv)
-            wk_scr[r] = wk.astype(wk_scr.dtype)
-            wv_scr[r] = wv.astype(wv_scr.dtype)
+        # ---- persist: blend the fresh column into the 8-wide aligned
+        # window and stage it for the HBM writeback DMA. The window rows
+        # come straight off the VMEM block as an 8-aligned dynamic slice
+        # in the CACHE dtype (the one-hot-dot extraction this replaces
+        # cost 2 small MXU dots per row — the kernel's top hotspot in the
+        # round-4 device trace).
+        wk = jnp.where(win_row == pos_ref[1], kslab_ref[:],
+                       k_ref[:, pl.ds(w0, 8), :])
+        wv = jnp.where(win_row == pos_ref[1], vslab_ref[:],
+                       v_ref[:, pl.ds(w0, 8), :])
+        wk_scr[:] = wk
+        wv_scr[:] = wv
 
-            # ---- scores: one MXU dot for all H heads (q pre-folded into
-            # grouped lanes), fresh column merged in the score domain
-            scores = jax.lax.dot_general(
-                q_r, k_bf, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)  # [H, S]
-            # fresh column's scores: elementwise multiply-reduce (a
-            # dot_general against the 1-row slab trips a Mosaic
-            # vector.broadcast dtype verifier bug)
-            s_new = jnp.sum(
-                q_r.astype(jnp.float32) * kslab_r.astype(jnp.float32),
-                axis=1, keepdims=True)  # [H, 1]
-            scores = jnp.where(col_hs == pos, s_new, scores)
-            if quantized:
-                ks = jnp.concatenate(
-                    [jnp.broadcast_to(ks_ref[r, kh:kh + 1], (G, S))
-                     for kh in range(KH)], axis=0).astype(jnp.float32)
-                scores = scores * ks
-            if ring:
-                valid = mask_ref[r] >= 0  # [1, S] vs [H, S]
-            else:
-                valid = col_hs <= pos
-            scores = jnp.where(valid, scores * sm_scale, -jnp.inf)
-            probs = jax.nn.softmax(scores, axis=-1)  # fp32 [H, S]
-            if quantized:
-                vs = jnp.concatenate(
-                    [jnp.broadcast_to(vs_ref[r, kh:kh + 1], (G, S))
-                     for kh in range(KH)], axis=0).astype(jnp.float32)
-                probs = probs * vs
-            # ---- PV with the fresh column split out (v_bf[pos] is stale):
-            # pv = probs_without_pos @ v_old + probs[:, pos] (x) v_new
-            # (column extraction and the rank-1 outer product are
-            # elementwise — size-1 dot operands trip Mosaic, see s_new)
-            p_at = jnp.sum(jnp.where(col_hs == pos, probs, 0.0),
-                           axis=1, keepdims=True)  # [H, 1]
-            probs_np = jnp.where(col_hs == pos, 0.0, probs)
-            pv = jax.lax.dot_general(
-                probs_np.astype(q_r.dtype), v_bf, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)  # [H, KHD]
-            pv = pv + p_at * vslab_r.astype(jnp.float32)
-            o_ref[r] = jnp.where(fold_mask, pv, 0.0).astype(o_ref.dtype)
+        # ---- scores: one MXU dot per row for all H heads (q pre-folded
+        # into grouped lanes), fresh column merged in the score domain
+        scores = jax.lax.dot_general(
+            q_b, k_bf, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)  # [R, H, S]
+        # fresh column's scores: elementwise multiply-reduce (a
+        # dot_general against the 1-row slab trips a Mosaic
+        # vector.broadcast dtype verifier bug)
+        s_new = jnp.sum(
+            q_b.astype(jnp.float32) * kslab_b.astype(jnp.float32),
+            axis=2, keepdims=True)  # [R, H, 1]
+        scores = jnp.where(col_hs == pos, s_new, scores)
+        if quantized:
+            ks = jnp.concatenate(
+                [jnp.broadcast_to(ks_ref[:, kh:kh + 1], (R, G, S))
+                 for kh in range(KH)], axis=1).astype(jnp.float32)
+            scores = scores * ks
+        if ring:
+            valid = mask_ref[:] >= 0  # [R, 1, S] vs [R, H, S]
+        else:
+            valid = col_hs <= pos
+        scores = jnp.where(valid, scores * sm_scale, -jnp.inf)
+        probs = jax.nn.softmax(scores, axis=-1)  # fp32 [R, H, S]
+        if quantized:
+            vs = jnp.concatenate(
+                [jnp.broadcast_to(vs_ref[:, kh:kh + 1], (R, G, S))
+                 for kh in range(KH)], axis=1).astype(jnp.float32)
+            probs = probs * vs
+        # ---- PV with the fresh column split out (v_bf[pos] is stale):
+        # pv = probs_without_pos @ v_old + probs[:, pos] (x) v_new
+        # (column extraction and the rank-1 outer product are
+        # elementwise — size-1 dot operands trip Mosaic, see s_new)
+        p_at = jnp.sum(jnp.where(col_hs == pos, probs, 0.0),
+                       axis=2, keepdims=True)  # [R, H, 1]
+        probs_np = jnp.where(col_hs == pos, 0.0, probs)
+        pv = jax.lax.dot_general(
+            probs_np.astype(q_b.dtype), v_bf, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)  # [R, H, KHD]
+        pv = pv + p_at * vslab_b.astype(jnp.float32)
+        o_ref[:] = jnp.where(fold_mask, pv, 0.0).astype(o_ref.dtype)
 
         # ---- writeback: only the 8-wide window columns are written (the
         # rest of the output IS the input buffer — input_output_aliases).
@@ -179,8 +180,11 @@ def _kernel(R: int, S: int, H: int, KH: int, KHD: int, quantized: bool,
             wv_scr, vo.at[pl.ds(row0, R), pl.ds(w0, 8), :], sems.at[1])
         wk_dma.start()
         wv_dma.start()
-        wk_dma.wait()
-        wv_dma.wait()
+
+        @pl.when(g == G_PROGS - 1)
+        def _wait_last():
+            wk_dma.wait()
+            wv_dma.wait()
         if interpret:
             # interpret mode doesn't carry the aliased input through to the
             # untouched output columns: write the full patched rows so the
