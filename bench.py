@@ -7,6 +7,16 @@ ref: nanoGPT/config/bach_512_context.py), 500 new tokens per tune,
 temperature 0.8, top_k 200 — but batched through the jitted KV-cache decode
 loop instead of one tune at a time.
 
+Flagship decode config (round 4): grouped-query attention KH=2 over the
+flat-cache Pallas decode kernel (GPTConfig.n_kv_head=2, flat_kv=True,
+ops/gqa_decode.py). The reference model is MHA; this architecture delta
+is disclosed and carries a MEASURED quality contract (docs/PERF.md
+"Grouped-query attention": KH=2 vs KH=6 trained on the identical
+corpus/schedule/seed — final val loss 1.3022 vs 1.3016, teacher NLL and
+every inner/conditioned similarity delta inside the MHA 95% CIs) plus a
+3x smaller KV cache. The MHA-architecture number at this protocol is
+447.4k tok/s (round 3; XLA einsum path) — also in docs/PERF.md.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
@@ -29,11 +39,15 @@ BATCH = 4096
 PROMPT_LEN = 8
 MAX_NEW = 500
 # int8 KV cache halves decode HBM traffic (the bottleneck): measured
-# 363k tok/s vs 260k with the bf16 cache on v5e. Deterministic at fixed
-# seed; documented opt-in (GPTConfig.kv_quantized / models/gpt.py KVCache).
+# 363k tok/s vs 260k with the bf16 cache on v5e; GQA KH=2 shrinks it a
+# further 3x and decodes through the flat-cache Pallas kernel (702k vs
+# 447k MHA — see module docstring for the quality contract).
+# Deterministic at fixed seed; documented opt-ins (GPTConfig.kv_quantized
+# / n_kv_head / flat_kv, models/gpt.py KVCache).
 CONFIG = GPTConfig(
     block_size=256, vocab_size=128, n_layer=6, n_head=6, n_embd=384,
     dropout=0.0, bias=False, dtype=jnp.bfloat16, kv_quantized=True,
+    n_kv_head=2, flat_kv=True,
 )
 
 
