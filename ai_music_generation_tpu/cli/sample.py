@@ -61,6 +61,8 @@ DEFAULTS = dict(
     batch_size=64,  # TPU-native: batched decode width
     dtype="bfloat16",
     kv_quantized=False,  # int8 KV cache (halves decode HBM traffic)
+    flat_kv=False,  # Pallas flat-cache decode kernel (fastest for GQA
+    # checkpoints — 702k vs 148k tok/s at bench scale; docs/PERF.md)
     speculative=False,  # prompt-lookup speculative decoding (decode/speculative.py)
     n_draft=4,  # draft chain length when speculative=True
     window=0,  # decode KV-cache window; 0 = block_size (parity). Smaller
@@ -73,8 +75,15 @@ IRISHMAN_BAR_REGEX = re.compile(r"(:\||::|\s\||\|\])")
 
 
 def load_model(out_dir: str, dtype: str = "bfloat16", init_from: str = "resume",
-               kv_quantized: bool = False):
-    """Load the best checkpoint (or a HF GPT-2, ref sample.py:55-71)."""
+               kv_quantized: bool = False, flat_kv: bool = False):
+    """Load the best checkpoint (or a HF GPT-2, ref sample.py:55-71).
+
+    ``flat_kv`` is a runtime decode-layout knob (no weight change): carry
+    the decode KV cache flat and run T=1 steps through the Pallas GQA
+    kernel (ops/gqa_decode.py) — the fastest measured decode for GQA
+    checkpoints (docs/PERF.md "Grouped-query attention"); requires
+    n_kv_head*head_dim % 128 == 0.
+    """
     import dataclasses
 
     import jax.numpy as jnp
@@ -84,7 +93,7 @@ def load_model(out_dir: str, dtype: str = "bfloat16", init_from: str = "resume",
         from ai_music_generation_tpu.models.hf_import import from_pretrained
 
         config, params = from_pretrained(init_from)
-        config = dataclasses.replace(config, dtype=jdtype)
+        config = dataclasses.replace(config, dtype=jdtype, flat_kv=flat_kv)
         return GPT(config), params, {"model_args": {}, "config": {}}
     torch_ckpt = os.path.join(out_dir, "ckpt.pt")
     if not ckpt_lib.checkpoint_exists(out_dir, ckpt_lib.BEST) and os.path.exists(torch_ckpt):
@@ -96,10 +105,12 @@ def load_model(out_dir: str, dtype: str = "bfloat16", init_from: str = "resume",
         print(f"no orbax checkpoint in {out_dir}; importing {torch_ckpt}")
         config, params, meta = load_reference_ckpt(
             torch_ckpt, dtype=jdtype, kv_quantized=kv_quantized)
+        if flat_kv:
+            config = dataclasses.replace(config, flat_kv=True)
         return GPT(config), params, meta
     state, meta = ckpt_lib.load_checkpoint(out_dir, ckpt_lib.BEST)
     config = GPTConfig(dropout=0.0, dtype=jdtype, kv_quantized=kv_quantized,
-                       **meta["model_args"])
+                       flat_kv=flat_kv, **meta["model_args"])
     model = GPT(config)
     params = state["params"]
     return model, params, meta
@@ -191,7 +202,8 @@ def run_sampling(c: dict, write: bool = True) -> list[tuple[object, str]]:
     from ai_music_generation_tpu.decode.generate import Generator
 
     model, params, ckpt_meta = load_model(
-        c["out_dir"], c["dtype"], c["init_from"], c.get("kv_quantized", False)
+        c["out_dir"], c["dtype"], c["init_from"],
+        c.get("kv_quantized", False), c.get("flat_kv", False)
     )
     if c["init_from"].startswith("gpt2"):
         # GPT-2 BPE fallback (ref: sample.py:96-100)

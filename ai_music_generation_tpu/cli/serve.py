@@ -17,9 +17,13 @@ loads run --ticks_per_call=128 --n_slots=2048 --kv_quantized=True (the
 fastest measured PARITY configuration, 221.9k tok/s steady state on a
 v5e chip); adding --cache_len=128 --ticks_per_call=64 opts into the
 decode-window contract (+0.057 teacher NLL, docs/PERF.md) and reads
-262.9k at 2048 slots / 303.1k at 4096. --mesh=NxM serves sharded over a
-(data=N, model=M) device mesh (slot state on the data axis, params on
-the TP rules) for multi-chip slices.
+262.9k at 2048 slots / 303.1k at 4096; GQA checkpoints with
+--flat_kv=True --n_slots=8192 --admit_group=512 read the measured
+maximum (372.0k — the 3× smaller KV cache becomes slot capacity).
+--mesh=NxM serves sharded over a (data=N, model=M) device mesh (slot
+state on the data axis, params on the TP rules) for multi-chip slices;
+flat_kv engines are single-chip (one replica per device) — the two
+flags are mutually exclusive.
 """
 
 from __future__ import annotations
@@ -46,6 +50,9 @@ DEFAULTS = dict(
     # contract"): every token still sees >= cache_len/2 committed context.
     dtype="bfloat16",
     kv_quantized=False,
+    flat_kv=False,  # Pallas flat-cache decode kernel: the fastest serving
+    # config for GQA checkpoints (single-chip engines; incompatible with
+    # --mesh — see GenerationServer's guard / docs/SERVING.md)
     prewarm=False,  # compile all admission/decode programs before serving
     mesh="",  # "NxM" = serve sharded over a (data=N, model=M) device mesh
 )
@@ -55,7 +62,8 @@ def main(argv=None):
     argv = sys.argv[1:] if argv is None else argv
     c = apply_overrides(dict(DEFAULTS), argv)
     model, params, ckpt_meta = load_model(
-        c["out_dir"], c["dtype"], c["init_from"], c["kv_quantized"])
+        c["out_dir"], c["dtype"], c["init_from"], c["kv_quantized"],
+        c["flat_kv"])
     encode, decode = build_codec(ckpt_meta, c["data_root"], c["tokens_format"])
     mesh = None
     if c["mesh"]:

@@ -96,6 +96,13 @@ def main(argv=None) -> dict:
     ap.add_argument("--n_embd", type=int, default=384)
     ap.add_argument("--kv_quantized", action="store_true",
                     help="int8 KV cache (halves decode HBM traffic)")
+    ap.add_argument("--n_kv_head", type=int, default=0,
+                    help="GQA: KV heads (0 = n_head/MHA). With --flat_kv, "
+                    "decode runs the Pallas flat-cache kernel "
+                    "(docs/PERF.md 'Grouped-query attention')")
+    ap.add_argument("--flat_kv", action="store_true",
+                    help="flat [B,S,KH*D] ring cache owned by the GQA "
+                    "decode kernel (requires KH*head_dim %% 128 == 0)")
     ap.add_argument("--cache_len", type=int, default=0,
                     help="ring-cache length; 0 = block_size (parity). "
                     "Smaller = decode-window lever, docs/PERF.md")
@@ -113,6 +120,7 @@ def main(argv=None) -> dict:
         block_size=args.block_size, vocab_size=args.vocab_size,
         n_layer=args.n_layer, n_head=args.n_head, n_embd=args.n_embd,
         dropout=0.0, kv_quantized=args.kv_quantized,
+        n_kv_head=args.n_kv_head or None, flat_kv=args.flat_kv,
     )
     model = GPT(cfg)
     params = model.init(
@@ -171,6 +179,8 @@ def main(argv=None) -> dict:
         "ticks_per_call": args.ticks_per_call,
         "admit_group": args.admit_group,
         "kv_quantized": args.kv_quantized,
+        "n_kv_head": args.n_kv_head or args.n_head,
+        "flat_kv": args.flat_kv,
         "cache_len": srv.cache_len,
         "phases": {k: (round(v, 2) if isinstance(v, float) else v)
                    for k, v in stats.items()},

@@ -52,6 +52,13 @@ The reference has no GQA at all (full multi-head attention,
 ref: nanoGPT/model.py:29-76); this kernel is what makes the framework's
 ``GPTConfig(n_kv_head=...)`` a throughput lever rather than only a
 memory/capacity one. Measured numbers live in docs/PERF.md.
+
+Sharding contract: SINGLE-CHIP. A ``pallas_call`` is a custom call the
+GSPMD partitioner cannot shard — under a multi-device pjit it would
+gather the full cache per device, and under tensor parallelism the
+per-shard KV-head slice breaks the 128-lane tiling. Multi-chip decode
+with ``flat_kv`` is one replica per chip (the serving engine enforces
+this; ``parallel/mesh.py`` decode paths use the einsum branch).
 """
 
 from __future__ import annotations

@@ -310,6 +310,17 @@ class GenerationServer(EngineHostBase):
 
             from ai_music_generation_tpu.parallel import mesh as pmesh
 
+            if cfg.flat_kv and mesh.devices.size > 1:
+                # the flat decode step is a Pallas custom call, which the
+                # GSPMD partitioner cannot shard (it would gather the full
+                # cache onto every device), and under TP the per-shard
+                # KV-head slice breaks the kernel's 128-lane contract.
+                # Multi-chip flat-kv serving is one engine replica per
+                # chip (data-parallel serving, the production shape).
+                raise ValueError(
+                    "flat_kv serving is single-chip per engine: run one "
+                    "engine replica per device instead of mesh= (the "
+                    "Pallas decode kernel does not partition under GSPMD)")
             n_data = mesh.shape[pmesh.DATA_AXIS]
             if n_slots % n_data != 0:
                 raise ValueError(
