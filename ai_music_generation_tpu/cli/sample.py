@@ -62,7 +62,7 @@ DEFAULTS = dict(
     dtype="bfloat16",
     kv_quantized=False,  # int8 KV cache (halves decode HBM traffic)
     flat_kv=False,  # Pallas flat-cache decode kernel (fastest for GQA
-    # checkpoints — 702k vs 148k tok/s at bench scale; docs/PERF.md)
+    # checkpoints — 840.8k vs 148k tok/s at bench scale; docs/PERF.md)
     speculative=False,  # prompt-lookup speculative decoding (decode/speculative.py)
     n_draft=4,  # draft chain length when speculative=True
     window=0,  # decode KV-cache window; 0 = block_size (parity). Smaller
