@@ -606,18 +606,14 @@ class CausalSelfAttention(nn.Module):
                 if T == 1:
                     pos = cursor if per_row else cache_len
                     if ck_scale is not None:
-                        # quantize on [B, KH, D] (no singleton time dim).
-                        # Bit-identical math (same reduce groups); measured
-                        # a wash at bench scale after the 2-D c_attn fix
-                        # (842.1k vs 840.8k) — kept because it matches the
-                        # 2-D shape discipline of this branch and the slab
-                        # quantize no longer depends on [B,1,...] tilings.
-                        kq, ks = _quantize_int8(k.reshape(B, KH, D))
-                        vq, vs = _quantize_int8(v.reshape(B, KH, D))
-                        ck_scale = _scale_write(ck_scale, ks[:, None], pos)
-                        cv_scale = _scale_write(cv_scale, vs[:, None], pos)
-                        kslab = kq.reshape(B, 1, KHD)
-                        vslab = vq.reshape(B, 1, KHD)
+                        # int8: the RAW bf16 projections go straight into
+                        # the kernel, which owns the quantize AND the
+                        # scale write (ops/gqa_decode.py docstring) —
+                        # the XLA-side _quantize_int8 + _scale_write
+                        # fusions this replaces traced at ~0.6 ms of the
+                        # 4.9 ms decode step at batch 4096.
+                        kslab = k.reshape(B, 1, KHD)
+                        vslab = v.reshape(B, 1, KHD)
                     else:
                         kslab = k.reshape(B, 1, KHD).astype(ck.dtype)
                         vslab = v.reshape(B, 1, KHD).astype(cv.dtype)
@@ -631,14 +627,19 @@ class CausalSelfAttention(nn.Module):
                         mask_rel = None  # kernel masks col <= pos itself
                     P = _placement(H, KH, D, cfg.dtype)
                     q_bd = jnp.einsum("bhd,hdc->bhc", q.reshape(B, H, D), P)
-                    ck, cv, out = gqa_decode_update(
-                        q_bd, ck, cv, kslab, vslab, ck_scale, cv_scale,
-                        mask_rel, pos, n_head=H, n_kv_head=KH)
+                    if ck_scale is not None:
+                        ck, cv, ck_scale, cv_scale, out = gqa_decode_update(
+                            q_bd, ck, cv, kslab, vslab, ck_scale, cv_scale,
+                            mask_rel, pos, n_head=H, n_kv_head=KH)
+                        new_cache = (ck, cv, ck_scale, cv_scale)
+                    else:
+                        ck, cv, out = gqa_decode_update(
+                            q_bd, ck, cv, kslab, vslab, None, None,
+                            mask_rel, pos, n_head=H, n_kv_head=KH)
+                        new_cache = (ck, cv)
                     y = jnp.einsum(
                         "bhc,hdc->bhd", out, P.astype(out.dtype))
                     y = y.reshape(B, 1, C)
-                    new_cache = ((ck, cv) if ck_scale is None
-                                 else (ck, cv, ck_scale, cv_scale))
                     return self._epilogue(y, deterministic), new_cache
                 # prefill: T > 1 at scalar cache_len — flat slab writes +
                 # the shared einsum path over 4-D views (one-time cost)

@@ -23,12 +23,18 @@ Contract (all shapes static):
 - ``k``, ``v``   [B, S, KH*D] int8 or dense — the flat GQA cache
   (position-major; KH*D must be a 128-multiple so lanes tile exactly).
   ALIASED in/out: the kernel owns the write.
-- ``k_slab``, ``v_slab`` [B, 1, KH*D] cache-dtype — the step's fresh
-  column (already quantized by the caller in int8 mode; its scale is
-  already present in ``k_scale`` at column ``pos``).
+- ``k_slab``, ``v_slab`` [B, 1, KH*D] — the step's fresh column. In int8
+  mode these are the RAW (float) projections: the kernel owns the
+  quantize too — per-(row, kv-head) abs-max/127 scales computed in fp32
+  in VMEM, bit-exact with ``models/gpt.py::_quantize_int8`` (same cast,
+  same max(·,1e-6), same round/clip). Round 4 traced the XLA-side
+  quantize + one-hot scale-write fusions at ~0.6 of the 4.9 ms decode
+  step; in-kernel they ride data already resident in VMEM.
 - ``k_scale``, ``v_scale`` [B, KH, S] bf16 or None — per-(position,
   kv-head) int8 scales, factored onto scores/probs exactly like the XLA
-  path (q.(k8*ks) == (q.k8)*ks).
+  path (q.(k8*ks) == (q.k8)*ks). ALIASED in/out in int8 mode: the kernel
+  merges the fresh column's scale and writes the block back, so the
+  quantized call returns ``(k, v, k_scale, v_scale, out)``.
 - ``mask_rel`` [B, 1, S] int32 — ring mode only: column s of row b is
   attendable iff ``mask_rel[b, 0, s] >= 0`` (the caller encodes the ring
   window ``length[b] - (pos - s) mod S``). Scalar lockstep mode passes a
@@ -91,8 +97,11 @@ def _kernel(R: int, S: int, H: int, KH: int, KHD: int, quantized: bool,
     sm_scale = 1.0 / math.sqrt(D)
 
     def kernel(pos_ref, q_ref, k_ref, v_ref, kslab_ref, vslab_ref,
-               ks_ref, vs_ref, mask_ref, ko, vo, o_ref,
-               wk_scr, wv_scr, sems):
+               ks_ref, vs_ref, mask_ref, *outs):
+        if quantized:
+            ko, vo, kso, vso, o_ref, wk_scr, wv_scr, sems = outs
+        else:
+            ko, vo, o_ref, wk_scr, wv_scr, sems = outs
         g = pl.program_id(0)
         G_PROGS = pl.num_programs(0)
         row0 = g * R
@@ -120,8 +129,57 @@ def _kernel(R: int, S: int, H: int, KH: int, KHD: int, quantized: bool,
         q_b = q_ref[:]  # [R, H, KHD]
         k_bf = k_ref[:].astype(q_b.dtype)  # [R, S, KHD]
         v_bf = v_ref[:].astype(q_b.dtype)
-        kslab_b = kslab_ref[:].astype(q_b.dtype)  # [R, 1, KHD]
-        vslab_b = vslab_ref[:].astype(q_b.dtype)
+
+        if quantized:
+            # ---- kernel-owned quantize of the fresh column: bit-exact
+            # models/gpt.py::_quantize_int8 on the [R, KH, D] view (fp32
+            # abs-max per (row, kv-head) lane slice, max(·,1e-6)/127,
+            # round-half-even, clip ±127). The XLA-side version of this
+            # (+ its one-hot scale writes) traced at ~0.6 ms of the
+            # 4.9 ms decode step at batch 4096; here it's a few VPU ops
+            # on a [R, 1, KHD] block already in VMEM.
+            lane1 = jax.lax.broadcasted_iota(jnp.int32, (R, 1, KHD), 2) // D
+
+            def _quant_col(slab_ref):
+                xf = slab_ref[:].astype(jnp.float32)  # [R, 1, KHD]
+                ax = jnp.abs(xf)
+                s_exp = jnp.zeros_like(xf)
+                s_list = []
+                for kh in range(KH):
+                    m = jnp.max(jnp.where(lane1 == kh, ax, 0.0),
+                                axis=2, keepdims=True)  # [R, 1, 1] fp32
+                    s = jnp.maximum(m, 1e-6) / 127.0
+                    s_exp = jnp.where(lane1 == kh, s, s_exp)
+                    s_list.append(s.astype(jnp.bfloat16))
+                q8 = jnp.clip(jnp.round(xf / s_exp), -127, 127)
+                return q8.astype(jnp.int8), s_list
+
+            kq_col, ksl = _quant_col(kslab_ref)
+            vq_col, vsl = _quant_col(vslab_ref)
+            # merge the fresh column's scale per kv-head as [R, 1, S]
+            # slices (a [R, KH, S] mask on the 2-wide sublane dim trips a
+            # Mosaic "invalid relayout" on the i1 vector; lane-dim masks
+            # are the kernel's known-good pattern) and write the aliased
+            # scale outputs slice-wise; the merged rows also feed the
+            # score/prob factoring below
+            col_r1s = jax.lax.broadcasted_iota(jnp.int32, (R, 1, S), 2)
+            ks_rows, vs_rows = [], []
+            for kh in range(KH):
+                mk = jnp.where(col_r1s == pos, ksl[kh],
+                               ks_ref[:, kh:kh + 1, :])  # [R, 1, S] bf16
+                mv = jnp.where(col_r1s == pos, vsl[kh],
+                               vs_ref[:, kh:kh + 1, :])
+                kso[:, kh:kh + 1, :] = mk
+                vso[:, kh:kh + 1, :] = mv
+                ks_rows.append(mk)
+                vs_rows.append(mv)
+            kslab_b = kq_col.astype(q_b.dtype)  # [R, 1, KHD]
+            vslab_b = vq_col.astype(q_b.dtype)
+            kslab_w, vslab_w = kq_col, vq_col  # window write values
+        else:
+            kslab_b = kslab_ref[:].astype(q_b.dtype)  # [R, 1, KHD]
+            vslab_b = vslab_ref[:].astype(q_b.dtype)
+            kslab_w, vslab_w = kslab_ref[:], vslab_ref[:]
 
         # ---- persist: blend the fresh column into the 8-wide aligned
         # window and stage it for the HBM writeback DMA. The window rows
@@ -129,9 +187,9 @@ def _kernel(R: int, S: int, H: int, KH: int, KHD: int, quantized: bool,
         # in the CACHE dtype (the one-hot-dot extraction this replaces
         # cost 2 small MXU dots per row — the kernel's top hotspot in the
         # round-4 device trace).
-        wk = jnp.where(win_row == pos_ref[1], kslab_ref[:],
+        wk = jnp.where(win_row == pos_ref[1], kslab_w,
                        k_ref[:, pl.ds(w0, 8), :])
-        wv = jnp.where(win_row == pos_ref[1], vslab_ref[:],
+        wv = jnp.where(win_row == pos_ref[1], vslab_w,
                        v_ref[:, pl.ds(w0, 8), :])
         wk_scr[:] = wk
         wv_scr[:] = wv
@@ -150,7 +208,7 @@ def _kernel(R: int, S: int, H: int, KH: int, KHD: int, quantized: bool,
         scores = jnp.where(col_hs == pos, s_new, scores)
         if quantized:
             ks = jnp.concatenate(
-                [jnp.broadcast_to(ks_ref[:, kh:kh + 1], (R, G, S))
+                [jnp.broadcast_to(ks_rows[kh], (R, G, S))
                  for kh in range(KH)], axis=1).astype(jnp.float32)
             scores = scores * ks
         if ring:
@@ -161,7 +219,7 @@ def _kernel(R: int, S: int, H: int, KH: int, KHD: int, quantized: bool,
         probs = jax.nn.softmax(scores, axis=-1)  # fp32 [R, H, S]
         if quantized:
             vs = jnp.concatenate(
-                [jnp.broadcast_to(vs_ref[:, kh:kh + 1], (R, G, S))
+                [jnp.broadcast_to(vs_rows[kh], (R, G, S))
                  for kh in range(KH)], axis=1).astype(jnp.float32)
             probs = probs * vs
         # ---- PV with the fresh column split out (v_bf[pos] is stale):
@@ -200,10 +258,10 @@ def _kernel(R: int, S: int, H: int, KH: int, KHD: int, quantized: bool,
             for r in range(R):
                 ko[row0 + r] = jnp.where(
                     row_iota == pos,
-                    jnp.broadcast_to(kslab_ref[r], (S, KHD)), k_ref[r])
+                    jnp.broadcast_to(kslab_w[r], (S, KHD)), k_ref[r])
                 vo[row0 + r] = jnp.where(
                     row_iota == pos,
-                    jnp.broadcast_to(vslab_ref[r], (S, KHD)), v_ref[r])
+                    jnp.broadcast_to(vslab_w[r], (S, KHD)), v_ref[r])
 
     return kernel
 
@@ -211,17 +269,21 @@ def _kernel(R: int, S: int, H: int, KH: int, KHD: int, quantized: bool,
 def gqa_decode_update(q_bd, k, v, k_slab, v_slab, k_scale, v_scale,
                       mask_rel, pos, *, n_head: int, n_kv_head: int,
                       interpret: bool = False, rows: int | None = None):
-    """Fused single-column cache write + grouped-query decode attention.
+    """Fused single-column cache write (+ int8 quantize) + GQA attention.
 
-    Returns ``(k_new, v_new, out)`` with ``out`` [B, H, KH*D] in q_bd's
-    dtype, FOLDED like the query input (head h's values live in kv-head
-    h//G's lane slice; the caller unfolds with the same placement einsum).
+    Returns ``(k_new, v_new, out)`` — or, with int8 scales,
+    ``(k_new, v_new, k_scale_new, v_scale_new, out)``: in quantized mode
+    ``k_slab``/``v_slab`` are the step's RAW float projections and the
+    kernel owns quantize, column write, and scale write (module
+    docstring). ``out`` is [B, H, KH*D] in q_bd's dtype, FOLDED like the
+    query input (head h's values live in kv-head h//G's lane slice; the
+    caller unfolds with the same placement einsum).
     ``mask_rel`` None selects scalar lockstep masking (``col <= pos``);
     a [B, S] int32 array selects ring masking (attendable iff >= 0).
     Off-TPU this routes to the pure-XLA reference, which mirrors the
-    model's 4-D einsum path op-for-op so flat-cache decode on the CPU mesh
-    stays bit-identical to the 4-D GQA path (the tests/test_gqa.py
-    oracles)."""
+    model's 4-D einsum path op-for-op (including _quantize_int8 and the
+    one-hot scale write) so flat-cache decode on the CPU mesh stays
+    bit-identical to the 4-D GQA path (the tests/test_gqa.py oracles)."""
     if not interpret and jax.default_backend() != "tpu":
         return gqa_decode_reference(
             q_bd, k, v, k_slab, v_slab, k_scale, v_scale, mask_rel, pos,
@@ -279,28 +341,55 @@ def _gqa_decode_update(q_bd, k, v, k_slab, v_slab, k_scale, v_scale,
             pl.BlockSpec((R, 1, mS), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec((R, H, KHD), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        out_specs=(
+            [
+                pl.BlockSpec(memory_space=pltpu.HBM),
+                pl.BlockSpec(memory_space=pltpu.HBM),
+            ]
+            + (
+                # aliased scale outputs: full [R, KH, S] blocks written
+                # through the normal pipelined VMEM path (the blocks are
+                # tiny — writing them whole costs ~10 us/step at batch
+                # 4096 vs the ~0.6 ms XLA-side scale fusions it replaces)
+                [
+                    pl.BlockSpec((R, sH, sS), lambda i, *_: (i, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((R, sH, sS), lambda i, *_: (i, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                ]
+                if quantized
+                else []
+            )
+            + [
+                pl.BlockSpec((R, H, KHD), lambda i, *_: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ]
+        ),
         scratch_shapes=[
             pltpu.VMEM((R, 8, KHD), k.dtype),
             pltpu.VMEM((R, 8, KHD), v.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    # operand indices include the scalar prefetch: pos2=0, q=1, k=2, v=3
+    # operand indices include the scalar prefetch: pos2=0, q=1, k=2, v=3,
+    # kslab=4, vslab=5, k_scale=6, v_scale=7, mask=8
+    out_shape = [
+        jax.ShapeDtypeStruct(k.shape, k.dtype),
+        jax.ShapeDtypeStruct(v.shape, v.dtype),
+    ]
+    aliases = {2: 0, 3: 1}
+    if quantized:
+        out_shape += [
+            jax.ShapeDtypeStruct(k_scale.shape, k_scale.dtype),
+            jax.ShapeDtypeStruct(v_scale.shape, v_scale.dtype),
+        ]
+        aliases.update({6: 2, 7: 3})
+    out_shape.append(jax.ShapeDtypeStruct((B, H, KHD), q_bd.dtype))
     return pl.pallas_call(
         _kernel(R, S, H, n_kv_head, KHD, quantized, ring, interpret),
-        out_shape=[
-            jax.ShapeDtypeStruct(k.shape, k.dtype),
-            jax.ShapeDtypeStruct(v.shape, v.dtype),
-            jax.ShapeDtypeStruct((B, H, KHD), q_bd.dtype),
-        ],
+        out_shape=out_shape,
         grid_spec=grid_spec,
-        input_output_aliases={2: 0, 3: 1},
+        input_output_aliases=aliases,
         interpret=interpret,
     )(pos2, q_bd, k, v, k_slab, v_slab, k_scale, v_scale,
       mask_rel.reshape(B, 1, mS))
@@ -310,13 +399,28 @@ def gqa_decode_reference(q_bd, k, v, k_slab, v_slab, k_scale, v_scale,
                          mask_rel, pos, *, n_head: int, n_kv_head: int):
     """Pure-XLA reference. Reconstructs the model's 4-D GQA einsum chain
     op-for-op (models/gpt.py ``cached_att`` G>1 branch: same einsum
-    strings, same dtypes, fp32 softmax) so flat-cache decode off-TPU is
-    bit-identical to the 4-D cache path."""
+    strings, same dtypes, fp32 softmax; quantized mode additionally
+    mirrors _quantize_int8 + _scale_write) so flat-cache decode off-TPU
+    is bit-identical to the 4-D cache path."""
     B, S, KHD = k.shape
     H, KH = n_head, n_kv_head
     D = KHD // KH
     G = H // KH
     dtype = q_bd.dtype
+    quantized = k_scale is not None
+    if quantized:
+        # quantize the raw slab exactly like the 4-D cache path's caller
+        # (the kernel does the same math in-VMEM — module docstring)
+        from ai_music_generation_tpu.models.gpt import (
+            _quantize_int8, _scale_write,
+        )
+
+        kq, ks_new = _quantize_int8(k_slab.reshape(B, KH, D))
+        vq, vs_new = _quantize_int8(v_slab.reshape(B, KH, D))
+        k_slab = kq.reshape(B, 1, KHD)
+        v_slab = vq.reshape(B, 1, KHD)
+        k_scale = _scale_write(k_scale, ks_new[:, None], pos)
+        v_scale = _scale_write(v_scale, vs_new[:, None], pos)
     k_new = jax.lax.dynamic_update_slice(k, k_slab.astype(k.dtype),
                                          (0, pos, 0))
     v_new = jax.lax.dynamic_update_slice(v, v_slab.astype(v.dtype),
@@ -345,6 +449,8 @@ def gqa_decode_reference(q_bd, k, v, k_slab, v_slab, k_scale, v_scale,
     y = y.reshape(B, 1, G, KH, D).transpose(0, 1, 3, 2, 4)  # [B,1,KH,G,D]
     y_heads = y.reshape(B, H, D)
     out = jnp.einsum("bhd,hdc->bhc", y_heads.astype(jnp.float32), P)
+    if quantized:
+        return k_new, v_new, k_scale, v_scale, out.astype(dtype)
     return k_new, v_new, out.astype(dtype)
 
 

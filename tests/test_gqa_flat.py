@@ -42,13 +42,14 @@ KHD = KH * D
 
 def _inputs(quant, ring, pos, seed=0):
     ks = jax.random.split(jax.random.PRNGKey(seed), 10)
+    kslab = jax.random.normal(ks[2], (B, 1, KHD), jnp.bfloat16)
+    vslab = jax.random.normal(ks[3], (B, 1, KHD), jnp.bfloat16)
     if quant:
+        # slabs stay RAW bf16 — the kernel owns the quantize + scale write
         rint = lambda k, shape: jax.random.randint(
             k, shape, -127, 128, jnp.int32).astype(jnp.int8)
         k = rint(ks[0], (B, S, KHD))
         v = rint(ks[1], (B, S, KHD))
-        kslab = rint(ks[2], (B, 1, KHD))
-        vslab = rint(ks[3], (B, 1, KHD))
         kscale = (jax.random.uniform(ks[4], (B, KH, S)) * 0.1
                   + 0.01).astype(jnp.bfloat16)
         vscale = (jax.random.uniform(ks[5], (B, KH, S)) * 0.1
@@ -56,8 +57,6 @@ def _inputs(quant, ring, pos, seed=0):
     else:
         k = jax.random.normal(ks[0], (B, S, KHD), jnp.bfloat16)
         v = jax.random.normal(ks[1], (B, S, KHD), jnp.bfloat16)
-        kslab = jax.random.normal(ks[2], (B, 1, KHD), jnp.bfloat16)
-        vslab = jax.random.normal(ks[3], (B, 1, KHD), jnp.bfloat16)
         kscale = vscale = None
     qh = jax.random.normal(ks[6], (B, H, D), jnp.bfloat16)
     q_bd = jnp.einsum("bhd,hdc->bhc", qh, _placement(H, KH, D, jnp.bfloat16))
@@ -75,10 +74,19 @@ def _inputs(quant, ring, pos, seed=0):
 def test_kernel_interpret_matches_reference(quant, ring):
     for pos in (0, 5, 8, S - 1):
         args = _inputs(quant, ring, pos)
-        kr, vr, outr = gqa_decode_reference(
-            *args, pos, n_head=H, n_kv_head=KH)
-        kk, vk, outk = gqa_decode_update(
+        ref = gqa_decode_reference(*args, pos, n_head=H, n_kv_head=KH)
+        ker = gqa_decode_update(
             *args, pos, n_head=H, n_kv_head=KH, interpret=True)
+        if quant:
+            kr, vr, ksr, vsr, outr = ref
+            kk, vk, ksk, vsk, outk = ker
+            # the in-kernel quantize + scale write is bit-exact with
+            # _quantize_int8 + _scale_write
+            np.testing.assert_array_equal(np.asarray(ksr), np.asarray(ksk))
+            np.testing.assert_array_equal(np.asarray(vsr), np.asarray(vsk))
+        else:
+            kr, vr, outr = ref
+            kk, vk, outk = ker
         # the cache write is bit-exact (same column, same values)
         np.testing.assert_array_equal(np.asarray(kr), np.asarray(kk))
         np.testing.assert_array_equal(np.asarray(vr), np.asarray(vk))
