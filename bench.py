@@ -40,9 +40,9 @@ PROMPT_LEN = 8
 MAX_NEW = 500
 # int8 KV cache halves decode HBM traffic (the bottleneck): measured
 # 363k tok/s vs 260k with the bf16 cache on v5e; GQA KH=2 shrinks it a
-# further 3x and decodes through the flat-cache Pallas kernel + the 2-D
-# decode-QKV layout fix (840.8k vs 447k MHA — see module docstring for
-# the quality contract).
+# further 3x and decodes through the flat-cache Pallas kernel with the
+# 2-D decode-QKV layout fix and kernel-owned int8 quantize/scale writes
+# (906.1k vs 447k MHA — see module docstring for the quality contract).
 # Deterministic at fixed seed; documented opt-ins (GPTConfig.kv_quantized
 # / n_kv_head / flat_kv, models/gpt.py KVCache).
 CONFIG = GPTConfig(
