@@ -22,7 +22,8 @@ def _load(path):
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
-    ap.add_argument("mode", choices=["char", "whitespace", "bpe", "wordpiece", "midi"])
+    ap.add_argument("mode", choices=["char", "whitespace", "bpe", "wordpiece",
+                                     "midi", "gpt2bpe", "openwebtext"])
     ap.add_argument("--train_json")
     ap.add_argument("--valid_json")
     ap.add_argument("--train_dir")
@@ -34,8 +35,22 @@ def main(argv=None):
     ap.add_argument("--out_dir", required=True)
     ap.add_argument("--extra_vocab_dirs", nargs="*", default=[])
     ap.add_argument("--vocab_size", type=int, default=1024)
+    ap.add_argument("--bpe_assets", help="dir with encoder.json + vocab.bpe "
+                    "(gpt2bpe/openwebtext modes; falls back to tiktoken / "
+                    "HF cache — see data/gpt2_bpe.py)")
+    ap.add_argument("--num_proc", type=int, default=8)
     a = ap.parse_args(argv)
 
+    if a.mode == "gpt2bpe":
+        # the shakespeare recipe (ref: nanoGPT/data/shakespeare/prepare.py):
+        # one raw text file -> uint16 GPT-2 BPE bins, no meta.pkl
+        if not a.text:
+            ap.error("gpt2bpe mode requires --text input.txt")
+        with open(a.text, encoding="utf-8") as f:
+            text = f.read()
+        return P.prepare_gpt2bpe(text, a.out_dir, a.val_ratio, a.bpe_assets)
+    if a.mode == "openwebtext":
+        return P.prepare_openwebtext(a.out_dir, a.num_proc, a.bpe_assets)
     if a.mode == "midi":
         return P.prepare_midi_texts(a.train_dir, a.valid_dir, a.out_dir,
                                     a.extra_vocab_dirs)

@@ -175,6 +175,79 @@ def prepare_bpe(train_entries, valid_entries, out_dir, vocab_size=1024,
                    vocab, itos, "bpe", np.uint16)
 
 
+def prepare_gpt2bpe(text: str, out_dir: str, val_ratio: float = 0.1,
+                    assets_dir: Optional[str] = None):
+    """GPT-2 BPE corpus from one raw text (the shakespeare recipe, ref:
+    nanoGPT/data/shakespeare/prepare.py:13-30): 90/10 character split,
+    tiktoken-gpt2 encoding, uint16 bins, NO meta.pkl — the trainer then
+    falls back to vocab 50304 (ref: nanoGPT/train.py:165-168; our
+    train/trainer.py:146) and the sampler to tiktoken decode, which is what
+    makes configs/finetune_shakespeare.py runnable from input.txt alone.
+
+    Asset resolution (tiktoken → HF cache → encoder.json/vocab.bpe dir) and
+    the air-gapped SKIP contract live in data/gpt2_bpe.py."""
+    from ai_music_generation_tpu.data.gpt2_bpe import load_gpt2_codec
+
+    codec = load_gpt2_codec(assets_dir)
+    split = int(len(text) * (1 - val_ratio))
+    train_ids = codec.encode_ordinary(text[:split])
+    val_ids = codec.encode_ordinary(text[split:])
+    os.makedirs(out_dir, exist_ok=True)
+    print(f"train has {len(train_ids):,} tokens")
+    print(f"val has {len(val_ids):,} tokens")
+    write_bin(np.asarray(train_ids, np.uint16),
+              os.path.join(out_dir, "train.bin"), np.uint16)
+    write_bin(np.asarray(val_ids, np.uint16),
+              os.path.join(out_dir, "val.bin"), np.uint16)
+    return codec.n_vocab, len(train_ids), len(val_ids)
+
+
+def prepare_openwebtext(out_dir: str, num_proc: int = 8,
+                        assets_dir: Optional[str] = None):
+    """OpenWebText GPT-2 corpus (ref: nanoGPT/data/openwebtext/prepare.py:
+    1-81): HF ``openwebtext`` dataset, 0.05% val split at seed 2357,
+    per-document ``<|endoftext|>`` (id 50256) terminator, sharded tofile
+    writes. Requires network + the HF dataset — in an air-gapped
+    environment the load_dataset call below raises and the caller reports
+    the documented SKIP (the corpus is 54 GB; there is no offline path)."""
+    import datasets as hfd
+
+    from ai_music_generation_tpu.data.gpt2_bpe import load_gpt2_codec
+
+    codec = load_gpt2_codec(assets_dir)
+    ds = hfd.load_dataset("openwebtext", num_proc=num_proc)
+    split = ds["train"].train_test_split(
+        test_size=0.0005, seed=2357, shuffle=True)
+    split["val"] = split.pop("test")
+    eot = 50256  # <|endoftext|> (ref openwebtext/prepare.py:34)
+
+    def tokenize(example):
+        ids = codec.encode_ordinary(example["text"])
+        ids.append(eot)
+        return {"ids": ids, "len": len(ids)}
+
+    tokenized = split.map(tokenize, remove_columns=["text"],
+                          desc="tokenizing", num_proc=num_proc)
+    os.makedirs(out_dir, exist_ok=True)
+    out = {}
+    for name, dset in tokenized.items():
+        total = int(np.sum(dset["len"], dtype=np.uint64))
+        path = os.path.join(out_dir, f"{name}.bin")
+        arr = np.memmap(path, dtype=np.uint16, mode="w+", shape=(total,))
+        idx = 0
+        n_shards = 1024
+        for shard_i in range(n_shards):
+            shard = dset.shard(num_shards=n_shards, index=shard_i,
+                               contiguous=True).with_format("numpy")
+            batch = np.concatenate(shard["ids"])
+            arr[idx:idx + len(batch)] = batch
+            idx += len(batch)
+        arr.flush()
+        print(f"{name} has {total:,} tokens")
+        out[name] = total
+    return out
+
+
 def prepare_wordpiece(train_entries, valid_entries, out_dir, vocab_size=1024,
                       key="abc notation"):
     """Retrained WordPiece (ref: irishman_wordpiece/prepare_wordpiece.py)."""

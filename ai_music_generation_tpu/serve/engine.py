@@ -305,22 +305,37 @@ class GenerationServer(EngineHostBase):
             seed=jnp.zeros((n_slots,), jnp.uint32),
             active=jnp.zeros((n_slots,), bool),
         )
+        # flat-kv multi-chip mode: when set, ``_scan`` runs under
+        # ``jax.shard_map`` over the data axis (see below)
+        self._flat_mesh = None
+        self._flat_state_specs = None
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             from ai_music_generation_tpu.parallel import mesh as pmesh
 
             if cfg.flat_kv and mesh.devices.size > 1:
-                # the flat decode step is a Pallas custom call, which the
+                # The flat decode step is a Pallas custom call, which the
                 # GSPMD partitioner cannot shard (it would gather the full
-                # cache onto every device), and under TP the per-shard
-                # KV-head slice breaks the kernel's 128-lane contract.
-                # Multi-chip flat-kv serving is one engine replica per
-                # chip (data-parallel serving, the production shape).
-                raise ValueError(
-                    "flat_kv serving is single-chip per engine: run one "
-                    "engine replica per device instead of mesh= (the "
-                    "Pallas decode kernel does not partition under GSPMD)")
+                # cache onto every device) — so the decode scan runs under
+                # ``jax.shard_map`` over the DATA axis instead: slot rows
+                # are independent, each device invokes the kernel on its
+                # local rows with the KV heads whole (the 128-lane tiling
+                # contract holds shard-locally), and the shared ring
+                # cursor replicates. Sampling is per-slot
+                # (``fold_in(PRNGKey(seed), gen)``), so a request's bytes
+                # are invariant to slot placement AND shard count — the
+                # byte-parity test vs the single-chip engine is
+                # tests/test_serve.py::test_engine_flat_kv_sharded_over_mesh.
+                # Tensor parallelism stays unsupported: the per-shard
+                # KV-head slice would break the kernel's 128-lane tiling.
+                if mesh.shape[pmesh.MODEL_AXIS] > 1:
+                    raise ValueError(
+                        "flat_kv serving shards over the data axis only "
+                        "(Pallas kernel KV-head lanes cannot split under "
+                        "tensor parallelism); use a mesh with model axis "
+                        "size 1 or the einsum path (flat_kv=False)")
+                self._flat_mesh = mesh
             n_data = mesh.shape[pmesh.DATA_AXIS]
             if n_slots % n_data != 0:
                 raise ValueError(
@@ -329,22 +344,77 @@ class GenerationServer(EngineHostBase):
             # every slot-major leaf (leading dim == n_slots: cache K/V/
             # scales/length, logits, sampling vectors) shards on data;
             # scalars (ring cursor) replicate
-            slot_sh = jax.tree.map(
-                lambda leaf: NamedSharding(
-                    mesh,
+            slot_spec = jax.tree.map(
+                lambda leaf: (
                     P(pmesh.DATA_AXIS, *([None] * (leaf.ndim - 1)))
                     if leaf.ndim >= 1 and leaf.shape[0] == n_slots else P()),
                 self.state)
+            slot_sh = jax.tree.map(
+                lambda s: NamedSharding(mesh, s), slot_spec,
+                is_leaf=lambda x: isinstance(x, P))
             self.state = jax.device_put(self.state, slot_sh)
-            self.params = jax.device_put(
-                params, pmesh.shardings_for_tree(mesh, params))
+            if self._flat_mesh is not None:
+                # data-only mesh: params replicate (shard_map in_specs P())
+                self._flat_state_specs = slot_spec
+                self.params = jax.device_put(params, pmesh.replicated(mesh))
+            else:
+                self.params = jax.device_put(
+                    params, pmesh.shardings_for_tree(mesh, params))
 
     # -- jitted programs ----------------------------------------------------
 
     @functools.partial(jax.jit, static_argnums=0, donate_argnums=2)
     def _scan(self, params, state: ServeState):
-        """Run ``ticks_per_call`` decode ticks; emit [K, B] tokens/masks."""
+        """Run ``ticks_per_call`` decode ticks; emit [K, B] tokens/masks.
 
+        In flat-kv multi-chip mode (``self._flat_mesh``) the whole scan runs
+        under ``jax.shard_map`` over the data axis: each device executes the
+        Pallas decode kernel on its LOCAL slot rows (row independence is the
+        kernel's own grid axis, so the shard-local call is just a smaller
+        B), params and the ring cursor replicate, and no collective is
+        needed anywhere in the tick. This is what the GSPMD path cannot do
+        with a custom call (ops/gqa_decode.py "Sharding contract")."""
+        pack = self.model.config.vocab_size <= 16384
+
+        def body(params, state: ServeState):
+            state, (toks, emitted, done) = jax.lax.scan(
+                self._make_tick(params), state, None,
+                length=self.ticks_per_call,
+            )
+            if pack:
+                # pack (tok, emitted, done) into ONE uint16 [K, B] download:
+                # the tunnel charges a ~30 ms round trip per device_get plus
+                # ~10-20 MB/s, so 3 arrays (one of them int32) per step cost
+                # more than the decode itself at large slot counts
+                packed = (toks.astype(jnp.uint16)
+                          | (emitted.astype(jnp.uint16) << 14)
+                          | (done.astype(jnp.uint16) << 15))
+                return state, (packed,)
+            return state, (toks, emitted, done)
+
+        if self._flat_mesh is not None:
+            from jax.sharding import PartitionSpec as P
+
+            from ai_music_generation_tpu.parallel.mesh import DATA_AXIS
+
+            n_out = 1 if pack else 3
+            # check_vma=False: pallas_call's out_shape carries no
+            # varying-mesh-axes annotation, so jax's replication checker
+            # cannot see through the kernel; the specs above are the
+            # ground truth (slot-major leaves vary over data, scalars —
+            # the ring cursor — replicate by identical arithmetic)
+            body = jax.shard_map(
+                body, mesh=self._flat_mesh,
+                in_specs=(P(), self._flat_state_specs),
+                out_specs=(self._flat_state_specs,
+                           (P(None, DATA_AXIS),) * n_out),
+                check_vma=False)
+        state, outs = body(params, state)
+        if pack:
+            return state, outs[0], None, None
+        return state, outs[0], outs[1], outs[2]
+
+    def _make_tick(self, params):
         def tick(state: ServeState, _):
             keys = jax.vmap(
                 lambda s, g: jax.random.fold_in(jax.random.PRNGKey(s), g)
@@ -374,18 +444,7 @@ class GenerationServer(EngineHostBase):
                 active=state.active & ~done)
             return new_state, (tok, emitted, done)
 
-        state, (toks, emitted, done) = jax.lax.scan(
-            tick, state, None, length=self.ticks_per_call)
-        if self.model.config.vocab_size <= 16384:
-            # pack (tok, emitted, done) into ONE uint16 [K, B] download:
-            # the tunnel charges a ~30 ms round trip per device_get plus
-            # ~10-20 MB/s, so 3 arrays (one of them int32) per step cost
-            # more than the decode itself at large slot counts
-            packed = (toks.astype(jnp.uint16)
-                      | (emitted.astype(jnp.uint16) << 14)
-                      | (done.astype(jnp.uint16) << 15))
-            return state, packed, None, None
-        return state, toks, emitted, done
+        return tick
 
     @functools.partial(jax.jit, static_argnums=0, donate_argnums=2)
     def _insert_many(self, params, state: ServeState, packed):

@@ -173,3 +173,122 @@ def test_prepare_cli(tmp_path):
     out = str(tmp_path / "out")
     prep_main(["char", f"--train_json={tj}", f"--valid_json={vj}", f"--out_dir={out}"])
     assert os.path.exists(os.path.join(out, "train.bin"))
+
+
+# ---- GPT-2 byte-level BPE (data/gpt2_bpe.py; ref: nanoGPT/data/
+# shakespeare/prepare.py + openwebtext/prepare.py). The real merge table
+# needs network/assets (absent in CI — documented SKIP in the module
+# docstring), so the ALGORITHM is pinned against fixture vocab/merges and
+# public facts of the byte table, plus a differential vs tiktoken when its
+# assets do resolve.
+
+def _fixture_assets(tmp_path):
+    from ai_music_generation_tpu.data.gpt2_bpe import bytes_to_unicode
+
+    base = [bytes_to_unicode()[b] for b in range(256)]
+    encoder = {c: i for i, c in enumerate(base)}
+    encoder["aa"] = 256
+    encoder["aaa"] = 257
+    encoder["ab"] = 258
+    merges = "#version: 0.2\na a\naa a\na b\n"
+    d = tmp_path / "gpt2_assets"
+    d.mkdir()
+    (d / "encoder.json").write_text(json.dumps(encoder))
+    (d / "vocab.bpe").write_text(merges)
+    return str(d)
+
+
+def test_bytes_to_unicode_public_pins():
+    """The byte table is fixed by the GPT-2 release: 256 entries,
+    bijective, printable ASCII identity, space->'Ġ' (U+0120),
+    newline->'Ċ' (U+010A)."""
+    from ai_music_generation_tpu.data.gpt2_bpe import bytes_to_unicode
+
+    t = bytes_to_unicode()
+    assert len(t) == 256 and len(set(t.values())) == 256
+    for b in range(ord("!"), ord("~") + 1):
+        assert t[b] == chr(b)
+    assert t[ord(" ")] == "Ġ" and t[ord("\n")] == "Ċ"
+
+
+def test_gpt2_bpe_merge_order_and_roundtrip(tmp_path):
+    from ai_music_generation_tpu.data.gpt2_bpe import load_gpt2_codec
+
+    codec = load_gpt2_codec(_fixture_assets(tmp_path))
+    # lowest-rank-first: aaabab -> [aaa, b, ab] (never [aa, ab, ab])
+    assert codec.encode_ordinary("aaabab") == [257, ord("b"), 258]
+    # regex pre-split keeps the leading space on words; non-ASCII bytes
+    # round-trip through the byte table
+    for s in ("hello world", "don't stop", "naïve — déjà vu\n", "a1b2 33"):
+        assert codec.decode(codec.encode_ordinary(s)) == s
+
+
+def test_gpt2_bpe_matches_tiktoken_when_available(tmp_path):
+    """Differential against the reference tokenizer itself — runs only
+    where tiktoken's gpt2 table resolves (network or cache)."""
+    try:
+        import tiktoken
+
+        enc = tiktoken.get_encoding("gpt2")
+    except Exception:
+        pytest.skip("tiktoken gpt2 assets unavailable (air-gapped env)")
+    # rebuild our encoder from tiktoken's table to compare algorithms
+    from ai_music_generation_tpu.data.gpt2_bpe import Gpt2Bpe, bytes_to_unicode
+
+    inv = {bytes([b]): c for b, c in bytes_to_unicode().items()}
+    to_str = lambda bs: "".join(inv[bytes([x])] for x in bs)
+    encoder = {to_str(tok): i for tok, i in enc._mergeable_ranks.items()}
+    ranked = sorted(enc._mergeable_ranks.items(), key=lambda kv: kv[1])
+    merges = []
+    for tok, _ in ranked:
+        if len(tok) < 2:
+            continue
+        for i in range(1, len(tok)):
+            l, r = to_str(tok[:i]), to_str(tok[i:])
+            if l in encoder and r in encoder:
+                merges.append((l, r))
+                break
+    ours = Gpt2Bpe(encoder, merges)
+    s = "Hello world, don't stop — naïve 123!"
+    assert ours.encode_ordinary(s) == enc.encode_ordinary(s)
+
+
+def test_prepare_gpt2bpe_writes_reference_shape(tmp_path):
+    """uint16 bins, 90/10 char split, NO meta.pkl (the trainer then uses
+    the 50304 fallback — ref: nanoGPT/train.py:165-168)."""
+    out = str(tmp_path / "gpt2")
+    text = "aaabab " * 50
+    vocab, n_train, n_val = P.prepare_gpt2bpe(
+        text, out, assets_dir=_fixture_assets(tmp_path))
+    assert vocab == 259
+    train = np.fromfile(os.path.join(out, "train.bin"), np.uint16)
+    val = np.fromfile(os.path.join(out, "val.bin"), np.uint16)
+    assert (len(train), len(val)) == (n_train, n_val) and n_val > 0
+    assert not os.path.exists(os.path.join(out, "meta.pkl"))
+
+
+def test_prepare_cli_gpt2bpe_mode(tmp_path):
+    from ai_music_generation_tpu.cli.prepare import main
+
+    inp = tmp_path / "input.txt"
+    inp.write_text("aaabab " * 50)
+    out = str(tmp_path / "cli_gpt2")
+    main(["gpt2bpe", "--text", str(inp), "--out_dir", out,
+          "--bpe_assets", _fixture_assets(tmp_path)])
+    assert os.path.exists(os.path.join(out, "train.bin"))
+
+
+def test_gpt2_assets_unavailable_is_loud(tmp_path, monkeypatch):
+    """Air-gapped with no assets: a clear, actionable error (the
+    documented SKIP), not a silent fallback."""
+    import sys
+
+    from ai_music_generation_tpu.data import gpt2_bpe
+
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    # make both fallbacks fail fast without touching the network
+    monkeypatch.setitem(sys.modules, "tiktoken", None)
+    monkeypatch.setitem(sys.modules, "transformers", None)
+    with pytest.raises(gpt2_bpe.Gpt2AssetsUnavailable, match="encoder.json"):
+        gpt2_bpe.load_gpt2_codec(str(empty))

@@ -160,3 +160,73 @@ def test_flat_serving_matches_4d_engine(params):
         done = {r.id: r for r in srv.run_until_idle()}
         outs[name] = [done[r].generated for r in rids]
     assert outs["4d"] == outs["flat"]
+
+
+def test_kernel_under_shard_map_matches_reference():
+    """The Pallas kernel composes with ``jax.shard_map`` over the batch
+    (data) axis — the multi-chip flat-kv decode shape (serve/engine.py
+    ``_scan``): each shard runs the kernel (interpret mode here) on its
+    local rows, KV heads whole, shared scalar ``pos`` replicated. Output
+    and cache writes must equal the unsharded reference bit-for-bit."""
+    from jax.sharding import PartitionSpec as P
+
+    from ai_music_generation_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(n_data=4, n_model=1, devices=jax.devices()[:4])
+    pos = 9
+    args = _inputs(False, False, pos)  # (q_bd, k, v, kslab, vslab, N, N, N)
+    ref_k, ref_v, ref_out = gqa_decode_reference(
+        *args, pos, n_head=H, n_kv_head=KH)
+
+    def local(q_bd, k, v, kslab, vslab):
+        return gqa_decode_update(
+            q_bd, k, v, kslab, vslab, None, None, None, pos,
+            n_head=H, n_kv_head=KH, interpret=True)
+
+    row = P("data")
+    # check_vma=False: pallas_call's out_shape carries no varying-mesh-axes
+    # annotation, so the replication checker cannot see through it (same
+    # setting as engine._scan's shard_map)
+    sharded = jax.shard_map(
+        local, mesh=mesh, in_specs=(row,) * 5, out_specs=(row,) * 3,
+        check_vma=False)
+    kk, vk, outk = sharded(*args[:5])
+    np.testing.assert_array_equal(np.asarray(ref_k), np.asarray(kk))
+    np.testing.assert_array_equal(np.asarray(ref_v), np.asarray(vk))
+    a = np.asarray(ref_out, np.float32)
+    b = np.asarray(outk, np.float32)
+    assert np.max(np.abs(a - b)) / (np.abs(a).max() + 1e-6) < 2e-2
+
+
+@pytest.mark.nightly
+def test_engine_flat_kv_sharded_over_mesh(params):
+    """Multi-chip flat-kv serving (VERDICT r4 #1): ``GenerationServer(
+    mesh=)`` on a DATA-ONLY mesh runs the decode scan under shard_map
+    (engine._scan) and must reproduce the single-chip engine's bytes —
+    including a SAMPLED (non-greedy) request, because per-slot RNG
+    (fold_in(PRNGKey(seed), gen)) is invariant to slot placement and
+    shard count. A model-axis mesh is rejected loudly."""
+    from ai_music_generation_tpu.parallel.mesh import make_mesh
+    from ai_music_generation_tpu.serve.engine import GenerationServer
+
+    cfg = dataclasses.replace(BASE, flat_kv=True)
+    model = GPT(cfg)
+    mesh = make_mesh(n_data=8, n_model=1)
+
+    def run(use_mesh):
+        srv = GenerationServer(model, params, n_slots=8, ticks_per_call=4,
+                               mesh=mesh if use_mesh else None)
+        a = srv.submit([1, 2, 3], max_new_tokens=12, seed=11)
+        b = srv.submit([5] * 9, max_new_tokens=20, seed=22, temperature=1.2,
+                       top_p=0.9)
+        c = srv.submit([7, 8], max_new_tokens=8, temperature=0.0, seed=3)
+        return {r.id: r.generated for r in srv.run_until_idle()}, (a, b, c)
+
+    plain, ids = run(False)
+    sharded, ids2 = run(True)
+    for i, j in zip(ids, ids2):
+        assert plain[i] == sharded[j]
+
+    with pytest.raises(ValueError, match="data axis only"):
+        GenerationServer(model, params, n_slots=8, ticks_per_call=4,
+                         mesh=make_mesh(n_data=4, n_model=2))

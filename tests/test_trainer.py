@@ -218,3 +218,33 @@ def test_train_moe_smoke_and_resume_arch(tiny_dataset, tmp_path):
     t2.run()
     # runs through max_iters inclusive (same as test_resume_continues)
     assert t2.iter_num == 13
+
+
+def test_train_on_gpt2bpe_corpus_no_meta(tmp_path):
+    """A gpt2bpe-prepared dataset ships NO meta.pkl (ref shakespeare
+    shape); the trainer must fall back to vocab 50304
+    (ref: nanoGPT/train.py:165-168) and train — the data path that makes
+    configs/finetune_shakespeare.py runnable from input.txt alone."""
+    import json as _json
+
+    from ai_music_generation_tpu.data import prepare as P
+    from ai_music_generation_tpu.data.gpt2_bpe import bytes_to_unicode
+
+    base = [bytes_to_unicode()[b] for b in range(256)]
+    encoder = {c: i for i, c in enumerate(base)}
+    assets = tmp_path / "assets"
+    assets.mkdir()
+    (assets / "encoder.json").write_text(_json.dumps(encoder))
+    (assets / "vocab.bpe").write_text("#version: 0.2\n")
+    d = tmp_path / "data" / "shakespeare"
+    d.mkdir(parents=True)
+    P.prepare_gpt2bpe("to be or not to be " * 40, str(d),
+                      assets_dir=str(assets))
+
+    c = make_config(str(tmp_path / "data"), str(tmp_path / "out"),
+                    dataset="shakespeare", max_iters=2, eval_interval=2,
+                    eval_iters=1, gradient_accumulation_steps=1)
+    t = Trainer(c)
+    assert t.meta_vocab_size is None
+    assert t.model.config.vocab_size == 50304
+    t.run()
