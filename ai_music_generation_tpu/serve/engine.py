@@ -236,7 +236,12 @@ class GenerationServer(EngineHostBase):
         no serving counterpart; its multi-device decode story is one
         process per GPU (ref: nanoGPT/train.py:86-99 is training-only).
         Requires ``n_slots`` divisible by the data-axis size."""
+        from ai_music_generation_tpu.decode.generate import (
+            _warn_if_gqa_einsum_trap,
+        )
+
         cfg = model.config
+        _warn_if_gqa_einsum_trap(cfg)
         self.model = model
         self.params = params
         self.n_slots = n_slots
