@@ -88,6 +88,10 @@ def test_flax_wavlm_matches_hf(stable):
             err_msg=f"hidden state {i}")
 
 
+# nightly (15s solo — builds two full predictors just to exercise the
+# error contract); the happy-path conversion stays in the verification
+# tier via the head-path and padding-mask tests.
+@pytest.mark.nightly
 def test_converter_reports_unmapped_and_shape_errors():
     fcfg = _flax_cfg(False)
     model = AudioboxAesthetics(AudioboxConfig(wavlm=fcfg))
@@ -356,6 +360,7 @@ def test_audiobox_head_path_matches_torch_replica():
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.nightly  # HF cross-check family; head-path test stays in tier
 def test_flax_wavlm_matches_hf_with_padding_mask():
     """Padded (ragged) inputs: the encoder must zero padded frames and mask
     attention exactly like HF (attention_mask path) — pooling-only masking

@@ -86,7 +86,12 @@ def saved_ckpt(tmp_path_factory):
     return out, jax.device_get(_as_dict(state))
 
 
-@pytest.mark.parametrize("n_data,n_model", [(4, 2), (2, 4), (1, 1)])
+@pytest.mark.parametrize(
+    "n_data,n_model",
+    [(4, 2), (2, 4),
+     # nightly: restore-to-single-device; the two cross-mesh cases above
+     # are the r3-verdict gap closure and stay in the verification tier
+     pytest.param(1, 1, marks=pytest.mark.nightly)])
 def test_restore_onto_different_mesh_is_bit_exact(saved_ckpt, n_data, n_model,
                                                   caplog):
     out, host_state = saved_ckpt

@@ -198,7 +198,15 @@ def _init_tunes(cfg):
     return model, model.init(jax.random.PRNGKey(1), patches)
 
 
-@pytest.mark.parametrize("cfg", [TCFG, TCFG_SHARED], ids=["split", "shared"])
+@pytest.mark.parametrize(
+    "cfg",
+    [
+        # nightly (7.5s solo): the split-stack variant; the weight-SHARED
+        # config (the aliasing-sensitive one, see the torch Storage note
+        # in the verify skill) stays in the verification tier.
+        pytest.param(TCFG, marks=pytest.mark.nightly, id="split"),
+        pytest.param(TCFG_SHARED, id="shared"),
+    ])
 def test_tunesformer_export_import_round_trip(cfg):
     _, params = _init_tunes(cfg)
     state = tunesformer_state_from_params(params, cfg)

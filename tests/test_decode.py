@@ -189,9 +189,18 @@ def _windowed_greedy_oracle(model, params, prompt, prompt_len, max_new,
     prefill_len = 1 << (min(prompt_len, window).bit_length() - 1)
     cache_toks = tokens[:prefill_len]
 
+    # One jitted canonical shape: right-pad to `window` and read the logits
+    # at the true last position (causal attention ignores the pad; dummy
+    # targets disable the last-position-only inference fast path so the
+    # full [T, vocab] logits exist). The eager per-length variant cost
+    # ~27 s of dispatch overhead alone.
+    apply_j = jax.jit(
+        lambda p, idx: model.apply(p, idx, jnp.zeros_like(idx))[0])
+
     def logits_last(toks):
-        out, _, _ = model.apply(params, jnp.asarray([toks], jnp.int32))
-        return out[0, -1]
+        padded = list(toks) + [0] * (window - len(toks))
+        out = apply_j(params, jnp.asarray([padded], jnp.int32))
+        return out[0, len(toks) - 1]
 
     t = prefill_len
     first_end = min(total, window)

@@ -154,6 +154,9 @@ def test_reference_export_rejected(gqa, tmp_path):
         save_reference_ckpt(str(tmp_path / "ckpt.pt"), params["params"], CFG)
 
 
+# nightly (7.5s solo): sharded-GQA train parity also runs every driver
+# dryrun (all four mesh factorizations train the GQA config).
+@pytest.mark.nightly
 def test_sharded_train_parity():
     """GQA loss on a (data, model) mesh == replicated single-device loss."""
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -173,6 +176,10 @@ def test_sharded_train_parity():
     assert abs(loss_plain - loss_sh) < 1e-5
 
 
+# nightly (15s solo): GQA through the trainer CLI + checkpoint resume;
+# the tier keeps GQA exactness (expanded-MHA, cached-decode, flat
+# byte-parity) and the driver dryrun trains the GQA config every pass.
+@pytest.mark.nightly
 def test_trainer_round_trip(tmp_path):
     """--n_kv_head trains, persists in model_args, and survives resume."""
     from ai_music_generation_tpu.train.trainer import Trainer

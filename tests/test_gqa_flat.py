@@ -128,7 +128,14 @@ def params():
     return model.init(jax.random.PRNGKey(0), jnp.zeros((2, 8), jnp.int32))
 
 
-@pytest.mark.parametrize("quant", [False, True])
+@pytest.mark.parametrize(
+    "quant",
+    [
+        # nightly (9.3s call + 9.6s fixture solo): the bf16-cache variant;
+        # the int8 flagship config stays in the verification tier.
+        pytest.param(False, marks=pytest.mark.nightly),
+        True,
+    ])
 def test_flat_generator_bit_matches_4d(params, quant):
     """Off-TPU the flat path must be bit-identical to the 4-D GQA path —
     sampled tokens (not just logits), across the windowed-refresh phase

@@ -39,7 +39,17 @@ def plain_loss_and_grads(model, params, x, y):
     return jax.value_and_grad(loss_fn)(params)
 
 
-@pytest.mark.parametrize("n_data,n_pipe", [(1, 4), (2, 4), (1, 8), (2, 2)])
+@pytest.mark.parametrize(
+    "n_data,n_pipe",
+    [
+        # nightly (19s solo, VERDICT r4 #6): the pure-pipe 4-stage case is
+        # the slowest compile; grad-exactness is still proven every
+        # verification run by the mixed (2,4)/(2,2) factorizations.
+        pytest.param(1, 4, marks=pytest.mark.nightly),
+        (2, 4),
+        pytest.param(1, 8, marks=pytest.mark.nightly),
+        (2, 2),
+    ])
 def test_pipeline_matches_plain(setup, n_data, n_pipe):
     model, params, x, y = setup
     if model.config.n_layer % n_pipe:
@@ -78,6 +88,10 @@ def test_pipeline_matches_plain(setup, n_data, n_pipe):
             err_msg=str(path))
 
 
+# nightly (13.5s solo): moment-layout verification; grad-exactness stays
+# in the tier via matches_plain (2,4)/(2,2), and the dryrun runs the
+# pipeline schedule every driver pass.
+@pytest.mark.nightly
 def test_pipeline_train_step_runs_and_layout_roundtrips(setup):
     model, params, x, y = setup
     mesh = pp.make_pipe_mesh(2, 4)

@@ -233,6 +233,10 @@ def midi_fixture(tmp_path):
     return tmp_path, d, sf2
 
 
+# nightly (11s solo — the fake-fluidsynth subprocess cold-imports the
+# package and compiles the synth); the stage's CI-gate logic stays in the
+# verification tier via test_fluidsynth_stage_ab_ci_check.
+@pytest.mark.nightly
 def test_fluidsynth_stage_renders_and_gates_on_ckpt(midi_fixture):
     """Fake fluidsynth renders via OUR synth; without --audiobox_ckpt the
     render leg PASSes and the A/B leg SKIPs with both wav sets on disk."""

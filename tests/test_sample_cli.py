@@ -79,6 +79,7 @@ def test_fixed_seed_reproducible(trained):
     assert r1 != r3
 
 
+@pytest.mark.nightly  # 11s solo; opt-in flag — spec core stays in tier
 def test_speculative_sampling(trained):
     """--speculative routes through SpecGenerator: same flags -> byte-identical
     reruns (RNG is per verify step, so the stream differs from the plain

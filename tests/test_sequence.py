@@ -36,6 +36,11 @@ def _plain_attention(q, k, v):
     return jnp.einsum("bhts,bshd->bthd", att, v.astype(jnp.float32))
 
 
+# nightly: the unit-level ring sweep costs 99s/56s/34s of shard_map-grad
+# compile solo (the tier's single largest block, VERDICT r4 #6); the
+# verification tier keeps ring-attention grad coverage via the cheaper
+# test_seq_loss_and_grads_match_plain factorizations below.
+@pytest.mark.nightly
 @pytest.mark.parametrize("n_seq", [2, 4, 8])
 def test_ring_attention_matches_plain(n_seq):
     B, T, H, D = 2, 16, 2, 8
@@ -75,7 +80,13 @@ def setup():
     return model, params, x, y
 
 
-@pytest.mark.parametrize("n_data,n_seq", [(1, 4), (2, 4), (1, 8), (2, 2)])
+@pytest.mark.parametrize(
+    "n_data,n_seq",
+    [(1, 4), (2, 4),
+     # nightly: the pure-seq 8-way factorization compiles the widest ring
+     # (8s solo) and adds no branch the 4-way cases miss (VERDICT r4 #6)
+     pytest.param(1, 8, marks=pytest.mark.nightly),
+     (2, 2)])
 def test_seq_loss_and_grads_match_plain(setup, n_data, n_seq):
     model, params, x, y = setup
     mesh = sq.make_seq_mesh(n_data, n_seq,
@@ -108,6 +119,9 @@ def test_seq_loss_exact_with_uneven_ignore_index(setup):
     np.testing.assert_allclose(float(loss), float(loss_ref), rtol=1e-6)
 
 
+# nightly (11s solo): the "learns" soak; loss/grad exactness of the seq
+# step stays in the tier via matches_plain factorizations.
+@pytest.mark.nightly
 def test_seq_train_step_runs_and_learns(setup):
     model, params, x, y = setup
     mesh = sq.make_seq_mesh(2, 4)

@@ -57,6 +57,10 @@ def test_vector_cache_matches_scalar_and_batch1(tiny, quantized):
         assert done[rid].generated == list(ref)
 
 
+# nightly (VERDICT r4 #6 re-tier): mixed-length + refresh interaction —
+# the cache_len oracle and composition-independence tests keep the
+# refresh semantics covered in the verification tier.
+@pytest.mark.nightly
 def test_engine_mixed_requests_and_refresh(tiny):
     _, model, params = tiny
     srv = GenerationServer(model, params, n_slots=4, ticks_per_call=8)
@@ -76,6 +80,7 @@ def test_engine_mixed_requests_and_refresh(tiny):
     assert by_id[r_greedy].generated == list(ref)
 
 
+@pytest.mark.nightly  # per-slot RNG equivalence proof; stable since r2
 def test_per_slot_sample_matches_batch_sampler():
     """The per-row temperature/top-k/top-p pipeline must pick the exact
     token the lockstep batch sampler's transforms pick row-by-row (same
@@ -117,6 +122,7 @@ def test_engine_top_p_near_zero_is_greedy(tiny):
     assert by_id[r_p].generated == by_id[r_g].generated
 
 
+@pytest.mark.nightly  # 8s solo; cache_len/cancel/stop oracles stay in tier
 def test_engine_batch_composition_independence(tiny):
     """A request's tokens depend only on its own fields — rerunning it alone
     reproduces the output it had amid concurrent traffic."""
@@ -133,6 +139,7 @@ def test_engine_batch_composition_independence(tiny):
     assert crowded.generated == alone.generated
 
 
+@pytest.mark.nightly  # admission-wave soak; cancel/queueing stay in tier
 def test_engine_multi_chunk_admission(tiny):
     """An admit wave larger than ``admit_group`` splits into chunks; results
     must not depend on the chunking (same bytes as one-wave admission)."""
@@ -168,6 +175,7 @@ def test_engine_stop_token_and_queueing(tiny):
         assert 0 not in req.generated[:-1]
 
 
+@pytest.mark.nightly  # >uint16 vocab fallback; exercised by GPT-2 configs
 def test_large_vocab_unpacked_path(tiny):
     """vocab > 16384 disables the uint16 packing: the 3-array download path
     must produce the same contract (exercised nowhere else — every other
@@ -401,6 +409,7 @@ def test_submit_validates_numeric_ranges(tiny):
                          refresh=cfg.block_size)
 
 
+@pytest.mark.nightly  # request-validation matrix; spins a full server
 def test_tunes_submit_validates_ranges():
     from ai_music_generation_tpu.models.tunesformer import (
         TunesFormer,

@@ -57,8 +57,12 @@ def make_inputs(B=4, T=5, H=2, S=64, D=64, quantized=True, seed=0):
     return q, k, v, k_scale, v_scale, jnp.asarray(col_pos), jnp.asarray(lengths)
 
 
+# mid T values nightly: the edge strides (1 = plain-decode shape, 8 = the
+# full 8-aligned column block) pin the kernel contract every run.
 @pytest.mark.parametrize("quantized", [False, True])
-@pytest.mark.parametrize("T", [1, 2, 5, 8])
+@pytest.mark.parametrize(
+    "T", [1, pytest.param(2, marks=pytest.mark.nightly),
+          pytest.param(5, marks=pytest.mark.nightly), 8])
 def test_kernel_matches_reference(quantized, T):
     args = make_inputs(T=T, quantized=quantized, seed=T)
     out = spec_attention(*args, n_head=2, interpret=True)
@@ -71,7 +75,8 @@ def test_kernel_matches_reference(quantized, T):
     )
 
 
-@pytest.mark.parametrize("T", [1, 5, 8])
+@pytest.mark.parametrize(
+    "T", [1, pytest.param(5, marks=pytest.mark.nightly), 8])
 def test_kernel_int8_dots_matches_reference(T):
     """int8 x int8 MXU mode: q and the scaled probs are symmetrically
     re-quantized inside the kernel, so the output carries ~1/127 relative
@@ -210,6 +215,7 @@ def test_kernel_respects_within_step_causality():
                               np.asarray(out2[:, 2:], np.float32))
 
 
+@pytest.mark.nightly  # opt-in spec plumbing; kernel contract stays in tier
 @pytest.mark.parametrize("quantized", [False, True])
 def test_model_spec_path_uses_flat_cache(quantized):
     """End-to-end through GPT.apply: the spec cache is flat [B, S, H*D]

@@ -23,6 +23,7 @@ def _midis(n):
     return [score_to_midi(synthesize_chorale(i)) for i in range(n)]
 
 
+@pytest.mark.nightly  # 4s solo; the dryrun renders on the mesh every pass
 def test_sharded_render_matches_single_device(mesh8):
     midis = _midis(6)  # deliberately NOT a multiple of the data axis (4)
     plain = synthesize_midi_batch(midis, max_seconds=16.0)

@@ -153,6 +153,9 @@ def test_train_on_uint32_corpus(tmp_path):
     t.run()
 
 
+# nightly (14s solo): reference-ckpt import is cross-checked by the
+# convert_ckpt round-trip suite; this covers the trainer-resume leg.
+@pytest.mark.nightly
 def test_init_from_reference_ckpt_pt(tiny_dataset, tmp_path):
     """--init_from=<path>.pt fine-tunes from a reference nanoGPT checkpoint:
     architecture + weights come from the torch file, iter starts fresh."""
@@ -182,6 +185,7 @@ def test_init_from_reference_ckpt_pt(tiny_dataset, tmp_path):
     t.run()  # one eval+step cycle works end to end
 
 
+@pytest.mark.nightly  # 12s solo; the dryrun runs FSDP every driver pass
 def test_train_fsdp_smoke(tiny_dataset, tmp_path):
     """--fsdp=True trains end-to-end with params/opt-state actually sharded
     over the data axis, reaching the same loss regime as the replicated run
@@ -198,6 +202,10 @@ def test_train_fsdp_smoke(tiny_dataset, tmp_path):
     assert best < losses[0]["val/loss"]
 
 
+# nightly (25s solo — two Trainer compiles): MoE e2e training also runs
+# every driver pass (dryrun moe-ep line); the layer-level MoE oracles
+# (dense-equality, capacity, aux loss) stay in the verification tier.
+@pytest.mark.nightly
 def test_train_moe_smoke_and_resume_arch(tiny_dataset, tmp_path):
     """--n_expert=2 trains end-to-end (MoE blocks + aux loss in the total),
     the checkpoint carries the MoE architecture, and resume restores it even
@@ -220,6 +228,10 @@ def test_train_moe_smoke_and_resume_arch(tiny_dataset, tmp_path):
     assert t2.iter_num == 13
 
 
+# nightly (18s solo — the 50304-vocab model compile): the gpt2bpe prepare
+# side stays in the verification tier (test_data_prep.py); this covers the
+# trainer's no-meta.pkl vocab fallback e2e.
+@pytest.mark.nightly
 def test_train_on_gpt2bpe_corpus_no_meta(tmp_path):
     """A gpt2bpe-prepared dataset ships NO meta.pkl (ref shakespeare
     shape); the trainer must fall back to vocab 50304

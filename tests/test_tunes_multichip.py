@@ -41,6 +41,9 @@ def _batch(b=8):
     return jnp.asarray(patches)
 
 
+# nightly (18s solo, VERDICT r4 #6): sharded-tunes train parity also runs
+# every driver dryrun (__graft_entry__.py tunes line).
+@pytest.mark.nightly
 def test_sharded_train_step_matches_single_device(tiny, mesh8):
     model, params = tiny
     tx = optax.adam(1e-3)

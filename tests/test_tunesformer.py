@@ -180,6 +180,11 @@ def test_patch_step_matches_full_encode(tiny_model):
         assert float(jnp.max(jnp.abs(hid - full[:, i]))) < 1e-5, f"pos {i}"
 
 
+# nightly (22s solo, VERDICT r4 #6): the model-level patch-KV oracle; the
+# serving-engine byte oracle (test_serve_tunes.py::
+# test_tunes_server_matches_full_forward_oracle) exercises the same cached
+# path against a full-forward reference every verification run.
+@pytest.mark.nightly
 def test_generate_tunes_cached_matches_full_forward(tiny_model):
     """End-to-end oracle: the cached TunesGenerator must byte-match a
     full-forward generator (bar_scan re-encoding the whole patch stack each

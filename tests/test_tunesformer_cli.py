@@ -26,6 +26,10 @@ def tiny_data(tmp_path_factory):
     return str(root), path
 
 
+# nightly (32s solo, VERDICT r4 #6): full CLI train->generate e2e; the
+# verification tier keeps the flag/prompt/oracle coverage in this file
+# and the model-level oracles in test_tunesformer.py.
+@pytest.mark.nightly
 def test_train_and_generate(tiny_data, tmp_path):
     root, data_path = tiny_data
     out = str(tmp_path / "tf_out")
