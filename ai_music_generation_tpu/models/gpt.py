@@ -625,6 +625,13 @@ class CausalSelfAttention(nn.Module):
                                     - offset[None, :]).astype(jnp.int32)
                     else:
                         mask_rel = None  # kernel masks col <= pos itself
+                    # NOTE (round-5 probe): a bit-identical VPU
+                    # broadcast-multiply fold (mask [H, KH], no MXU dot)
+                    # measured 995k vs 1,035k at the bench protocol — the
+                    # placement EINSUM stays. The ~0.21 ms/step of copies
+                    # around it in the compiled HLO are S(1) alternate-
+                    # memory staging for the pallas custom call, present
+                    # under either formulation (docs/PERF.md HLO audit).
                     P = _placement(H, KH, D, cfg.dtype)
                     q_bd = jnp.einsum("bhd,hdc->bhc", q.reshape(B, H, D), P)
                     if ck_scale is not None:
