@@ -59,12 +59,18 @@ ref: nanoGPT/model.py:29-76); this kernel is what makes the framework's
 ``GPTConfig(n_kv_head=...)`` a throughput lever rather than only a
 memory/capacity one. Measured numbers live in docs/PERF.md.
 
-Sharding contract: SINGLE-CHIP. A ``pallas_call`` is a custom call the
-GSPMD partitioner cannot shard — under a multi-device pjit it would
-gather the full cache per device, and under tensor parallelism the
-per-shard KV-head slice breaks the 128-lane tiling. Multi-chip decode
-with ``flat_kv`` is one replica per chip (the serving engine enforces
-this; ``parallel/mesh.py`` decode paths use the einsum branch).
+Sharding contract: the kernel itself is single-device — a
+``pallas_call`` is a custom call the GSPMD partitioner cannot shard
+(under a plain multi-device pjit it would gather the full cache per
+device, and under tensor parallelism the per-shard KV-head slice breaks
+the 128-lane tiling). Multi-chip decode therefore goes through
+``jax.shard_map`` over the DATA axis (round 5, serve/engine.py
+``_scan``): batch rows are independent, each device invokes the kernel
+on its local rows with KV heads whole, so the lane contract holds;
+byte parity vs single-chip is pinned in tests/test_gqa_flat.py.
+Tensor-parallel meshes are rejected loudly and fall back to the einsum
+branch (the measured trap `decode/generate.py::_warn_if_gqa_einsum_trap`
+warns about).
 """
 
 from __future__ import annotations
